@@ -1,0 +1,68 @@
+"""spark-submit entry point (north rule: ``spark-submit --py-files``).
+
+Usage (local sandbox; on a cluster drop the --master local bits and let
+spark-submit supply the session):
+
+    spark-submit --py-files pdf2spans.zip -m local_pdftodocx_ocr_spark \
+        --input /root/testdata/sf0.001/documents.parquet \
+        --output /tmp/extract_out --partitions 32
+
+    python -m local_pdftodocx_ocr_spark --input ... --output ...
+
+The input may be either the interleaved (doc_id, spans) table itself or
+a flat documents table (doc_id:int, text:string), which is deterministically
+interleaved first (synth.spans_from_flat_doc).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+from pyspark.sql import SparkSession
+
+if __package__ in (None, ""):  # spark-submit runs this file as a script
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="local_pdftodocx_ocr_spark")
+    ap.add_argument("--input", required=True,
+                    help="parquet path: (doc_id, spans) table or flat documents table")
+    ap.add_argument("--output", required=True, help="snapshot table root directory")
+    ap.add_argument("--partitions", type=int, default=0,
+                    help="extraction partitions (default: defaultParallelism)")
+    ap.add_argument("--no-resume", action="store_true",
+                    help="process every input doc even if already committed")
+    ap.add_argument("--local-cores", type=int, default=0,
+                    help="build a local[N] session (omit under spark-submit on a cluster)")
+    args = ap.parse_args(argv)
+
+    from local_pdftodocx_ocr_spark import job
+
+    if args.local_cores:
+        spark = job.build_session(args.local_cores, app="pdf2spans")
+    else:
+        spark = SparkSession.builder.appName("pdf2spans").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    df = spark.read.parquet(args.input)
+    cols = set(df.columns)
+    if "spans" not in cols:
+        if not {"doc_id", "text"} <= cols:
+            print(json.dumps({"error": f"input must have (doc_id, spans) or "
+                                       f"(doc_id, text); got {sorted(cols)}"}))
+            return 2
+        df = job.interleaved_docs_from_flat(df)
+
+    stats = job.run_job(spark, df, args.output,
+                        resume=not args.no_resume,
+                        num_partitions=args.partitions or None)
+    print(json.dumps(stats))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,232 @@
+"""The distributed extraction job.
+
+Physical plan (designed for 1000 executors / 100 TB; tested on local[N]):
+
+  read input (doc_id, spans)                 -- Iceberg/parquet scan;
+                                                column-pruned, snapshot-based
+  [resume] LEFT ANTI JOIN committed doc_ids  -- the only cluster-wide join
+  repartition(P, xxhash64(doc_id, salt))     -- salted hash defuses
+                                                large-document key skew
+                                                (north rule; SURVEY.md §2.9 R1)
+  mapInPandas(extract_batch)                 -- ONE Arrow-batched pass:
+                                                route/clean/recognize/dedup/
+                                                order kernels per document,
+                                                one batched recognize call
+                                                per Arrow batch, plus one
+                                                lineage row per partition
+  write parquet snapshot -> atomic commit    -- idempotent restart point
+
+No per-row Python anywhere: documents cross the Python boundary once, as
+Arrow record batches; everything else is JVM-side.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark import TaskContext
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import kernels
+from .catalog import SnapshotTable
+from .schema import DOCS_SCHEMA, UNIFIED_SCHEMA
+
+DEFAULT_SALT = 0x5CA1AB1E
+
+
+def build_session(parallelism: int = 0, app: str = "pdf2spans",
+                  shuffle_partitions: int | None = None) -> SparkSession:
+    """Local-mode session tuned per /opt guide: AQE on, Arrow on,
+    shuffle partitions ~= cores (not 200)."""
+    cores = parallelism or os.cpu_count() or 4
+    return (
+        SparkSession.builder
+        .master(f"local[{cores}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cores))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .getOrCreate()
+    )
+
+
+def extract_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body. Per Arrow batch: one recognize_batch call over
+    every media_ref in the batch (the batched "OCR" step, reference
+    src/ocr_engine.py:899-954), then the per-document kernel pipeline.
+    After the partition drains, emit exactly one lineage row."""
+    ctx = TaskContext.get()
+    partition_id = ctx.partitionId() if ctx is not None else -1
+    t0 = time.monotonic()
+    docs_in = 0
+    docs_out = 0
+    checksum_acc = 0
+
+    for pdf in batches:
+        # ---- batched recognize: collect every media_ref once ----
+        refs: set[str] = set()
+        for spans in pdf["spans"]:
+            if spans is None:
+                continue
+            for s in spans:
+                r = s["media_ref"]
+                if r:
+                    refs.add(r)
+        ref_list = sorted(refs)
+        media_text = dict(zip(ref_list, kernels.recognize_batch(ref_list)))
+
+        out_ids: list[str] = []
+        out_spans: list[list[dict]] = []
+        row_types: list[str] = []
+        for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+            docs_in += 1
+            span_dicts = [dict(s) for s in spans] if spans is not None else []
+            tuples = kernels.extract_document(doc_id, span_dicts, media_text)
+            if not tuples:
+                # quarantine row: marks the doc as processed (so resume
+                # skips it) without polluting the spans table
+                out_ids.append(doc_id)
+                out_spans.append(None)
+                row_types.append("quarantine")
+                continue
+            docs_out += 1
+            checksum_acc = (checksum_acc + kernels.doc_checksum(doc_id, tuples)) % kernels._CHECK_MOD
+            out_ids.append(doc_id)
+            out_spans.append([
+                {"kind": k, "text": t, "media_ref": m, "offset": o}
+                for (k, t, m, o) in tuples
+            ])
+            row_types.append("doc")
+        n = len(out_ids)
+        yield pd.DataFrame({
+            "row_type": pd.Series(row_types, dtype="object"),
+            "doc_id": pd.Series(out_ids, dtype="object"),
+            "spans": pd.Series(out_spans, dtype="object"),
+            "partition_id": pd.array([None] * n, dtype="Int32"),
+            "docs_in": pd.array([None] * n, dtype="Int64"),
+            "docs_out": pd.array([None] * n, dtype="Int64"),
+            "checksum": pd.Series([None] * n, dtype="object"),
+            "wall_ms": pd.array([None] * n, dtype="Int64"),
+        })
+
+    wall_ms = int((time.monotonic() - t0) * 1000)
+    yield pd.DataFrame({
+        "row_type": pd.Series(["lineage"], dtype="object"),
+        "doc_id": pd.Series([None], dtype="object"),
+        "spans": pd.Series([None], dtype="object"),
+        "partition_id": pd.array([partition_id], dtype="Int32"),
+        "docs_in": pd.array([docs_in], dtype="Int64"),
+        "docs_out": pd.array([docs_out], dtype="Int64"),
+        "checksum": pd.Series([format(checksum_acc, "016x")], dtype="object"),
+        "wall_ms": pd.array([wall_ms], dtype="Int64"),
+    })
+
+
+def extract_spans(docs: DataFrame, num_partitions: int | None = None,
+                  salt: int = DEFAULT_SALT) -> DataFrame:
+    """docs (doc_id, spans) -> unified (doc rows + lineage rows).
+
+    The explicit ``repartition(P, xxhash64(doc_id, salt))`` is the north
+    rule's skew defuse: doc_id ranges that hash hot (e.g. crawl shards
+    with mega-documents) spread uniformly; AQE still coalesces small
+    post-shuffle partitions."""
+    n = num_partitions or docs.sparkSession.sparkContext.defaultParallelism
+    salted = docs.repartition(n, F.xxhash64(F.col("doc_id"), F.lit(salt)))
+    return salted.mapInPandas(extract_batch, schema=UNIFIED_SCHEMA)
+
+
+def split_unified(unified: DataFrame) -> tuple[DataFrame, DataFrame]:
+    spans = (unified.filter(F.col("row_type") == "doc")
+             .select("doc_id", "spans"))
+    lineage = (unified.filter(F.col("row_type") == "lineage")
+               .select("partition_id", "docs_in", "docs_out", "checksum", "wall_ms"))
+    return spans, lineage
+
+
+def run_job(spark: SparkSession, docs: DataFrame, out_root: str,
+            resume: bool = True, num_partitions: int | None = None) -> dict:
+    """Execute the extraction with snapshot commit + idempotent resume.
+
+    One full pass: the unified (docs + lineage) output is written to a
+    staging dir and atomically committed; a rerun anti-joins the input
+    against already-committed doc_ids, so a killed run resumes from the
+    last commit and converges to the identical table (FIXTURES.md §3)."""
+    table = SnapshotTable(out_root)
+    if resume:
+        done = table.committed_doc_ids(spark)
+        if done is not None:
+            docs = docs.join(done, "doc_id", "left_anti")
+
+    snap_id, staging = table.begin()
+    unified = extract_spans(docs, num_partitions=num_partitions)
+    try:
+        unified.write.mode("overwrite").parquet(staging)
+    except Exception:
+        table.abort(staging)
+        raise
+    table.commit(snap_id, staging, meta={"kind": "extract"})
+
+    lineage = (spark.read.parquet(os.path.join(table.root, "snapshots", snap_id))
+               .filter(F.col("row_type") == "lineage"))
+    stats = (lineage.agg(F.sum("docs_in").alias("docs_in"),
+                         F.sum("docs_out").alias("docs_out"),
+                         F.count("*").alias("partitions"))
+             .collect()[0])
+    checks = [int(r["checksum"], 16) for r in lineage.select("checksum").collect()]
+    return {
+        "snapshot": snap_id,
+        "docs_in": stats["docs_in"] or 0,
+        "docs_out": stats["docs_out"] or 0,
+        "partitions": stats["partitions"],
+        "checksum": kernels.combine_checksums(checks),
+    }
+
+
+def read_extracted(spark: SparkSession, out_root: str) -> DataFrame:
+    """All committed extracted spans (union of snapshots)."""
+    table = SnapshotTable(out_root)
+    df = table.read(spark)
+    if df is None:
+        return spark.createDataFrame([], DOCS_SCHEMA)
+    return split_unified(df)[0]
+
+
+def read_lineage(spark: SparkSession, out_root: str) -> DataFrame:
+    table = SnapshotTable(out_root)
+    df = table.read(spark)
+    if df is None:
+        raise FileNotFoundError(f"no committed snapshots under {out_root}")
+    return split_unified(df)[1]
+
+
+def docs_df_from_corpus(spark: SparkSession, corpus: list[tuple[str, list[dict]]]) -> DataFrame:
+    rows = [(doc_id, [
+        {"kind": s["kind"], "text": s["text"], "media_ref": s["media_ref"],
+         "offset": int(s["offset"])} for s in spans
+    ]) for doc_id, spans in corpus]
+    return spark.createDataFrame(rows, schema=DOCS_SCHEMA)
+
+
+def interleaved_docs_from_flat(documents: DataFrame) -> DataFrame:
+    """Derive the input_hint-shaped corpus from the driver's flat
+    ``documents`` table (doc_id:int, text:string) — deterministic synth
+    inside mapInPandas, no external data (synth.spans_from_flat_doc)."""
+    from . import synth
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, spans_col = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                ids.append(f"doc-{int(doc_id):08d}")
+                spans_col.append(synth.spans_from_flat_doc(int(doc_id), text))
+            yield pd.DataFrame({"doc_id": ids, "spans": spans_col})
+
+    return documents.select("doc_id", "text").mapInPandas(gen, schema=DOCS_SCHEMA)

@@ -1,0 +1,598 @@
+"""Pure deterministic per-document operator kernels.
+
+These functions are the semantic rebuild of the reference's extraction
+operators (SURVEY.md §2; reference citations inline). They contain NO
+Spark imports: the same code runs
+
+  * inside the Arrow-batched ``mapInPandas`` extraction UDF (job.py), and
+  * sequentially on the driver as the test oracle (oracle.py),
+
+so span-sequence equality ``(kind, text, media_ref, offset)`` between the
+distributed job and the oracle holds by construction, and every kernel is
+unit-testable without a SparkSession.
+
+Determinism rules: no wall clock, no RNG, no dict-order dependence beyond
+CPython's insertion order, difflib only (stable across versions).
+"""
+
+from __future__ import annotations
+
+import base64
+import codecs
+import difflib
+import hashlib
+import re
+import unicodedata
+from dataclasses import dataclass, field
+
+# --------------------------------------------------------------------------
+# Geometry / constants
+# --------------------------------------------------------------------------
+
+# Synthetic page coordinate space (FIXTURES.md: position header "p=..;y=..;x=..|").
+PAGE_W = 1000.0
+PAGE_H = 1000.0
+
+# Column split gap threshold: 10% of page width
+# (reference `_sort_reading_order`, src/pipeline.py:402-422).
+COLUMN_GAP_FRAC = 0.10
+
+# Footer band: bottom 25% of the page
+# (reference `_drop_repeating_footer_noise`, src/pipeline.py:1551-1586).
+FOOTER_BAND_Y = 0.75 * PAGE_H
+
+# Near-dup look-back window of 12 blocks
+# (reference `_dedup_page_text_blocks`, src/pipeline.py:518-560).
+DEDUP_LOOKBACK = 12
+NEARDUP_RATIO = 0.90          # difflib ratio gate (src/pipeline.py:489-490)
+NEARDUP_PREFIX = 80           # chars compared (src/pipeline.py:487-489)
+CONTAINMENT_FRAC = 0.55       # containment gate (src/pipeline.py:479-484)
+
+# Embedded-text reliability gate (reference `_embedded_text_reliable`,
+# src/pipeline.py:227-266): letter ratio + replacement-char ratio.
+RELIABLE_MIN_LETTER_RATIO = 0.25
+RELIABLE_MAX_REPLACEMENT_RATIO = 0.05
+
+# Boilerplate scorer thresholds (jusText/Boilerpipe-style, SURVEY.md §2.10;
+# published heuristics: Kohlschütter WSDM'10, Pomikálek 2011).
+BOILER_MIN_TEXT_LEN = 25
+BOILER_MAX_LINK_DENSITY = 0.33
+
+POS_HEADER_RE = re.compile(r"^p=(\d+);y=([0-9.]+);x=([0-9.]+)\|")
+
+# --------------------------------------------------------------------------
+# Text cleaning (reference `clean_text`, src/pipeline.py:352-396)
+# --------------------------------------------------------------------------
+
+_ZERO_WIDTH_RE = re.compile("[​‌‍⁠﻿]")
+_CONTROL_RE = re.compile("[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]")
+_THAI_DIGITS = str.maketrans("๐๑๒๓๔๕๖๗๘๙", "0123456789")
+_SARA_AM_RE = re.compile("ํา")          # nikhahit + sara aa -> sara am
+_DUP_COMBINING_RE = re.compile(r"([ัิ-ฺ็-๎])\1+")
+_WS_RE = re.compile(r"[ \t]+")
+_THAI_GAP_RE = re.compile(r"(?<=[ก-๎]) +(?=[ก-๎])")
+_JUNK_LINE_RE = re.compile(r"^[\W_]+$", re.UNICODE)  # punctuation/symbol soup
+_HALLUCINATION_RE = re.compile(r"^(?:[|/\\\-_~`^¤°·.…]{2,}|[il1|]{4,})$")
+
+
+def clean_text(s: str) -> str:
+    """Normalize + scrub one text payload.
+
+    Semantics rebuilt from the reference's `clean_text`
+    (src/pipeline.py:352-396) and Thai helpers (src/pipeline.py:208-224):
+    NFC, zero-width/control strip, Thai->Arabic digits, sara-am recompose,
+    duplicate-combining-mark collapse, junk/hallucination line drop, Thai
+    no-space join, whitespace collapse, blank-run collapse.
+    """
+    if not s:
+        return ""
+    s = unicodedata.normalize("NFC", s)
+    s = _ZERO_WIDTH_RE.sub("", s)
+    s = _CONTROL_RE.sub("", s)
+    s = s.translate(_THAI_DIGITS)
+    s = s.replace("เเ", "แ")  # เเ -> แ
+    s = _SARA_AM_RE.sub("ำ", s)
+    s = _DUP_COMBINING_RE.sub(r"\1", s)
+
+    out_lines: list[str] = []
+    for ln in s.split("\n"):
+        ln = _WS_RE.sub(" ", ln).strip()
+        if not ln:
+            out_lines.append("")
+            continue
+        if _JUNK_LINE_RE.match(ln) or _HALLUCINATION_RE.match(ln):
+            continue
+        ln = _THAI_GAP_RE.sub("", ln)
+        out_lines.append(ln)
+
+    # collapse runs of blank lines to a single blank line
+    collapsed: list[str] = []
+    for ln in out_lines:
+        if ln == "" and collapsed and collapsed[-1] == "":
+            continue
+        collapsed.append(ln)
+    return "\n".join(collapsed).strip()
+
+
+def letter_ratio(s: str) -> float:
+    if not s:
+        return 0.0
+    letters = sum(1 for c in s if c.isalpha() or c.isdigit())
+    return letters / len(s)
+
+
+def is_reliable_text(s: str) -> bool:
+    """Embedded-text reliability gate (src/pipeline.py:227-266)."""
+    if not s or not s.strip():
+        return False
+    repl = s.count("�") / len(s)
+    if repl > RELIABLE_MAX_REPLACEMENT_RATIO:
+        return False
+    return letter_ratio(s) >= RELIABLE_MIN_LETTER_RATIO
+
+
+# --------------------------------------------------------------------------
+# Recognize (batched "OCR" — reference `_run_thai_trocr` batch shape,
+# src/ocr_engine.py:976-1105; sandbox model = deterministic reversible codec)
+# --------------------------------------------------------------------------
+
+
+def encode_media(text: str) -> str:
+    """Produce a media_ref whose payload deterministically 'recognizes'
+    back to *text* (FIXTURES.md §1: reversible rot13+base64 encoding)."""
+    payload = base64.b64encode(codecs.encode(text, "rot13").encode("utf-8")).decode("ascii")
+    return "mem:" + payload
+
+
+def recognize_one(media_ref: str) -> str:
+    if not media_ref or not media_ref.startswith("mem:"):
+        return ""
+    try:
+        raw = base64.b64decode(media_ref[4:].encode("ascii")).decode("utf-8")
+    except Exception:
+        return ""
+    return codecs.decode(raw, "rot13")
+
+
+def recognize_batch(media_refs: list[str]) -> list[str]:
+    """Batched recognize: one call per Arrow batch, mirroring the
+    reference's TrOCR batch-generate (src/ocr_engine.py:899-954)."""
+    return [recognize_one(r) for r in media_refs]
+
+
+# --------------------------------------------------------------------------
+# HTML boilerplate strip (north-rule addition; SURVEY.md §2.10)
+# --------------------------------------------------------------------------
+
+_FURNITURE_RE = re.compile(
+    r"<(nav|footer|header|aside|script|style)\b[^>]*>.*?</\1>",
+    re.IGNORECASE | re.DOTALL,
+)
+_BLOCK_RE = re.compile(
+    r"<(p|h[1-6]|li|div|td|blockquote)\b[^>]*>(.*?)</\1>",
+    re.IGNORECASE | re.DOTALL,
+)
+_ANCHOR_RE = re.compile(r"<a\b[^>]*>(.*?)</a>", re.IGNORECASE | re.DOTALL)
+_TAG_RE = re.compile(r"<[^>]+>")
+
+
+def _strip_tags(markup: str) -> str:
+    return _WS_RE.sub(" ", _TAG_RE.sub(" ", markup)).strip()
+
+
+def strip_boilerplate_html(html: str) -> str:
+    """jusText/Boilerpipe-style main-content extraction.
+
+    Segment the fragment into blocks, score each by text length and
+    link density, apply one smoothing pass (a short block between two
+    kept blocks is kept). Published algorithm family (Kohlschütter et
+    al., WSDM'10; Pomikálek, 2011); no reference implementation exists
+    (the reference only emits HTML, src/exporter.py:505-519).
+    """
+    if not html:
+        return ""
+    html = _FURNITURE_RE.sub(" ", html)
+    blocks: list[tuple[str, float]] = []  # (text, link_density)
+    for m in _BLOCK_RE.finditer(html):
+        inner = m.group(2)
+        # nested block tags: keep leaf-most content only (skip if the
+        # inner markup itself contains another block tag)
+        if _BLOCK_RE.search(inner):
+            continue
+        anchor_len = sum(len(_strip_tags(a.group(1))) for a in _ANCHOR_RE.finditer(inner))
+        text = _strip_tags(inner)
+        if not text:
+            continue
+        link_density = anchor_len / max(1, len(text))
+        blocks.append((text, link_density))
+    if not blocks:
+        text = _strip_tags(html)
+        return text if len(text) >= BOILER_MIN_TEXT_LEN else ""
+
+    keep = [
+        len(t) >= BOILER_MIN_TEXT_LEN and ld <= BOILER_MAX_LINK_DENSITY
+        for t, ld in blocks
+    ]
+    # context smoothing: short low-link block flanked by kept blocks
+    smoothed = list(keep)
+    for i in range(1, len(blocks) - 1):
+        if not keep[i] and blocks[i][1] <= BOILER_MAX_LINK_DENSITY:
+            if keep[i - 1] and keep[i + 1]:
+                smoothed[i] = True
+    kept = [blocks[i][0] for i in range(len(blocks)) if smoothed[i]]
+    return "\n".join(kept)
+
+
+# --------------------------------------------------------------------------
+# Table canonical flatten (reference plain-form grid,
+# src/layout_detector.py:829-833; duplicate-column collapse
+# src/docling_adapter.py:791-805, 847-862)
+# --------------------------------------------------------------------------
+
+
+def flatten_table(text: str) -> str:
+    rows = [r for r in text.split("\n") if r.strip()]
+    grid = [[clean_text(c) for c in r.split("\t")] for r in rows]
+    if not grid:
+        return ""
+    ncols = max(len(r) for r in grid)
+    grid = [r + [""] * (ncols - len(r)) for r in grid]
+    # drop fully-empty columns
+    keep_cols = [j for j in range(ncols) if any(r[j] for r in grid)]
+    grid = [[r[j] for j in keep_cols] for r in grid]
+    # collapse adjacent duplicate-identical columns (D4)
+    if grid and grid[0]:
+        ncols = len(grid[0])
+        keep2 = [0]
+        for j in range(1, ncols):
+            if all(r[j] == r[j - 1] for r in grid):
+                continue
+            keep2.append(j)
+        grid = [[r[j] for j in keep2] for r in grid]
+    # drop fully-empty rows
+    grid = [r for r in grid if any(c for c in r)]
+    return "\n".join("\t".join(r) for r in grid)
+
+
+# --------------------------------------------------------------------------
+# Block model + per-document pipeline
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class Block:
+    kind: str          # 'text' | 'table' | 'figure'
+    page: int
+    y: float
+    x: float
+    text: str
+    media_ref: str = ""
+    src_offset: int = 0
+    src_kind: str = ""
+    norm_key: str = field(default="", repr=False)
+
+
+_NORM_KEY_RE = re.compile(r"[\W_]+", re.UNICODE)
+
+
+def text_norm_key(s: str) -> str:
+    """Whitespace/punct-normalized dedup key
+    (reference `_text_norm_key`, src/pipeline.py:453-455)."""
+    return _NORM_KEY_RE.sub("", s).lower()
+
+
+def parse_pos_header(text: str) -> tuple[int, float, float, str]:
+    """Strip the synthetic geometry header ``p=<page>;y=<y>;x=<x>|``
+    (FIXTURES.md §1). Headerless spans land on page 0 ordered by their
+    source offset."""
+    m = POS_HEADER_RE.match(text or "")
+    if not m:
+        return 0, -1.0, -1.0, text or ""
+    return int(m.group(1)), float(m.group(2)), float(m.group(3)), text[m.end():]
+
+
+_PAGE_NUM_RE = re.compile(r"^(page\s+\d+(\s+of\s+\d+)?|-?\s*\d{1,3}\s*-?|หน้า\s*\d+)$", re.IGNORECASE)
+
+_SECTION_STUB_RE = re.compile(r"^\d{1,2}(\.\d{1,2})?[.)]?$")
+
+
+def is_valid_section_marker(tok: str) -> bool:
+    """Accept ``N)`` 1-30, ``X.Y`` 1-20.1-20, bare ``N.``
+    (reference `_is_valid_section_marker`, src/pipeline.py:904-919)."""
+    m = re.match(r"^(\d{1,2})\)$", tok)
+    if m:
+        return 1 <= int(m.group(1)) <= 30
+    m = re.match(r"^(\d{1,2})\.(\d{1,2})$", tok)
+    if m:
+        return 1 <= int(m.group(1)) <= 20 and 1 <= int(m.group(2)) <= 20
+    m = re.match(r"^(\d{1,2})\.$", tok)
+    if m:
+        return 1 <= int(m.group(1)) <= 30
+    return False
+
+
+def _route_span(kind: str, body: str, media_ref: str, page: int, y: float, x: float,
+                src_offset: int, media_text: dict[str, str] | None = None) -> Block | None:
+    """Per-span classify/clean/recognize routing (reference plan selection
+    §3.1 + engine routing `_build_cascade`, src/ocr_engine.py:773-815).
+
+    ``media_text`` is an optional pre-resolved {media_ref: recognized
+    text} cache — the job fills it with ONE ``recognize_batch`` call per
+    Arrow batch (the north star's batched recognize step); the sequential
+    oracle leaves it None and resolves refs one by one. Both paths call
+    the same codec, so outputs are identical."""
+
+    def _recognize(ref: str) -> str:
+        if media_text is not None and ref in media_text:
+            return media_text[ref]
+        return recognize_one(ref)
+
+    if kind == "text":
+        if not is_reliable_text(body):
+            # unreliable text layer: recognize from media if present,
+            # else drop (reference routes the page to the OCR branch,
+            # src/pipeline.py:227-266 + 3762-3812)
+            if media_ref:
+                body = _recognize(media_ref)
+            else:
+                return None
+        t = clean_text(body)
+        if not t:
+            return None
+        return Block("text", page, y, x, t, media_ref, src_offset, "text")
+    if kind == "noisy_text":
+        t = clean_text(body)
+        if not t:
+            return None
+        return Block("text", page, y, x, t, "", src_offset, "noisy_text")
+    if kind == "boiler":
+        t = clean_text(body)
+        if not t:
+            return None
+        return Block("text", page, y, x, t, "", src_offset, "boiler")
+    if kind == "html":
+        t = clean_text(strip_boilerplate_html(body))
+        if not t:
+            return None
+        return Block("text", page, y, x, t, "", src_offset, "html")
+    if kind == "image":
+        t = clean_text(_recognize(media_ref))
+        if not t:
+            return None
+        return Block("text", page, y, x, t, media_ref, src_offset, "image")
+    if kind == "figure":
+        return Block("figure", page, y, x, "", media_ref, src_offset, "figure")
+    if kind == "table":
+        t = flatten_table(body)
+        if not t:
+            return None
+        return Block("table", page, y, x, t, media_ref, src_offset, "table")
+    return None  # unknown kind -> quarantined
+
+
+def _drop_repeating_footers(blocks: list[Block]) -> list[Block]:
+    """Boilerplate/footer strip (reference `_drop_repeating_footer_noise`,
+    src/pipeline.py:1551-1586): a text block is furniture if its
+    normalized key repeats on >=2 distinct pages inside the footer band,
+    or it is a bare page-number line, or it was tagged 'boiler' at the
+    source and sits in the footer band."""
+    page_sets: dict[str, set[int]] = {}
+    for b in blocks:
+        if b.kind == "text":
+            k = text_norm_key(b.text)
+            if k:
+                page_sets.setdefault(k, set()).add(b.page)
+    out = []
+    for b in blocks:
+        if b.kind == "text":
+            one_line = " ".join(b.text.split())
+            if _PAGE_NUM_RE.match(one_line):
+                continue
+            k = text_norm_key(b.text)
+            in_band = b.y >= FOOTER_BAND_Y
+            repeats = len(page_sets.get(k, ())) >= 2
+            if in_band and (repeats or b.src_kind == "boiler"):
+                continue
+            if b.src_kind == "boiler" and repeats:
+                continue
+        out.append(b)
+    return out
+
+
+def _is_near_duplicate(a: str, b: str) -> bool:
+    """Fuzzy near-dup (reference `_is_near_duplicate_text`,
+    src/pipeline.py:474-490): containment >=0.55 or difflib ratio >=0.90
+    on the first 80 chars of the normalized keys."""
+    ka, kb = text_norm_key(a), text_norm_key(b)
+    if not ka or not kb:
+        return False
+    if ka == kb:
+        return True
+    shorter, longer = (ka, kb) if len(ka) <= len(kb) else (kb, ka)
+    if len(shorter) >= 12 and shorter in longer and len(shorter) / len(longer) >= CONTAINMENT_FRAC:
+        return True
+    ra = difflib.SequenceMatcher(None, ka[:NEARDUP_PREFIX], kb[:NEARDUP_PREFIX]).ratio()
+    return ra >= NEARDUP_RATIO
+
+
+def _dedup_page(blocks: list[Block]) -> list[Block]:
+    """Per-page dedup (reference `_dedup_page_text_blocks`,
+    src/pipeline.py:518-560): exact key dedup keeps the richest (longest)
+    duplicate; near-dup scans a 12-block look-back window and keeps the
+    earlier block."""
+    by_page: dict[int, list[Block]] = {}
+    for b in blocks:
+        by_page.setdefault(b.page, []).append(b)
+    out: list[Block] = []
+    for page in sorted(by_page):
+        page_blocks = sorted(by_page[page], key=lambda b: (b.y, b.x, b.src_offset))
+        # exact dedup: keep the longest text per norm key
+        best_idx: dict[str, int] = {}
+        order: list[Block] = []
+        for b in page_blocks:
+            if b.kind != "text":
+                order.append(b)
+                continue
+            k = b.norm_key = text_norm_key(b.text)
+            if k in best_idx:
+                idx = best_idx[k]
+                if len(b.text) > len(order[idx].text):
+                    order[idx] = b  # richer duplicate replaces in place
+                continue
+            best_idx[k] = len(order)
+            order.append(b)
+        # near-dup with bounded look-back
+        kept: list[Block] = []
+        for b in order:
+            if b.kind == "text":
+                window = [k for k in kept[-DEDUP_LOOKBACK:] if k.kind == "text"]
+                if any(_is_near_duplicate(b.text, w.text) for w in window):
+                    continue
+            kept.append(b)
+        out.extend(kept)
+    return out
+
+
+def _merge_section_stubs(blocks: list[Block]) -> list[Block]:
+    """Marker/stub recovery (reference `_merge_section_stubs_with_titles`,
+    src/pipeline.py:1478-1548): a bare section-marker block ('2.1' / '3.')
+    merges with the nearest following text block on the same page within
+    10% page height below it."""
+    def _is_stub(text: str) -> bool:
+        tok = text.strip()
+        if not _SECTION_STUB_RE.match(tok):
+            return False
+        if tok[-1] not in ").":
+            tok = tok + "." if "." not in tok else tok
+        return is_valid_section_marker(tok)
+
+    out = list(blocks)
+    i = 0
+    while i < len(out):
+        b = out[i]
+        if b.kind == "text" and _is_stub(b.text):
+            # nearest following text block, same page, within band
+            cand_idx, cand_dy = -1, 0.10 * PAGE_H + 1
+            for j, c in enumerate(out):
+                if j == i or c.kind != "text" or c.page != b.page:
+                    continue
+                dy = c.y - b.y
+                if 0 <= dy < cand_dy and not _SECTION_STUB_RE.match(c.text.strip()):
+                    cand_idx, cand_dy = j, dy
+            if cand_idx >= 0:
+                c = out[cand_idx]
+                merged = Block("text", b.page, b.y, b.x,
+                               f"{b.text.strip()} {c.text}", c.media_ref,
+                               b.src_offset, b.src_kind)
+                out[i] = merged
+                del out[cand_idx]
+                if cand_idx < i:
+                    i -= 1
+        i += 1
+    return out
+
+
+def sort_reading_order(blocks: list[Block]) -> list[Block]:
+    """Column-aware XY-cut reading order (reference `_sort_reading_order`,
+    src/pipeline.py:402-422; final sort src/pipeline.py:2850): per page,
+    if blocks form two x-clusters separated by >10% page width, sort each
+    column by (y, x) and concatenate left-then-right; else global (y, x).
+    Headerless blocks (y<0) order by source offset first."""
+    by_page: dict[int, list[Block]] = {}
+    for b in blocks:
+        by_page.setdefault(b.page, []).append(b)
+    out: list[Block] = []
+    for page in sorted(by_page):
+        pb = by_page[page]
+        positioned = [b for b in pb if b.y >= 0]
+        floating = sorted([b for b in pb if b.y < 0], key=lambda b: b.src_offset)
+        if len(positioned) >= 4:
+            xs = sorted(b.x for b in positioned)
+            # largest inter-block x gap
+            gap, split = 0.0, None
+            for a, c in zip(xs, xs[1:]):
+                if c - a > gap:
+                    gap, split = c - a, (a + c) / 2.0
+            if gap > COLUMN_GAP_FRAC * PAGE_W and split is not None:
+                left = [b for b in positioned if b.x < split]
+                right = [b for b in positioned if b.x >= split]
+                if len(left) >= 2 and len(right) >= 2:
+                    key = lambda b: (b.y, b.x, b.src_offset)
+                    out.extend(sorted(left, key=key) + sorted(right, key=key) + floating)
+                    continue
+        out.extend(sorted(positioned, key=lambda b: (b.y, b.x, b.src_offset)) + floating)
+    return out
+
+
+def extract_document(doc_id: str, spans: list[dict],
+                     media_text: dict[str, str] | None = None) -> list[tuple[str, str, str, int]]:
+    """THE extraction pipeline for one document: route/clean/recognize ->
+    footer strip -> stub merge -> dedup -> reading order -> figure
+    placeholders -> dense offsets.
+
+    Pass order mirrors the reference's `_run_layout_pipeline` +
+    `process_pdf` finalization (src/pipeline.py:2910-3418, 2840-2860) —
+    order matters for output equality, so tests pin it.
+
+    Returns the ordered span tuples ``(kind, text, media_ref, offset)``.
+    """
+    blocks: list[Block] = []
+    for s in spans or []:
+        kind = s.get("kind") or ""
+        raw = s.get("text") or ""
+        media_ref = s.get("media_ref") or ""
+        src_offset = int(s.get("offset") or 0)
+        page, y, x, body = parse_pos_header(raw)
+        b = _route_span(kind, body, media_ref, page, y, x, src_offset, media_text)
+        if b is not None:
+            blocks.append(b)
+    if not blocks:
+        return []
+    blocks = _drop_repeating_footers(blocks)
+    blocks = _merge_section_stubs(blocks)
+    blocks = _dedup_page(blocks)
+    blocks = sort_reading_order(blocks)
+
+    # figure placeholders in final order (reference `_blocks_to_text`,
+    # src/pipeline.py:4157-4178: "[Figure {i} — Page {p}]")
+    fig_i = 0
+    out: list[tuple[str, str, str, int]] = []
+    for off, b in enumerate(blocks):
+        text = b.text
+        if b.kind == "figure":
+            fig_i += 1
+            text = f"[Figure {fig_i} — Page {b.page + 1}]"
+        out.append((b.kind, text, b.media_ref, off))
+    return out
+
+
+# --------------------------------------------------------------------------
+# Checksums (lineage table; north rule)
+# --------------------------------------------------------------------------
+
+_CHECK_MOD = (1 << 61) - 1
+
+
+def doc_checksum(doc_id: str, out_spans: list[tuple[str, str, str, int]]) -> int:
+    h = hashlib.md5()
+    h.update(doc_id.encode("utf-8"))
+    for kind, text, media_ref, off in out_spans:
+        h.update(b"\x1e")
+        h.update(kind.encode("utf-8"))
+        h.update(b"\x1f")
+        h.update(text.encode("utf-8"))
+        h.update(b"\x1f")
+        h.update(media_ref.encode("utf-8"))
+        h.update(b"\x1f")
+        h.update(str(off).encode("ascii"))
+    return int(h.hexdigest()[:15], 16) % _CHECK_MOD
+
+
+def combine_checksums(values) -> str:
+    """Order-insensitive combine: sum mod 2^61-1, hex-encoded. Stable
+    across partitionings, so N-vs-4N runs and resumed runs produce the
+    same global checksum (FIXTURES.md §3 invariant)."""
+    total = 0
+    for v in values:
+        total = (total + int(v)) % _CHECK_MOD
+    return format(total, "016x")

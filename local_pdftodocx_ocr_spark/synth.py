@@ -1,0 +1,263 @@
+"""Deterministic synthetic interleaved-document corpora (FIXTURES.md).
+
+Two generators, both fully deterministic (seeded Mersenne Twister /
+pure arithmetic on doc ids — no wall clock, no global hash seed):
+
+* :func:`gen_corpus` — the pytest/golden corpus: demo-like docs
+  (markers, tables, figures, boiler footers, near-dups), general-like
+  docs (sentinel tokens), html docs, Thai docs, two-column docs, edge
+  docs (empty / media-only / unreliable), optional skew tail.
+* :func:`spans_from_flat_doc` — derives an interleaved span document
+  from one row of the driver's ``documents.parquet`` (doc_id, text), so
+  ``entry()`` and the benchmark scale with the provided sf dirs without
+  any external data.
+"""
+
+from __future__ import annotations
+
+import random
+
+from . import kernels
+
+_WORDS = (
+    "the quick brown fox jumps over a lazy dog while spark executors "
+    "shuffle partitions across the cluster reading parquet row groups "
+    "with predicate pushdown and column pruning enabled for every scan"
+).split()
+
+_THAI_BODY = "ตัวอย่างข้อความภาษาไทยสำหรับการทดสอบการสกัดเนื้อหา"
+
+
+def _sentence(rng: random.Random, n: int) -> str:
+    return " ".join(rng.choice(_WORDS) for _ in range(n))
+
+
+def _span(kind: str, page: int, y: float, x: float, body: str,
+          media_ref: str, offset: int) -> dict:
+    return {
+        "kind": kind,
+        "text": f"p={page};y={y:.1f};x={x:.1f}|{body}",
+        "media_ref": media_ref,
+        "offset": offset,
+    }
+
+
+def _demo_doc(rng: random.Random) -> list[dict]:
+    """Analog of tests/fixtures/testocrtor-demo.pdf (reference): 3 pages,
+    2 tables, 2 figures, duty markers, section stubs, repeating footers,
+    a near-duplicate pair (FIXTURES.md §4)."""
+    spans: list[dict] = []
+    off = 0
+    body_a = _sentence(rng, 14)
+    for page in range(3):
+        spans.append(_span("text", page, 60, 50, f"2.{page + 1} {_sentence(rng, 10)}", "", off)); off += 1
+        spans.append(_span("text", page, 220, 50, _sentence(rng, 16), "", off)); off += 1
+        if page == 0:
+            # section stub that must merge with the title below it
+            spans.append(_span("text", page, 400, 50, "3.", "", off)); off += 1
+            spans.append(_span("text", page, 460, 50, _sentence(rng, 6), "", off)); off += 1
+            # near-duplicate pair: second must dedup away
+            spans.append(_span("text", page, 520, 50, body_a, "", off)); off += 1
+            spans.append(_span("noisy_text", page, 560, 50, body_a + " !!", "", off)); off += 1
+        if page == 1:
+            for i, m in enumerate(("3)", "4)", "5)")):
+                spans.append(_span("text", page, 300 + 60 * i, 70, f"{m} {_sentence(rng, 5)}", "", off)); off += 1
+            grid = "h1\th2\th3\nv1\tv2\tv3\nv4\tv5\tv6"
+            spans.append(_span("table", page, 600, 50, grid, "", off)); off += 1
+            spans.append(_span("figure", page, 680, 50, "", kernels.encode_media("fig-a"), off)); off += 1
+        if page == 2:
+            grid = "a\ta\tb\nc\tc\td"  # duplicate cols must collapse
+            spans.append(_span("table", page, 300, 50, grid, "", off)); off += 1
+            spans.append(_span("figure", page, 500, 50, "", kernels.encode_media("fig-b"), off)); off += 1
+        spans.append(_span("boiler", page, 950, 400, f"Confidential — internal draft", "", off)); off += 1
+        spans.append(_span("boiler", page, 975, 480, f"Page {page + 1} of 3", "", off)); off += 1
+    return spans
+
+
+def _general_doc(rng: random.Random) -> list[dict]:
+    spans = []
+    off = 0
+    for page in range(2):
+        for row in range(3):
+            spans.append(_span("text", page, 80 + 200 * row, 40, _sentence(rng, 12), "", off)); off += 1
+    spans.insert(1, _span("text", 0, 150, 40,
+                          "sentinel UNIQUE_TOKEN_ALPHA_7788 appears verbatim", "", off)); off += 1
+    spans.append(_span("text", 1, 700, 40,
+                       "sentinel UNIQUE_TOKEN_BETA_9911 appears verbatim", "", off)); off += 1
+    return spans
+
+
+def _html_doc(rng: random.Random) -> list[dict]:
+    main1 = _sentence(rng, 14)
+    main2 = _sentence(rng, 12)
+    short = _sentence(rng, 3)
+    html = (
+        "<nav><li><a href='/'>home</a></li><li><a href='/x'>x</a></li></nav>"
+        f"<p>{main1}</p>"
+        f"<p><a href='/a'>a</a> <a href='/b'>b</a> <a href='/c'>c</a></p>"
+        f"<p>{short}</p>"
+        f"<p>{main2}</p>"
+        "<footer>copyright 2026 example corp all rights reserved</footer>"
+    )
+    return [
+        _span("html", 0, 100, 40, html, "", 0),
+        _span("text", 0, 600, 40, _sentence(rng, 10), "", 1),
+        _span("boiler", 0, 960, 400, "Page 1", "", 2),
+    ]
+
+
+def _image_doc(rng: random.Random) -> list[dict]:
+    spans = []
+    off = 0
+    for row in range(3):
+        payload = _sentence(rng, 8)
+        spans.append(_span("image", 0, 100 + 250 * row, 60, "",
+                           kernels.encode_media(payload), off)); off += 1
+    spans.append(_span("figure", 0, 880, 60, "", kernels.encode_media("photo"), off)); off += 1
+    return spans
+
+
+def _thai_doc(rng: random.Random) -> list[dict]:
+    return [
+        # Thai spacing to collapse, Thai digits to map, เเ -> แ
+        _span("text", 0, 100, 40, "ภาษา ไทย ทดสอบ เเละ ๑๒๓", "", 0),
+        _span("noisy_text", 0, 300, 40, _THAI_BODY + "​ ซ้ำ  ซ้อน", "", 1),
+        _span("text", 0, 500, 40, _sentence(rng, 9), "", 2),
+    ]
+
+
+def _unreliable_doc(rng: random.Random) -> list[dict]:
+    garbled = "??? ### %% ~~ ^^ || ::: ;;; !!!"
+    rescue = _sentence(rng, 7)
+    return [
+        # unreliable text WITH media backup -> recognized from media
+        _span("text", 0, 100, 40, garbled, kernels.encode_media(rescue), 0),
+        # unreliable text WITHOUT backup -> dropped
+        _span("text", 0, 300, 40, garbled, "", 1),
+        _span("text", 0, 500, 40, _sentence(rng, 10), "", 2),
+    ]
+
+
+def _two_column_doc(rng: random.Random) -> list[dict]:
+    spans = []
+    off = 0
+    # interleave emission order; reading order must be left column then right
+    for row in range(3):
+        spans.append(_span("text", 0, 100 + 200 * row, 80, f"L{row} {_sentence(rng, 6)}", "", off)); off += 1
+        spans.append(_span("text", 0, 100 + 200 * row, 760, f"R{row} {_sentence(rng, 6)}", "", off)); off += 1
+    return spans
+
+
+def _neardup_doc(rng: random.Random) -> list[dict]:
+    base = _sentence(rng, 20)
+    return [
+        _span("text", 0, 100, 40, base, "", 0),
+        _span("text", 0, 300, 40, base + " trailing", "", 1),     # containment dup
+        _span("noisy_text", 0, 500, 40, base.upper(), "", 2),      # norm-key dup
+        _span("text", 0, 700, 40, _sentence(rng, 9), "", 3),
+    ]
+
+
+def _table_doc(rng: random.Random) -> list[dict]:
+    g1 = "name\tqty\tprice\n" + "\n".join(
+        f"item{j}\t{rng.randint(1, 9)}\t{rng.randint(10, 99)}" for j in range(4))
+    g2 = "x\t\ty\n1\t\t2\n3\t\t4"  # empty middle column must drop
+    return [
+        _span("text", 0, 80, 40, _sentence(rng, 8), "", 0),
+        _span("table", 0, 300, 40, g1, "", 1),
+        _span("table", 1, 200, 40, g2, "", 2),
+        _span("boiler", 0, 960, 420, "Page 1 of 2", "", 3),
+        _span("boiler", 1, 960, 420, "Page 2 of 2", "", 4),
+    ]
+
+
+_DOC_BUILDERS = (
+    _demo_doc, _general_doc, _html_doc, _image_doc, _thai_doc,
+    _unreliable_doc, _two_column_doc, None, _neardup_doc, _table_doc,
+)
+
+
+def gen_doc(i: int, seed: int = 42) -> tuple[str, list[dict]]:
+    """One deterministic document; stable regardless of corpus size."""
+    doc_id = f"doc-{i:06d}"
+    rng = random.Random(seed * 1_000_003 + i)
+    builder = _DOC_BUILDERS[i % 10]
+    if builder is None:
+        # edge docs: mostly small mixed, occasionally empty / media-only
+        if i % 50 == 7:
+            return doc_id, []
+        if i % 30 == 17:
+            return doc_id, [_span("figure", 0, 400, 100, "",
+                                  kernels.encode_media("lonely"), 0)]
+        return doc_id, [
+            _span("text", 0, 100, 40, _sentence(rng, 11), "", 0),
+            _span("text", 0, 400, 40, _sentence(rng, 7), "", 1),
+        ]
+    return doc_id, builder(rng)
+
+
+def gen_corpus(n_docs: int = 200, seed: int = 42, skew: bool = False) -> list[tuple[str, list[dict]]]:
+    docs = []
+    for i in range(n_docs):
+        doc_id, spans = gen_doc(i, seed)
+        if skew and i % 100 == 99:
+            # 50x span-count tail to exercise the salted repartition
+            fat = list(spans)
+            rng = random.Random(seed * 7_000_003 + i)
+            base = len(fat)
+            for k in range(50 * max(1, base)):
+                page = 3 + k // 6
+                y = 80.0 + (k % 6) * 150
+                fat.append(_span("text", page, y, 40, _sentence(rng, 10), "", base + k))
+            spans = fat
+        docs.append((doc_id, spans))
+    return docs
+
+
+# --------------------------------------------------------------------------
+# Derivation from the driver's flat documents table (for entry()/bench)
+# --------------------------------------------------------------------------
+
+
+def spans_from_flat_doc(doc_id: int, text: str) -> list[dict]:
+    """Deterministically interleave one flat document's text into the
+    input_hint span shape: chunked positioned text spans, a repeating
+    boiler footer per page, and — keyed by pure doc_id arithmetic — an
+    image span (reversible payload), an html fragment, a table, and a
+    figure. Pure function: safe inside mapInPandas."""
+    words = (text or "").split()
+    if not words:
+        return []
+    chunks = [" ".join(words[i:i + 12]) for i in range(0, len(words), 12)]
+    spans: list[dict] = []
+    off = 0
+    pages = set()
+    for idx, chunk in enumerate(chunks):
+        page = idx // 4
+        pages.add(page)
+        y = 80.0 + (idx % 4) * 180
+        if doc_id % 4 == 1 and idx == 1:
+            html = (
+                "<nav><a href='/'>home</a> <a href='/about'>about</a></nav>"
+                f"<p>{chunk} {chunk}</p>"
+                "<footer>copyright corp</footer>"
+            )
+            spans.append(_span("html", page, y, 60, html, "", off))
+        elif doc_id % 3 == 0 and idx == 2:
+            spans.append(_span("image", page, y, 60, "", kernels.encode_media(chunk), off))
+        elif doc_id % 5 == 2 and idx == 3:
+            ws = chunk.split()
+            half = max(1, len(ws) // 2)
+            grid = "\t".join(ws[:half]) + "\n" + "\t".join(ws[half:] or ["-"])
+            spans.append(_span("table", page, y, 60, grid, "", off))
+        else:
+            spans.append(_span("noisy_text" if (doc_id + idx) % 7 == 3 else "text",
+                               page, y, 60, chunk, "", off))
+        off += 1
+    if doc_id % 7 == 3:
+        spans.append(_span("figure", 0, 900, 60, "", kernels.encode_media(f"fig-{doc_id}"), off))
+        off += 1
+    for page in sorted(pages):
+        spans.append(_span("boiler", page, 960, 400, f"Page {page + 1}", "", off))
+        off += 1
+    return spans
