@@ -249,9 +249,14 @@ def flatten_table(text: str) -> str:
                 continue
             keep2.append(j)
         grid = [[r[j] for j in keep2] for r in grid]
-    # drop fully-empty rows
+    # drop fully-empty rows; trim trailing empty cells per row (canonical form)
     grid = [r for r in grid if any(c for c in r)]
-    return "\n".join("\t".join(r) for r in grid)
+    out_rows = []
+    for r in grid:
+        while r and r[-1] == "":
+            r = r[:-1]
+        out_rows.append("\t".join(r))
+    return "\n".join(out_rows)
 
 
 # --------------------------------------------------------------------------

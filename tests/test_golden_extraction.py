@@ -1,0 +1,78 @@
+"""Golden span-sequence equality: distributed job vs sequential oracle.
+
+The strict analog of the reference's e2e gates (run_e2e_test.py:54-86) per
+FIXTURES.md §2: exact (kind, text, media_ref, offset) equality per doc_id,
+plus lineage invariants (§3) and partitioning-invariance of the global
+checksum.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from local_pdftodocx_ocr_spark import job, kernels, oracle, synth
+
+N_DOCS = 100
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return synth.gen_corpus(N_DOCS)
+
+
+@pytest.fixture(scope="module")
+def extracted(spark, corpus, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("golden_out"))
+    stats = job.run_job(spark, job.docs_df_from_corpus(spark, corpus), out,
+                        num_partitions=7)  # deliberately != shuffle partitions
+    return out, stats
+
+
+def test_span_sequence_equality(spark, corpus, extracted):
+    out, _ = extracted
+    got = {
+        r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["offset"])
+                      for s in r["spans"]]
+        for r in job.read_extracted(spark, out).collect()
+    }
+    expected = {d: s for d, s in oracle.extract_corpus(corpus).items() if s}
+    assert set(got) == set(expected)
+    for doc_id, exp in expected.items():
+        assert got[doc_id] == exp, f"span mismatch for {doc_id}"
+
+
+def test_lineage_invariants(spark, corpus, extracted):
+    out, stats = extracted
+    exp = oracle.expected_lineage_totals(corpus)
+    assert stats["docs_in"] == exp["docs_in"] == N_DOCS
+    assert stats["docs_out"] == exp["docs_out"] <= stats["docs_in"]
+    assert stats["checksum"] == exp["checksum"]
+    rows = job.read_lineage(spark, out).collect()
+    assert sum(r["docs_in"] for r in rows) == N_DOCS
+    assert all(r["wall_ms"] >= 0 for r in rows)
+    assert len({r["partition_id"] for r in rows}) == len(rows)
+
+
+def test_checksum_partitioning_invariance(spark, corpus, tmp_path):
+    """The N-vs-4N invariant in miniature: different partition counts and
+    salts must produce the identical global checksum (FIXTURES.md §3)."""
+    docs = job.docs_df_from_corpus(spark, corpus)
+    sums = set()
+    for n_parts, salt in ((2, 1), (13, 99)):
+        unified = job.extract_spans(docs, num_partitions=n_parts, salt=salt)
+        lineage = job.split_unified(unified)[1].collect()
+        sums.add(kernels.combine_checksums(int(r["checksum"], 16) for r in lineage))
+    assert len(sums) == 1
+    assert sums.pop() == oracle.expected_lineage_totals(corpus)["checksum"]
+
+
+def test_skewed_corpus_equality(spark, tmp_path):
+    """Salted repartition path with a 50x fat-doc tail still matches the
+    oracle exactly."""
+    corpus = synth.gen_corpus(100, skew=True)
+    out = str(tmp_path / "skew_out")
+    stats = job.run_job(spark, job.docs_df_from_corpus(spark, corpus), out,
+                        num_partitions=8)
+    exp = oracle.expected_lineage_totals(corpus)
+    assert stats["checksum"] == exp["checksum"]
+    assert stats["docs_out"] == exp["docs_out"]

@@ -1,0 +1,236 @@
+"""Unit tests for the pure operator kernels (SURVEY.md §5: mirror of the
+reference's operator-level golden tests, tests/test_docling_adapter.py style)."""
+
+from __future__ import annotations
+
+from local_pdftodocx_ocr_spark import kernels, synth
+from local_pdftodocx_ocr_spark.kernels import (
+    Block,
+    clean_text,
+    extract_document,
+    flatten_table,
+    is_reliable_text,
+    is_valid_section_marker,
+    parse_pos_header,
+    recognize_one,
+    sort_reading_order,
+    strip_boilerplate_html,
+    text_norm_key,
+)
+
+
+class TestCleanText:
+    def test_control_and_zero_width_strip(self):
+        assert clean_text("a\x00b​c") == "abc"
+
+    def test_thai_digits(self):
+        assert clean_text("๑๒๓") == "123"
+
+    def test_thai_spacing_collapse(self):
+        assert clean_text("ภาษา ไทย") == "ภาษาไทย"
+        # latin words keep their spaces
+        assert clean_text("hello world") == "hello world"
+
+    def test_sara_ae_recompose(self):
+        assert clean_text("เเมว") == "แมว"
+
+    def test_sara_am_recompose(self):
+        assert clean_text("นํา") == "นำ"
+
+    def test_duplicate_combining_marks(self):
+        assert clean_text("กั้ั้น") != ""  # no crash; marks collapsed
+        assert clean_text("ก้้") == "ก้"
+
+    def test_junk_lines_dropped(self):
+        assert clean_text("real text\n~~~~\n|||\nmore") == "real text\nmore"
+
+    def test_whitespace_collapse(self):
+        assert clean_text("a   b\n\n\n\nc") == "a b\n\nc"
+
+    def test_idempotent(self):
+        s = "2.1 ภาษา ไทย ๑ with   spaces\n\n\nx"
+        assert clean_text(clean_text(s)) == clean_text(s)
+
+
+class TestReliability:
+    def test_reliable_prose(self):
+        assert is_reliable_text("normal english prose here")
+
+    def test_symbol_soup_unreliable(self):
+        assert not is_reliable_text("??? ### %% ~~ ^^ || ::: ;;; !!!")
+
+    def test_replacement_chars_unreliable(self):
+        assert not is_reliable_text("he�llo wor�ld ab�")
+
+
+class TestRecognize:
+    def test_roundtrip(self):
+        ref = kernels.encode_media("hello ภาษาไทย 123")
+        assert recognize_one(ref) == "hello ภาษาไทย 123"
+
+    def test_bad_ref(self):
+        assert recognize_one("") == ""
+        assert recognize_one("s3://bucket/key") == ""
+        assert recognize_one("mem:!!!notbase64!!!") == ""
+
+    def test_batch_matches_single(self):
+        refs = [kernels.encode_media(t) for t in ("a", "b", "c")]
+        assert kernels.recognize_batch(refs) == ["a", "b", "c"]
+
+
+class TestBoilerplate:
+    def test_nav_footer_stripped(self):
+        html = ("<nav><a href='/'>home</a></nav>"
+                "<p>this is the long main content paragraph of the page</p>"
+                "<footer>copyright</footer>")
+        assert strip_boilerplate_html(html) == \
+            "this is the long main content paragraph of the page"
+
+    def test_link_farm_dropped(self):
+        html = ("<p>this is the long main content paragraph of the page</p>"
+                "<p><a href='a'>aaaaaaaaaaaa</a> <a href='b'>bbbbbbbbbbbb</a></p>")
+        out = strip_boilerplate_html(html)
+        assert "main content" in out and "aaaa" not in out
+
+    def test_short_block_smoothing(self):
+        html = ("<p>first long paragraph with plenty of real content here</p>"
+                "<p>short bridge</p>"
+                "<p>second long paragraph with plenty of real content too</p>")
+        out = strip_boilerplate_html(html).split("\n")
+        assert len(out) == 3 and out[1] == "short bridge"
+
+    def test_short_block_not_kept_at_edge(self):
+        html = ("<p>tiny</p>"
+                "<p>one long paragraph with plenty of real textual content</p>")
+        assert strip_boilerplate_html(html) == \
+            "one long paragraph with plenty of real textual content"
+
+
+class TestTableFlatten:
+    def test_empty_col_dropped(self):
+        assert flatten_table("a\t\tb\n1\t\t2") == "a\tb\n1\t2"
+
+    def test_duplicate_col_collapsed(self):
+        assert flatten_table("a\ta\tb\nc\tc\td") == "a\tb\nc\td"
+
+    def test_ragged_rows_padded_then_trimmed(self):
+        assert flatten_table("a\tb\tc\n1") == "a\tb\tc\n1"
+
+    def test_empty_rows_dropped(self):
+        assert flatten_table("a\tb\n\t\n1\t2") == "a\tb\n1\t2"
+
+
+class TestGeometry:
+    def test_pos_header(self):
+        assert parse_pos_header("p=2;y=10.5;x=3.0|body") == (2, 10.5, 3.0, "body")
+
+    def test_headerless(self):
+        assert parse_pos_header("plain") == (0, -1.0, -1.0, "plain")
+
+    def test_reading_order_two_columns(self):
+        blocks = [
+            Block("text", 0, 100, 800, "R0"), Block("text", 0, 100, 50, "L0"),
+            Block("text", 0, 300, 800, "R1"), Block("text", 0, 300, 50, "L1"),
+        ]
+        out = [b.text for b in sort_reading_order(blocks)]
+        assert out == ["L0", "L1", "R0", "R1"]
+
+    def test_reading_order_single_column_yx(self):
+        blocks = [Block("text", 0, 200, 50, "B"), Block("text", 0, 100, 300, "A")]
+        assert [b.text for b in sort_reading_order(blocks)] == ["A", "B"]
+
+    def test_pages_ordered(self):
+        blocks = [Block("text", 1, 10, 10, "P1"), Block("text", 0, 900, 10, "P0")]
+        assert [b.text for b in sort_reading_order(blocks)] == ["P0", "P1"]
+
+
+class TestMarkers:
+    def test_valid(self):
+        assert is_valid_section_marker("3)")
+        assert is_valid_section_marker("2.4")
+        assert is_valid_section_marker("7.")
+
+    def test_invalid(self):
+        assert not is_valid_section_marker("31)")
+        assert not is_valid_section_marker("21.1")
+        assert not is_valid_section_marker("3.5.1")
+
+
+class TestExtractDocument:
+    def _doc(self, i=0):
+        return synth.gen_doc(i)
+
+    def test_offsets_dense(self):
+        _, spans = self._doc(0)
+        out = extract_document("d", spans)
+        assert [o for (_, _, _, o) in out] == list(range(len(out)))
+
+    def test_footers_stripped(self):
+        _, spans = self._doc(0)  # demo doc has boiler footers on each page
+        out = extract_document("d", spans)
+        assert not any("Page" in t and "of 3" in t for (_, t, _, _) in out)
+        assert not any("Confidential" in t for (_, t, _, _) in out)
+
+    def test_stub_merged(self):
+        _, spans = self._doc(0)
+        out = extract_document("d", spans)
+        stubs = [t for (_, t, _, _) in out if t.strip() == "3."]
+        merged = [t for (_, t, _, _) in out if t.startswith("3. ")]
+        assert not stubs and len(merged) == 1
+
+    def test_sentinels_survive(self):
+        _, spans = self._doc(1)  # general doc
+        texts = " ".join(t for (_, t, _, _) in extract_document("d", spans))
+        assert "UNIQUE_TOKEN_ALPHA_7788" in texts
+        assert "UNIQUE_TOKEN_BETA_9911" in texts
+
+    def test_unreliable_with_media_recognized(self):
+        _, spans = self._doc(5)
+        out = extract_document("d", spans)
+        # garbled span with media backup recovered; bare garbled span dropped
+        assert len([1 for (k, t, _, _) in out if k == "text"]) == 2
+
+    def test_empty_doc(self):
+        assert extract_document("d", []) == []
+
+    def test_media_text_cache_equivalence(self):
+        _, spans = self._doc(3)  # image doc
+        refs = {s["media_ref"] for s in spans if s["media_ref"]}
+        cache = dict(zip(sorted(refs), kernels.recognize_batch(sorted(refs))))
+        assert extract_document("d", spans, cache) == extract_document("d", spans)
+
+    def test_near_duplicates_removed(self):
+        _, spans = self._doc(8)
+        out = extract_document("d", spans)
+        # 4 source spans -> base kept once, containment dup + norm-key dup gone
+        assert len(out) == 2
+
+    def test_figure_placeholder_numbering(self):
+        _, spans = self._doc(3)
+        figs = [t for (k, t, _, _) in extract_document("d", spans) if k == "figure"]
+        assert figs == ["[Figure 1 — Page 1]"]
+
+
+class TestChecksums:
+    def test_order_insensitive(self):
+        a = kernels.doc_checksum("a", [("text", "x", "", 0)])
+        b = kernels.doc_checksum("b", [("text", "y", "", 0)])
+        assert kernels.combine_checksums([a, b]) == kernels.combine_checksums([b, a])
+
+    def test_sensitive_to_content(self):
+        a = kernels.doc_checksum("a", [("text", "x", "", 0)])
+        b = kernels.doc_checksum("a", [("text", "x!", "", 0)])
+        assert a != b
+
+
+class TestSynthDeterminism:
+    def test_stable_across_corpus_sizes(self):
+        small = dict(synth.gen_corpus(10))
+        big = dict(synth.gen_corpus(50))
+        for k, v in small.items():
+            assert big[k] == v
+
+    def test_skew_tail(self):
+        docs = synth.gen_corpus(100, skew=True)
+        sizes = [len(s) for _, s in docs]
+        assert max(sizes) > 50 * (sum(sizes) - max(sizes)) / max(1, len(sizes) - 1) / 3
