@@ -1,38 +1,53 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   -- flagship: full extraction pipeline over the sf0.001
+                  documents table (interleaved deterministically), exploded
+                  to flat span rows.
+queries()      -- one entry per implemented operator (SURVEY.md §2 +
+                  training-data ops); each (spark, sf_dir) -> DataFrame.
+oracle_sql()   -- DuckDB-runnable ANSI SQL per query. Extraction-pipeline
+                  queries use inline VALUES oracles generated from the
+                  sequential kernel oracle, so the driver's hash compare IS
+                  the span-sequence-equality gate. Keys intentionally absent
+                  (minhash/simhash/LSH-ANN/extract_from_documents) are
+                  non-SQL-expressible -> rows-only checks.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from local_pdftodocx_ocr_spark.operators import (  # noqa: E402
+    dedup,
+    extraction,
+    multimodal,
+    relational,
+    similarity,
+    textstats,
+)
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return extraction.extract_from_documents(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for mod in (extraction, relational, textstats, dedup, similarity, multimodal):
+        out.update(mod.QUERIES)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out: dict[str, str] = {}
+    out.update(extraction.oracles())
+    for mod in (relational, textstats, dedup, similarity, multimodal):
+        out.update(mod.ORACLES)
+    return out

@@ -1,0 +1,204 @@
+"""Corpus-scale deduplication operators over the ``documents`` table.
+
+The dedup ladder a training-data pipeline runs (SURVEY.md task brief):
+
+* exact        — hash-groupBy (one shuffle on a 16-byte key)
+* ngram/unigram Jaccard — token self-join (exact pairwise; SQL oracle)
+* MinHash+LSH  — shingle -> minhash signature -> band -> bucket join
+                 (the 100 TB path: candidate pairs only, no O(n²))
+* SimHash      — 64-bit near-dup signature, hamming-bucket join
+* embedding cosine near-dup — see similarity.py
+
+Exact and Jaccard have DuckDB oracles. MinHash/SimHash use xxhash64
+(JVM-side, no DuckDB equivalent) — they are rows-only checked by the
+driver and property-tested against the exact-Jaccard oracle in pytest
+(candidates ⊇ high-similarity pairs).
+"""
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MINHASH_PERMS = 32          # minhash signature length
+LSH_BANDS = 8               # 8 bands x 4 rows -> catches J >= ~0.6
+LSH_ROWS = MINHASH_PERMS // LSH_BANDS
+JACCARD_THRESHOLD = 0.6
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup (normalized md5 groupBy)
+# ---------------------------------------------------------------------------
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    key = F.md5(F.lower(F.col("text")))
+    return (
+        d.groupBy(key.alias("content_key"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(lower(text)) AS content_key,
+       MIN(doc_id) AS keep_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Unigram-Jaccard pairwise dedup (exact; token inverted-index join)
+# ---------------------------------------------------------------------------
+
+def _distinct_tokens(d: DataFrame) -> DataFrame:
+    return (d.select("doc_id", F.explode(F.array_distinct(
+        F.split(F.col("text"), " "))).alias("tok")))
+
+
+def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All doc pairs with token-set Jaccard >= 0.6 (doc1 < doc2).
+
+    Distributed shape: inverted index (token -> docs) self-join gives
+    per-pair intersection counts in one shuffle keyed by token; per-doc
+    set sizes broadcast back. At 100 TB the token join is pre-filtered
+    by the LSH candidates below; here it doubles as the exact oracle."""
+    d = _docs(spark, sf_dir)
+    toks = _distinct_tokens(d)
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    t1 = toks.alias("t1")
+    t2 = toks.alias("t2")
+    inter = (
+        t1.join(t2, (F.col("t1.tok") == F.col("t2.tok"))
+                & (F.col("t1.doc_id") < F.col("t2.doc_id")))
+        .groupBy(F.col("t1.doc_id").alias("doc1"), F.col("t2.doc_id").alias("doc2"))
+        .agg(F.count("*").alias("inter"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("doc1"), F.col("sz").alias("sz1"))
+    s2 = sizes.select(F.col("doc_id").alias("doc2"), F.col("sz").alias("sz2"))
+    jac = F.col("inter") / (F.col("sz1") + F.col("sz2") - F.col("inter"))
+    return (
+        inter.join(F.broadcast(s1), "doc1").join(F.broadcast(s2), "doc2")
+        .withColumn("jaccard", F.round(jac, 4))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc1", "doc2", "jaccard")
+    )
+
+
+DEDUP_JACCARD_SQL = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS inter
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc1, doc2,
+       ROUND(CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter), 4) AS jaccard
+FROM inter
+JOIN sizes s1 ON s1.doc_id = doc1
+JOIN sizes s2 ON s2.doc_id = doc2
+WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= {JACCARD_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH candidate generation (the at-scale path; JVM-side xxhash64)
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(d: DataFrame) -> DataFrame:
+    """32-perm minhash over distinct unigram tokens, entirely with
+    built-in expressions: perm_i(doc) = min over tokens of
+    xxhash64(token, i). No Python, no UDF."""
+    toks = F.array_distinct(F.split(F.col("text"), " "))
+    sig = F.array(*[
+        F.array_min(F.transform(toks, lambda t, i=i: F.xxhash64(t, F.lit(i))))
+        for i in range(MINHASH_PERMS)
+    ])
+    return d.select("doc_id", sig.alias("sig"))
+
+
+def dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding: docs sharing any (band_id, band-hash) bucket are
+    candidate near-dups. One groupBy shuffle on the bucket key; output
+    is the candidate pair set (doc1 < doc2), deduped across bands.
+
+    At 10^12 docs: buckets are the shuffle key (uniform by hash), the
+    exact-Jaccard verify join runs only on candidates."""
+    d = _docs(spark, sf_dir)
+    sigs = minhash_signatures(d)
+    bands = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.col("sig")[b * LSH_ROWS + r] for r in range(LSH_ROWS)]).alias("bh"),
+        )
+        for b in range(LSH_BANDS)
+    ])
+    exploded = sigs.select("doc_id", F.explode(bands).alias("bk"))
+    buck = exploded.select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+    b1 = buck.alias("b1")
+    b2 = buck.alias("b2")
+    return (
+        b1.join(b2, (F.col("b1.band") == F.col("b2.band"))
+                & (F.col("b1.bh") == F.col("b2.bh"))
+                & (F.col("b1.doc_id") < F.col("b2.doc_id")))
+        .select(F.col("b1.doc_id").alias("doc1"), F.col("b2.doc_id").alias("doc2"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (64-bit) near-dup signatures — vectorized pandas UDF
+# ---------------------------------------------------------------------------
+
+def simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash over unigram tokens. The bit-vote accumulation is
+    numpy inside an Arrow-batched pandas UDF (64 bit-columns of JVM
+    expressions would bloat codegen; this is the documented slow-path
+    escape hatch). Deterministic: blake2b token hashes."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.LongType())
+    def _simhash(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            votes = np.zeros(64, dtype=np.int64)
+            shifts = np.arange(64, dtype=np.uint64)
+            for tok in set((t or "").split()):
+                h = np.uint64(int.from_bytes(
+                    hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big"))
+                bits = (h >> shifts) & np.uint64(1)
+                votes += np.where(bits == 1, 1, -1)
+            v = 0
+            for b in range(64):
+                if votes[b] > 0:
+                    v |= 1 << b
+            out[i] = np.int64(v - (1 << 64) if v >= (1 << 63) else v)
+        return pd.Series(out)
+
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", _simhash(F.col("text")).alias("simhash"))
+
+
+QUERIES = {
+    "docs_dedup_exact": dedup_exact,
+    "docs_dedup_jaccard_pairs": dedup_jaccard_pairs,
+    "docs_dedup_minhash_candidates": dedup_minhash_candidates,
+    "docs_simhash64": simhash64,
+}
+
+ORACLES = {
+    "docs_dedup_exact": DEDUP_EXACT_SQL,
+    "docs_dedup_jaccard_pairs": DEDUP_JACCARD_SQL,
+    # minhash/simhash: xxhash64/blake2b have no DuckDB equivalent ->
+    # rows-only driver check; pytest property-tests candidates ⊇ oracle pairs.
+}

@@ -1,0 +1,210 @@
+"""Extraction-pipeline queries for the driver contract.
+
+The correctness trick: the driver compares each Spark query against a
+DuckDB oracle SQL string. The extraction pipeline is not SQL-expressible,
+but its expected output IS enumerable — the sequential oracle (the same
+kernels, run on the driver) is serialized into an inline ``VALUES``
+table, so the driver's hash comparison becomes a genuine distributed-vs-
+sequential span-sequence-equality check (FIXTURES.md §2) executed by the
+driver's own harness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import job, kernels, oracle, synth
+from ..functions.text import (
+    clean_text_udf,
+    recognize_udf,
+    strip_boilerplate_udf,
+)
+
+GOLDEN_N_DOCS = 48
+_CHECK_MOD = (1 << 61) - 1
+
+
+def _golden_corpus():
+    return synth.gen_corpus(GOLDEN_N_DOCS)
+
+
+def explode_spans(docs: DataFrame) -> DataFrame:
+    return (docs.select("doc_id", F.explode("spans").alias("s"))
+            .select("doc_id", F.col("s.kind").alias("kind"),
+                    F.col("s.text").alias("text"),
+                    F.col("s.media_ref").alias("media_ref"),
+                    F.col("s.offset").alias("offset")))
+
+
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _values_sql(rows: list[tuple], columns: list[str], int_cols: set[str]) -> str:
+    def lit(v, col):
+        if col in int_cols:
+            return str(int(v))
+        return _sql_quote(str(v))
+
+    body = ",\n".join(
+        "(" + ", ".join(lit(v, c) for v, c in zip(row, columns)) + ")"
+        for row in rows
+    )
+    cols = ", ".join(f'"{c}"' for c in columns)
+    casts = ", ".join(
+        f'CAST("{c}" AS INTEGER) AS "{c}"' if c in int_cols else f'"{c}"'
+        for c in columns
+    )
+    return f"SELECT {casts} FROM (VALUES\n{body}\n) AS t({cols})"
+
+
+# ---------------------------------------------------------------------------
+# Golden pipeline equality (the flagship correctness gate)
+# ---------------------------------------------------------------------------
+
+def extract_spans_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed extraction of the fixed synthetic golden corpus,
+    exploded to flat span rows. sf_dir is unused: the corpus is the
+    deterministic FIXTURES.md fixture set (no external data)."""
+    corpus = _golden_corpus()
+    docs = job.docs_df_from_corpus(spark, corpus)
+    unified = job.extract_spans(docs, num_partitions=4)
+    spans = job.split_unified(unified)[0]
+    return explode_spans(spans)
+
+
+def extract_spans_golden_oracle_sql() -> str:
+    rows = oracle.flat_rows(_golden_corpus())
+    return _values_sql(rows, ["doc_id", "kind", "text", "media_ref", "offset"],
+                       int_cols={"offset"})
+
+
+# ---------------------------------------------------------------------------
+# Lineage totals (global invariants, partitioning-independent)
+# ---------------------------------------------------------------------------
+
+def extract_lineage_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _golden_corpus()
+    docs = job.docs_df_from_corpus(spark, corpus)
+    unified = job.extract_spans(docs, num_partitions=4)
+    lineage = job.split_unified(unified)[1]
+    check_sum = F.sum(F.conv(F.col("checksum"), 16, 10).cast("decimal(38,0)"))
+    mod = check_sum % F.lit(_CHECK_MOD).cast("decimal(38,0)")
+    return lineage.agg(
+        F.sum("docs_in").alias("docs_in"),
+        F.sum("docs_out").alias("docs_out"),
+        F.lpad(F.lower(F.conv(mod.cast("long"), 10, 16)), 16, "0").alias("checksum"),
+    )
+
+
+def extract_lineage_totals_oracle_sql() -> str:
+    exp = oracle.expected_lineage_totals(_golden_corpus())
+    return (f"SELECT CAST({exp['docs_in']} AS BIGINT) AS docs_in, "
+            f"CAST({exp['docs_out']} AS BIGINT) AS docs_out, "
+            f"{_sql_quote(exp['checksum'])} AS checksum")
+
+
+# ---------------------------------------------------------------------------
+# Focused operator queries (one kernel each, via the vectorized UDFs)
+# ---------------------------------------------------------------------------
+
+_CLEAN_FIXTURES = [
+    "a\x00b​c",
+    "๑๒๓ เเมว นํา",
+    "ภาษา ไทย กับ   spaces",
+    "real text\n~~~~\n|||\nmore",
+    "a   b\n\n\n\nc",
+    "2.1 Section   header",
+    "กั้น ก้้ ซ้ำ",
+    "mixed ไทย and english ๕๕",
+]
+
+_HTML_FIXTURES = [
+    "<nav><a href='/'>home</a></nav><p>the long main content paragraph body</p>"
+    "<footer>copyright</footer>",
+    "<p>first long paragraph with plenty of real content here</p><p>short bridge</p>"
+    "<p>second long paragraph with plenty of real content too</p>",
+    "<p><a href='a'>aaaaaaaaaaaaaaaa</a> <a href='b'>bbbbbbbbbbbbbbbb</a></p>"
+    "<p>genuine article text that should be kept by the scorer</p>",
+    "<div>standalone div content long enough to pass the length gate</div>",
+    "just bare text without any tags at all but long enough to keep",
+]
+
+_RECOGNIZE_FIXTURES = [
+    kernels.encode_media("recovered text one"),
+    kernels.encode_media("ภาษาไทย ๑๒๓"),
+    kernels.encode_media(""),
+    "s3://not-a-mem-ref",
+    "",
+]
+
+
+def _fixture_df(spark: SparkSession, values: list[str]) -> DataFrame:
+    return spark.createDataFrame(
+        [(i, v) for i, v in enumerate(values)], "id int, raw string")
+
+
+def extract_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (_fixture_df(spark, _CLEAN_FIXTURES)
+            .select("id", clean_text_udf(F.col("raw")).alias("cleaned")))
+
+
+def extract_clean_text_oracle_sql() -> str:
+    rows = [(i, kernels.clean_text(v)) for i, v in enumerate(_CLEAN_FIXTURES)]
+    return _values_sql(rows, ["id", "cleaned"], int_cols={"id"})
+
+
+def extract_boilerplate_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (_fixture_df(spark, _HTML_FIXTURES)
+            .select("id", strip_boilerplate_udf(F.col("raw")).alias("content")))
+
+
+def extract_boilerplate_html_oracle_sql() -> str:
+    rows = [(i, kernels.strip_boilerplate_html(v)) for i, v in enumerate(_HTML_FIXTURES)]
+    return _values_sql(rows, ["id", "content"], int_cols={"id"})
+
+
+def extract_recognize_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (_fixture_df(spark, _RECOGNIZE_FIXTURES)
+            .select("id", recognize_udf(F.col("raw")).alias("recognized")))
+
+
+def extract_recognize_media_oracle_sql() -> str:
+    rows = [(i, kernels.recognize_one(v)) for i, v in enumerate(_RECOGNIZE_FIXTURES)]
+    return _values_sql(rows, ["id", "recognized"], int_cols={"id"})
+
+
+# ---------------------------------------------------------------------------
+# At-scale pipeline over the driver's documents table (rows-only check;
+# also the entry()/bench flagship)
+# ---------------------------------------------------------------------------
+
+def extract_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    flat = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = job.interleaved_docs_from_flat(flat)
+    unified = job.extract_spans(docs)
+    return explode_spans(job.split_unified(unified)[0])
+
+
+QUERIES = {
+    "extract_spans_golden": extract_spans_golden,
+    "extract_lineage_totals": extract_lineage_totals,
+    "extract_clean_text": extract_clean_text,
+    "extract_boilerplate_html": extract_boilerplate_html,
+    "extract_recognize_media": extract_recognize_media,
+    "extract_from_documents": extract_from_documents,
+}
+
+
+def oracles() -> dict[str, str]:
+    return {
+        "extract_spans_golden": extract_spans_golden_oracle_sql(),
+        "extract_lineage_totals": extract_lineage_totals_oracle_sql(),
+        "extract_clean_text": extract_clean_text_oracle_sql(),
+        "extract_boilerplate_html": extract_boilerplate_html_oracle_sql(),
+        "extract_recognize_media": extract_recognize_media_oracle_sql(),
+        # extract_from_documents: full pipeline over external-scale input;
+        # not SQL-expressible -> rows-only driver check (golden covers the
+        # exact-equality gate).
+    }

@@ -1,0 +1,324 @@
+"""Relational operator coverage over the driver's TPC-H-ish tables.
+
+Each query exists twice: a Spark DataFrame implementation (Catalyst-
+optimized; broadcast hints on dimension tables, decimal-exact sums so
+results are aggregation-order independent) and an ANSI-SQL oracle string
+DuckDB runs on the same parquet views. Column aliases match exactly.
+
+Float discipline (so value-hashes match across engines):
+* never SUM doubles directly — cast the addend to DECIMAL first (exact,
+  order-independent), then cast the final aggregate to DOUBLE;
+* ROUND(...,4) on every computed double;
+* raw stored doubles (no arithmetic) pass through untouched;
+* timestamps never returned raw — always cast to string or epoch bigint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _epoch(col):
+    """timestamp_ntz -> epoch seconds (session TZ pinned to UTC)."""
+    return col.cast("timestamp").cast("long")
+
+
+def _dec_sum(col, scale: int = 8):
+    """Exact order-independent sum of a double expression."""
+    return F.sum(col.cast(f"decimal(24,{scale})"))
+
+
+# ---------------------------------------------------------------------------
+# Q1-style pricing summary (SURVEY §2.4 aggregations; TPC-H Q1 pattern)
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dec_sum(F.col("l_quantity"), 4).cast("double").alias("sum_qty"),
+            _dec_sum(F.col("l_extendedprice"), 4).cast("double").alias("sum_base_price"),
+            F.round(_dec_sum(disc_price).cast("double"), 4).alias("sum_disc_price"),
+            F.round(_dec_sum(charge).cast("double"), 4).alias("sum_charge"),
+            F.round(F.avg(F.col("l_quantity").cast("decimal(24,4)")).cast("double"), 4).alias("avg_qty"),
+            F.round(F.avg(F.col("l_discount").cast("decimal(24,4)")).cast("double"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(24,4))) AS DOUBLE)                                  AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,4))) AS DOUBLE)                             AS sum_base_price,
+  ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,8))) AS DOUBLE),4) AS sum_disc_price,
+  ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(24,8))) AS DOUBLE),4) AS sum_charge,
+  ROUND(CAST(AVG(CAST(l_quantity AS DECIMAL(24,4))) AS DOUBLE),4)                         AS avg_qty,
+  ROUND(CAST(AVG(CAST(l_discount AS DECIMAL(24,4))) AS DOUBLE),4)                         AS avg_disc,
+  COUNT(*)                                                                                AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q3-style shipping priority (join + agg + deterministic top-k)
+# ---------------------------------------------------------------------------
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", F.col("o_orderdate").cast("string").alias("o_orderdate"),
+                 "o_orderpriority")
+        .agg(F.round(_dec_sum(revenue).cast("double"), 4).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT l_orderkey, CAST(o_orderdate AS VARCHAR) AS o_orderdate, o_orderpriority,
+  ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,8))) AS DOUBLE),4) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q5-style local-supplier revenue (6-way join; dims broadcast)
+# ---------------------------------------------------------------------------
+
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), (l.l_suppkey == s.s_suppkey)
+              & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(_dec_sum(revenue).cast("double"), 4).alias("revenue"),
+             F.count("*").alias("n_items"))
+    )
+
+
+Q5_SQL = """
+SELECT n_name,
+  ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,8))) AS DOUBLE),4) AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Top-k per group (SURVEY §2.6 T1 analog: rank-based structure pruning)
+# ---------------------------------------------------------------------------
+
+def topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+TOPK_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(rk AS INTEGER) AS rk
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+  FROM orders
+) WHERE rk <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Rollup (grouping sets; SURVEY §2.4 note)
+# ---------------------------------------------------------------------------
+
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(_dec_sum(revenue).cast("double"), 4).alias("revenue"),
+             F.count("*").alias("n"))
+    )
+
+
+ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus,
+  ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,8))) AS DOUBLE),4) AS revenue,
+  COUNT(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sessionization (gap > 30 min; SURVEY §2.5 W3 gap-clustering analog)
+# ---------------------------------------------------------------------------
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = _epoch(F.col("ts"))
+    prev = F.lag(epoch).over(w)
+    new_s = F.when(prev.isNull() | ((epoch - prev) > 1800), 1).otherwise(0)
+    return (
+        e.withColumn("new_s", new_s)
+        .groupBy("user_id")
+        .agg(F.sum("new_s").alias("n_sessions"), F.count("*").alias("n_events"))
+    )
+
+
+SESSIONIZE_SQL = """
+WITH g AS (
+  SELECT user_id,
+         CASE WHEN LAG(CAST(FLOOR(epoch(ts)) AS BIGINT)) OVER w IS NULL
+                OR CAST(FLOOR(epoch(ts)) AS BIGINT)
+                   - LAG(CAST(FLOOR(epoch(ts)) AS BIGINT)) OVER w > 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+FROM g GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Tumbling-window aggregation (hourly; streaming-equivalent batch form)
+# ---------------------------------------------------------------------------
+
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_trunc("hour", F.col("ts")).cast("string").alias("hour"),
+                  "event_type")
+        .agg(F.count("*").alias("n"),
+             F.round(_dec_sum(F.col("value"), 6).cast("double"), 4).alias("sum_value"))
+    )
+
+
+EVENTS_HOURLY_SQL = """
+SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour, event_type,
+       COUNT(*) AS n,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE),4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# As-of join (nearest preceding event; SURVEY §2.3 J3 nearest-neighbor analog)
+# ---------------------------------------------------------------------------
+
+def asof_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(W.unboundedPreceding, -1))
+    click_ts = F.max(F.when(F.col("event_type") == "click",
+                            _epoch(F.col("ts")))).over(w)
+    return (
+        e.withColumn("last_click_epoch", click_ts)
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "event_id",
+                _epoch(F.col("ts")).alias("purchase_epoch"),
+                "last_click_epoch")
+    )
+
+
+ASOF_SQL = """
+SELECT user_id, event_id,
+       CAST(FLOOR(epoch(ts)) AS BIGINT) AS purchase_epoch,
+       last_click_epoch
+FROM (
+  SELECT user_id, event_id, ts, event_type,
+         MAX(CASE WHEN event_type = 'click'
+                  THEN CAST(FLOOR(epoch(ts)) AS BIGINT) END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_epoch
+  FROM events
+)
+WHERE event_type = 'purchase'
+"""
+
+
+# ---------------------------------------------------------------------------
+# Distinct aggregation
+# ---------------------------------------------------------------------------
+
+def distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"),
+             F.count("*").alias("n_events"))
+    )
+
+
+DISTINCT_SQL = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_local_supplier": q5_local_supplier,
+    "topk_orders_per_customer": topk_orders_per_customer,
+    "rollup_revenue": rollup_revenue,
+    "sessionize_events": sessionize_events,
+    "events_hourly": events_hourly,
+    "asof_last_click_before_purchase": asof_last_click_before_purchase,
+    "distinct_users_per_type": distinct_users_per_type,
+}
+
+ORACLES = {
+    "q1_pricing_summary": Q1_SQL,
+    "q3_shipping_priority": Q3_SQL,
+    "q5_local_supplier": Q5_SQL,
+    "topk_orders_per_customer": TOPK_SQL,
+    "rollup_revenue": ROLLUP_SQL,
+    "sessionize_events": SESSIONIZE_SQL,
+    "events_hourly": EVENTS_HOURLY_SQL,
+    "asof_last_click_before_purchase": ASOF_SQL,
+    "distinct_users_per_type": DISTINCT_SQL,
+}

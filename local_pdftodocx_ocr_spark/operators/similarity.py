@@ -1,0 +1,200 @@
+"""Similarity search over the ``embeddings`` table (array<float> column).
+
+* brute-force cosine top-k — the exactness baseline, all JVM-side
+  (`F.aggregate`/`F.zip_with` dot products; broadcast of the query set)
+* LSH-bucketed ANN — random-hyperplane signatures, bucket equi-join;
+  the 100 TB path (candidates only, probed multi-table)
+
+The brute-force query has a DuckDB oracle (list_cosine_similarity);
+the ANN variant is rows-only + recall-tested in pytest.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TOP_K = 5
+N_QUERIES = 10          # first N vec_ids are the query set
+LSH_BITS = 12
+LSH_TABLES = 4
+_SEED = 7
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _cosine(a, b):
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                            F.lit(0.0), lambda acc, v: acc + v))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x),
+                            F.lit(0.0), lambda acc, v: acc + v))
+    return dot / (na * nb)
+
+
+def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k neighbors for the first N_QUERIES vectors: broadcast
+    the (tiny) query side, score every corpus vector JVM-side, window
+    top-k. One broadcast join + one shuffle for the window — the
+    pattern that survives a 10^9-vector corpus (queries stay small)."""
+    from pyspark.sql import Window as W
+
+    e = _emb(spark, sf_dir)
+    q = (e.filter(F.col("vec_id") < N_QUERIES)
+         .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")))
+    scored = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .withColumn("cos", _cosine(
+            F.col("qv").cast("array<double>"),
+            F.col("embedding").cast("array<double>")))
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("qid", F.col("vec_id").alias("neighbor"),
+                F.round("cos", 3).alias("cos"),
+                F.col("rk").cast("int").alias("rk"))
+    )
+
+
+COSINE_TOPK_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT q.qid, e.vec_id AS neighbor,
+         list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS cos
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.qid
+),
+ranked AS (
+  SELECT qid, neighbor, cos,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor ASC) AS rk
+  FROM scored
+)
+SELECT qid, neighbor, ROUND(cos, 3) AS cos, CAST(rk AS INTEGER) AS rk
+FROM ranked WHERE rk <= {TOP_K}
+"""
+
+
+def _hyperplanes() -> np.ndarray:
+    """Deterministic random hyperplanes (seeded; 64-dim corpus vectors)."""
+    rng = np.random.RandomState(_SEED)
+    return rng.randn(LSH_TABLES, LSH_BITS, 64).astype(np.float64)
+
+
+def lsh_bucket_signatures(e: DataFrame) -> DataFrame:
+    """Sign-random-projection bucket ids, one per LSH table, computed
+    JVM-side: bucket bit b = sign(dot(v, h_b)). Hyperplanes are baked
+    into the plan as literals (tiny: 4x12x64 doubles)."""
+    planes = _hyperplanes()
+    v = F.col("embedding").cast("array<double>")
+    table_cols = []
+    for t in range(LSH_TABLES):
+        bit_exprs = []
+        for b in range(LSH_BITS):
+            h = F.array(*[F.lit(float(x)) for x in planes[t, b]])
+            dot = F.aggregate(F.zip_with(v, h, lambda x, y: x * y),
+                              F.lit(0.0), lambda acc, val: acc + val)
+            bit_exprs.append(F.when(dot >= 0, F.lit(1 << b)).otherwise(F.lit(0)))
+        bucket = bit_exprs[0]
+        for be in bit_exprs[1:]:
+            bucket = bucket + be
+        table_cols.append(F.struct(F.lit(t).alias("table"),
+                                   bucket.cast("int").alias("bucket")))
+    return e.select("vec_id", "embedding", F.explode(F.array(*table_cols)).alias("tb")) \
+            .select("vec_id", "embedding",
+                    F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: score only corpus vectors sharing an LSH
+    bucket with the query in any table. The bucket equi-join replaces
+    the full cross product — at 10^9 vectors the scored set per query
+    is ~corpus/2^bits x tables."""
+    from pyspark.sql import Window as W
+
+    e = _emb(spark, sf_dir)
+    sigs = lsh_bucket_signatures(e)
+    q = (sigs.filter(F.col("vec_id") < N_QUERIES)
+         .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"),
+                 "table", "bucket"))
+    cand = (
+        sigs.join(F.broadcast(q), ["table", "bucket"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "qv", "vec_id", "embedding")
+        .distinct()
+    )
+    scored = cand.withColumn("cos", _cosine(
+        F.col("qv").cast("array<double>"), F.col("embedding").cast("array<double>")))
+    w = W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("qid", F.col("vec_id").alias("neighbor"),
+                F.round("cos", 3).alias("cos"),
+                F.col("rk").cast("int").alias("rk"))
+    )
+
+
+def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Majority label among the exact top-5 neighbors (a classify-by-
+    similarity smoke query with a full SQL oracle)."""
+    from pyspark.sql import Window as W
+
+    e = _emb(spark, sf_dir)
+    topk = cosine_topk_bruteforce(spark, sf_dir)
+    labels = e.select(F.col("vec_id").alias("neighbor"), "label")
+    votes = (topk.join(F.broadcast(labels), "neighbor")
+             .groupBy("qid", "label").agg(F.count("*").alias("n")))
+    w = W.partitionBy("qid").orderBy(F.desc("n"), F.asc("label"))
+    return (votes.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("qid", F.col("label").alias("pred_label"), "n"))
+
+
+KNN_VOTE_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT q.qid, e.vec_id AS neighbor, e.label,
+         list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS cos
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.qid
+),
+ranked AS (
+  SELECT qid, neighbor, label,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor ASC) AS rk
+  FROM scored
+),
+votes AS (
+  SELECT qid, label, COUNT(*) AS n FROM ranked WHERE rk <= {TOP_K} GROUP BY 1, 2
+)
+SELECT qid, label AS pred_label, n
+FROM (SELECT qid, label, n,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY n DESC, label ASC) AS vr
+      FROM votes)
+WHERE vr = 1
+"""
+
+
+QUERIES = {
+    "emb_cosine_topk": cosine_topk_bruteforce,
+    "emb_ann_lsh_topk": ann_lsh_topk,
+    "emb_knn_label_vote": knn_label_vote,
+}
+
+ORACLES = {
+    "emb_cosine_topk": COSINE_TOPK_SQL,
+    # ann_lsh_topk: hyperplane signatures not expressible in DuckDB ->
+    # rows-only; recall vs brute force asserted in pytest.
+    "emb_knn_label_vote": KNN_VOTE_SQL,
+}

@@ -1,0 +1,154 @@
+"""Text-analysis operators over the flat ``documents`` table — the
+language-ID / quality-scoring / token-counting / fingerprinting stages a
+100 TB training-data pipeline runs before dedup.
+
+All hot paths are pure JVM-side column expressions (whole-stage codegen;
+no Python in the loop). Each has an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_STOPWORDS = ("the", "a", "an", "of", "and", "to", "in", "is", "for", "with")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Token counting (whitespace tokens; JVM-side split)
+# ---------------------------------------------------------------------------
+
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+        F.length("text").alias("n_chars_calc"),
+    )
+
+
+TOKEN_COUNT_SQL = """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+       CAST(length(text) AS INTEGER) AS n_chars_calc
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Language ID (stopword-hit heuristic; n-gram-free deterministic variant)
+# ---------------------------------------------------------------------------
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    stop_hits = F.size(F.filter(toks, lambda x: x.isin(*_STOPWORDS)))
+    ratio = stop_hits / F.size(toks)
+    return d.select(
+        "doc_id",
+        "lang",
+        F.round(ratio, 4).alias("stop_ratio"),
+        F.when(ratio >= 0.03, F.lit("en")).otherwise(F.lit("other")).alias("pred_lang"),
+    )
+
+
+_STOP_SQL_LIST = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+LANG_ID_SQL = f"""
+SELECT doc_id, lang,
+       ROUND(CAST(len(list_filter(string_split(text, ' '),
+                                  x -> x IN ({_STOP_SQL_LIST}))) AS DOUBLE)
+             / len(string_split(text, ' ')), 4) AS stop_ratio,
+       CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+                                      x -> x IN ({_STOP_SQL_LIST}))) AS DOUBLE)
+                 / len(string_split(text, ' ')) >= 0.03
+            THEN 'en' ELSE 'other' END AS pred_lang
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring (length / punctuation / stopword components)
+# ---------------------------------------------------------------------------
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks)
+    stop_hits = F.size(F.filter(toks, lambda x: x.isin(*_STOPWORDS)))
+    stop_ratio = stop_hits / n_tok
+    len_component = F.least(F.length("text") / F.lit(400.0), F.lit(1.0))
+    mean_tok_len = (F.length("text") - (n_tok - 1)) / n_tok
+    score = F.round(0.5 * len_component + 0.3 * stop_ratio + 0.2 * (mean_tok_len / 10.0), 4)
+    return d.select(
+        "doc_id",
+        F.round(len_component, 4).alias("len_component"),
+        F.round(stop_ratio, 4).alias("stop_ratio"),
+        F.round(mean_tok_len, 4).alias("mean_tok_len"),
+        score.alias("quality"),
+    )
+
+
+QUALITY_SQL = f"""
+WITH q AS (
+  SELECT doc_id,
+         LEAST(length(text) / 400.0, 1.0) AS len_component,
+         CAST(len(list_filter(string_split(text, ' '),
+                              x -> x IN ({_STOP_SQL_LIST}))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS stop_ratio,
+         CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+           / len(string_split(text, ' ')) AS mean_tok_len
+  FROM documents
+)
+SELECT doc_id,
+       ROUND(len_component, 4) AS len_component,
+       ROUND(stop_ratio, 4) AS stop_ratio,
+       ROUND(mean_tok_len, 4) AS mean_tok_len,
+       ROUND(0.5 * len_component + 0.3 * stop_ratio + 0.2 * (mean_tok_len / 10.0), 4) AS quality
+FROM q
+"""
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprint (min char-5-gram md5 — MinHash-1 over character
+# shingles; winnowing-style content fingerprint, fully JVM-side)
+# ---------------------------------------------------------------------------
+
+def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    n_sh = F.greatest(F.length("text") - 4, F.lit(1))
+    shingle_hashes = F.transform(
+        F.sequence(F.lit(1), n_sh),
+        lambda i: F.md5(F.col("text").substr(i, F.lit(5))),
+    )
+    return d.select("doc_id", F.array_min(shingle_hashes).alias("fp"))
+
+
+FINGERPRINT_SQL = """
+SELECT doc_id, MIN(md5(substr(text, CAST(i AS INTEGER), 5))) AS fp
+FROM (
+  SELECT doc_id, text,
+         unnest(range(1, GREATEST(length(text) - 4, 1) + 1)) AS i
+  FROM documents
+)
+GROUP BY doc_id
+"""
+
+
+QUERIES = {
+    "docs_token_count": token_count,
+    "docs_lang_id": lang_id,
+    "docs_quality_score": quality_score,
+    "docs_fingerprint": fingerprint,
+}
+
+ORACLES = {
+    "docs_token_count": TOKEN_COUNT_SQL,
+    "docs_lang_id": LANG_ID_SQL,
+    "docs_quality_score": QUALITY_SQL,
+    "docs_fingerprint": FINGERPRINT_SQL,
+}
