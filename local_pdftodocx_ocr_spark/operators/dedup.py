@@ -3,7 +3,7 @@
 The dedup ladder a training-data pipeline runs (SURVEY.md task brief):
 
 * exact        — hash-groupBy (one shuffle on a 16-byte key)
-* ngram/unigram Jaccard — token self-join (exact pairwise; SQL oracle)
+* word-3-gram Jaccard — shingle inverted-index self-join (exact; SQL oracle)
 * MinHash+LSH  — shingle -> minhash signature -> band -> bucket join
                  (the 100 TB path: candidate pairs only, no O(n²))
 * SimHash      — 64-bit near-dup signature, hamming-bucket join
@@ -51,28 +51,44 @@ GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
-# Unigram-Jaccard pairwise dedup (exact; token inverted-index join)
+# Word-3-gram Jaccard pairwise dedup (exact; shingle inverted-index join)
 # ---------------------------------------------------------------------------
 
-def _distinct_tokens(d: DataFrame) -> DataFrame:
-    return (d.select("doc_id", F.explode(F.array_distinct(
-        F.split(F.col("text"), " "))).alias("tok")))
+def _shingle_array(col):
+    """Distinct word-3-gram shingles, pure JVM expressions (1-based
+    element_at, mirrored exactly by the DuckDB list formulation)."""
+    toks = F.split(col, " ")
+    n_sh = F.greatest(F.size(toks) - 2, F.lit(0))
+    shingles = F.transform(
+        F.sequence(F.lit(1), n_sh),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i),
+                              F.element_at(toks, i + 1),
+                              F.element_at(toks, i + 2)),
+    )
+    return F.array_distinct(shingles)
+
+
+def _distinct_shingles(d: DataFrame) -> DataFrame:
+    return (d.filter(F.size(F.split(F.col("text"), " ")) >= 3)
+            .select("doc_id", F.explode(_shingle_array(F.col("text"))).alias("s")))
 
 
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All doc pairs with token-set Jaccard >= 0.6 (doc1 < doc2).
+    """All doc pairs with word-3-gram-shingle Jaccard >= 0.6 (doc1 < doc2).
 
-    Distributed shape: inverted index (token -> docs) self-join gives
-    per-pair intersection counts in one shuffle keyed by token; per-doc
-    set sizes broadcast back. At 100 TB the token join is pre-filtered
-    by the LSH candidates below; here it doubles as the exact oracle."""
+    Distributed shape: inverted index (shingle -> docs) self-join gives
+    per-pair intersection counts in one shuffle keyed by shingle; per-doc
+    set sizes broadcast back. Shingles (not unigrams) keep the index
+    selective: only genuinely overlapping docs meet in a bucket. At
+    100 TB the self-join is pre-filtered by the LSH candidates below;
+    here it doubles as the exact oracle."""
     d = _docs(spark, sf_dir)
-    toks = _distinct_tokens(d)
+    toks = _distinct_shingles(d)
     sizes = toks.groupBy("doc_id").agg(F.count("*").alias("sz"))
     t1 = toks.alias("t1")
     t2 = toks.alias("t2")
     inter = (
-        t1.join(t2, (F.col("t1.tok") == F.col("t2.tok"))
+        t1.join(t2, (F.col("t1.s") == F.col("t2.s"))
                 & (F.col("t1.doc_id") < F.col("t2.doc_id")))
         .groupBy(F.col("t1.doc_id").alias("doc1"), F.col("t2.doc_id").alias("doc2"))
         .agg(F.count("*").alias("inter"))
@@ -89,13 +105,19 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DEDUP_JACCARD_SQL = f"""
-WITH toks AS (
-  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    range(1, GREATEST(len(string_split(text, ' ')) - 2, 0) + 1),
+    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+         || ' ' || string_split(text, ' ')[i+2]
+  ))) AS s
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
 ),
-sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS inter
-  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT doc1, doc2,
@@ -112,15 +134,19 @@ WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= {JACCARD_THRESHOLD}
 # ---------------------------------------------------------------------------
 
 def minhash_signatures(d: DataFrame) -> DataFrame:
-    """32-perm minhash over distinct unigram tokens, entirely with
-    built-in expressions: perm_i(doc) = min over tokens of
-    xxhash64(token, i). No Python, no UDF."""
-    toks = F.array_distinct(F.split(F.col("text"), " "))
-    sig = F.array(*[
-        F.array_min(F.transform(toks, lambda t, i=i: F.xxhash64(t, F.lit(i))))
-        for i in range(MINHASH_PERMS)
-    ])
-    return d.select("doc_id", sig.alias("sig"))
+    """32-perm minhash over distinct word-3-gram shingles, entirely
+    with built-in expressions: perm_i(doc) = min over shingles of
+    xxhash64(shingle, i). No Python, no UDF."""
+    sh = _shingle_array(F.col("text"))
+
+    def _perm_min(seed: int):
+        # NB: the lambda must take exactly one arg — a second arg would
+        # be bound by Spark to the array index, not the closure.
+        return F.array_min(F.transform(sh, lambda t: F.xxhash64(t, F.lit(seed))))
+
+    sig = F.array(*[_perm_min(i) for i in range(MINHASH_PERMS)])
+    return (d.filter(F.size(F.split(F.col("text"), " ")) >= 3)
+            .select("doc_id", sig.alias("sig")))
 
 
 def dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:

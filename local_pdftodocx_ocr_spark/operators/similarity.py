@@ -17,8 +17,12 @@ from pyspark.sql import functions as F
 
 TOP_K = 5
 N_QUERIES = 10          # first N vec_ids are the query set
-LSH_BITS = 12
-LSH_TABLES = 4
+# Bits/tables tuned for THIS corpus (near-random vectors, top-1 cosine
+# ~0.37): few bits + many tables or recall collapses. With genuinely
+# clustered embeddings (the production case) raise LSH_BITS to keep
+# buckets small; the candidate fraction scales ~(1 - (1 - p^bits)^tables).
+LSH_BITS = 4
+LSH_TABLES = 16
 _SEED = 7
 
 

@@ -1,0 +1,71 @@
+"""Structured Streaming analogs (SURVEY.md §2.11).
+
+The north rule is a batch job (checkpoint resume covers incrementality),
+but the engine ships the streaming shapes a live ingest would need:
+
+* watermarked tumbling-window aggregation over the events stream
+* streaming sessionization scaffold (session_window)
+
+Both are driven in tests from a bounded file source with a memory sink
+(`processAllAvailable`), which exercises the identical operator graph a
+Kafka source would feed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str,
+                       max_files_per_trigger: int = 1,
+                       glob: str = "events.parquet") -> DataFrame:
+    """File-source stream over the events parquet (the source must be a
+    directory; pathGlobFilter selects the table file)."""
+    return (spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .option("pathGlobFilter", glob)
+            .parquet(sf_dir))
+
+
+def windowed_counts(events: DataFrame, window: str = "5 minutes",
+                    watermark: str = "10 minutes") -> DataFrame:
+    """Tumbling-window counts with late-data watermark."""
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window), "event_type")
+            .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+            .select(F.col("window.start").cast("string").alias("win_start"),
+                    "event_type", "n", "sum_value"))
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes",
+                   watermark: str = "1 hour") -> DataFrame:
+    """Session windows per user (gap-based), the streaming form of the
+    batch sessionize_events operator."""
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy(F.session_window("ts", gap), "user_id")
+            .agg(F.count("*").alias("n_events"))
+            .select(F.col("session_window.start").cast("string").alias("sess_start"),
+                    "user_id", "n_events"))
+
+
+def run_to_memory(df: DataFrame, name: str, output_mode: str = "append"):
+    """Drive a bounded stream to completion into a memory sink; returns
+    the query (stopped)."""
+    q = (df.writeStream.format("memory").queryName(name)
+         .outputMode(output_mode).start())
+    q.processAllAvailable()
+    q.stop()
+    return q

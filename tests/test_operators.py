@@ -1,0 +1,129 @@
+"""Property tests for the approximate operators (no SQL oracle possible):
+MinHash-LSH candidate recall vs exact Jaccard, ANN recall vs brute force,
+SimHash locality — plus physical-plan assertions (pushdown / broadcast)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from local_pdftodocx_ocr_spark.operators import dedup, similarity
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+class TestMinhashLSH:
+    def test_candidates_cover_high_jaccard_pairs(self, spark):
+        """LSH with 8 bands x 4 rows catches J>=0.6 pairs w.h.p.; on this
+        corpus we require FULL recall of the exact-Jaccard pairs."""
+        exact = {(r["doc1"], r["doc2"])
+                 for r in dedup.dedup_jaccard_pairs(spark, SF_DIR).collect()}
+        cand = {(r["doc1"], r["doc2"])
+                for r in dedup.dedup_minhash_candidates(spark, SF_DIR).collect()}
+        missed = exact - cand
+        assert not missed, f"LSH missed {len(missed)}/{len(exact)} true pairs"
+
+    def test_candidates_not_everything(self, spark):
+        n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+        n_cand = dedup.dedup_minhash_candidates(spark, SF_DIR).count()
+        assert n_cand < n_docs * (n_docs - 1) / 2 * 0.5, \
+            "LSH bucketing is not pruning the pair space"
+
+
+class TestSimhash:
+    def test_near_identical_docs_have_close_hashes(self, spark):
+        rows = [(1, "the quick brown fox jumps over the lazy dog near the river"),
+                (2, "the quick brown fox jumps over the lazy dog near the rivers"),
+                (3, "completely different content about spark shuffle partitions")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        df.createOrReplaceTempView("_sim_docs")
+        import local_pdftodocx_ocr_spark.operators.dedup as dd
+        orig = dd._docs
+        try:
+            dd._docs = lambda spark, sf: spark.table("_sim_docs")
+            out = {r["doc_id"]: r["simhash"] for r in dd.simhash64(spark, "x").collect()}
+        finally:
+            dd._docs = orig
+
+        def hamming(a, b):
+            return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+        # one differing token out of ~12: low-margin bits may flip, but
+        # near-identical docs must stay far closer than unrelated ones
+        assert hamming(out[1], out[2]) < hamming(out[1], out[3])
+        assert hamming(out[1], out[2]) <= 20
+        assert hamming(out[1], out[3]) >= 20
+
+
+class TestANN:
+    def test_recall_vs_bruteforce(self, spark):
+        exact = {(r["qid"], r["neighbor"])
+                 for r in similarity.cosine_topk_bruteforce(spark, SF_DIR).collect()}
+        approx = {(r["qid"], r["neighbor"])
+                  for r in similarity.ann_lsh_topk(spark, SF_DIR).collect()}
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.5, f"ANN recall {recall:.2f} too low"
+
+
+class TestPhysicalPlans:
+    """`.explain`-level guarantees: the plans we rely on at 100 TB."""
+
+    def test_filter_pushdown_to_parquet(self, spark):
+        df = (spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+              .filter(F.col("l_shipdate") <= "1997-01-01")
+              .select("l_orderkey", "l_quantity"))
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+        # column pruning: only the needed columns in ReadSchema
+        assert "l_extendedprice" not in plan.split("ReadSchema")[1][:400]
+
+    def test_q5_uses_broadcast_joins(self, spark):
+        from local_pdftodocx_ocr_spark.operators.relational import q5_local_supplier
+        plan = q5_local_supplier(spark, SF_DIR)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+
+    def test_extraction_has_single_exchange(self, spark):
+        """The extraction job must shuffle exactly once (the salted
+        repartition) — no hidden exchanges around the UDF."""
+        from local_pdftodocx_ocr_spark import job, synth
+        docs = job.docs_df_from_corpus(spark, synth.gen_corpus(10))
+        unified = job.extract_spans(docs, num_partitions=4)
+        plan = unified._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1, plan
+
+    def test_resume_antijoin_reads_doc_id_only(self, spark, tmp_path):
+        from local_pdftodocx_ocr_spark import job, synth
+        out = str(tmp_path / "prune")
+        job.run_job(spark, job.docs_df_from_corpus(spark, synth.gen_corpus(10)), out)
+        from local_pdftodocx_ocr_spark.catalog import SnapshotTable
+        done = SnapshotTable(out).committed_doc_ids(spark)
+        plan = done._jdf.queryExecution().executedPlan().toString()
+        schema_part = plan.split("ReadSchema")[1][:300]
+        assert "spans" not in schema_part, "resume scan must prune the spans column"
+
+
+class TestStreaming:
+    def test_windowed_counts_memory_sink(self, spark):
+        from local_pdftodocx_ocr_spark.streaming import events_stream as es
+        stream = es.read_events_stream(spark, SF_DIR, max_files_per_trigger=1)
+        es.run_to_memory(es.windowed_counts(stream), "win_out")
+        out = spark.sql("SELECT * FROM win_out")
+        # append mode emits only watermark-closed windows; compare a
+        # closed window against the batch computation
+        batch = (spark.read.parquet(f"{SF_DIR}/events.parquet")
+                 .groupBy(F.window("ts", "5 minutes"), "event_type")
+                 .agg(F.count("*").alias("n"))
+                 .select(F.col("window.start").cast("string").alias("win_start"),
+                         "event_type", "n"))
+        got = {(r["win_start"], r["event_type"]): r["n"] for r in out.collect()}
+        exp = {(r["win_start"], r["event_type"]): r["n"] for r in batch.collect()}
+        assert got, "no windows emitted"
+        for k, v in got.items():
+            assert exp[k] == v
+
+    def test_session_counts_runs(self, spark):
+        from local_pdftodocx_ocr_spark.streaming import events_stream as es
+        stream = es.read_events_stream(spark, SF_DIR)
+        es.run_to_memory(es.session_counts(stream), "sess_out")
+        assert spark.sql("SELECT count(*) AS n FROM sess_out").first()["n"] >= 0
