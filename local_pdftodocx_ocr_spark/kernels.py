@@ -404,11 +404,16 @@ def _drop_repeating_footers(blocks: list[Block]) -> list[Block]:
     return out
 
 
-def _is_near_duplicate(a: str, b: str) -> bool:
-    """Fuzzy near-dup (reference `_is_near_duplicate_text`,
-    src/pipeline.py:474-490): containment >=0.55 or difflib ratio >=0.90
-    on the first 80 chars of the normalized keys."""
-    ka, kb = text_norm_key(a), text_norm_key(b)
+def _is_near_duplicate_keys(ka: str, kb: str) -> bool:
+    """Fuzzy near-dup on precomputed norm keys (reference
+    `_is_near_duplicate_text`, src/pipeline.py:474-490): containment
+    >=0.55 or difflib ratio >=0.90 on the first 80 chars.
+
+    The decision predicate is ratio() >= 0.90; the length bound and
+    difflib's (real_)quick_ratio are strict UPPER bounds on ratio(), so
+    the cascade changes nothing semantically — it just avoids the O(n^2)
+    matcher for the overwhelming non-duplicate majority (~75% of kernel
+    CPU before this gate)."""
     if not ka or not kb:
         return False
     if ka == kb:
@@ -416,8 +421,18 @@ def _is_near_duplicate(a: str, b: str) -> bool:
     shorter, longer = (ka, kb) if len(ka) <= len(kb) else (kb, ka)
     if len(shorter) >= 12 and shorter in longer and len(shorter) / len(longer) >= CONTAINMENT_FRAC:
         return True
-    ra = difflib.SequenceMatcher(None, ka[:NEARDUP_PREFIX], kb[:NEARDUP_PREFIX]).ratio()
-    return ra >= NEARDUP_RATIO
+    pa, pb = ka[:NEARDUP_PREFIX], kb[:NEARDUP_PREFIX]
+    la, lb = len(pa), len(pb)
+    if 2.0 * min(la, lb) / (la + lb) < NEARDUP_RATIO:
+        return False
+    sm = difflib.SequenceMatcher(None, pa, pb)
+    if sm.real_quick_ratio() < NEARDUP_RATIO or sm.quick_ratio() < NEARDUP_RATIO:
+        return False
+    return sm.ratio() >= NEARDUP_RATIO
+
+
+def _is_near_duplicate(a: str, b: str) -> bool:
+    return _is_near_duplicate_keys(text_norm_key(a), text_norm_key(b))
 
 
 def _dedup_page(blocks: list[Block]) -> list[Block]:
@@ -446,12 +461,12 @@ def _dedup_page(blocks: list[Block]) -> list[Block]:
                 continue
             best_idx[k] = len(order)
             order.append(b)
-        # near-dup with bounded look-back
+        # near-dup with bounded look-back (norm keys precomputed above)
         kept: list[Block] = []
         for b in order:
             if b.kind == "text":
-                window = [k for k in kept[-DEDUP_LOOKBACK:] if k.kind == "text"]
-                if any(_is_near_duplicate(b.text, w.text) for w in window):
+                if any(_is_near_duplicate_keys(b.norm_key, w.norm_key)
+                       for w in kept[-DEDUP_LOOKBACK:] if w.kind == "text"):
                     continue
             kept.append(b)
         out.extend(kept)

@@ -137,16 +137,16 @@ def minhash_signatures(d: DataFrame) -> DataFrame:
     """32-perm minhash over distinct word-3-gram shingles, entirely
     with built-in expressions: perm_i(doc) = min over shingles of
     xxhash64(shingle, i). No Python, no UDF."""
-    sh = _shingle_array(F.col("text"))
-
-    def _perm_min(seed: int):
-        # NB: the lambda must take exactly one arg — a second arg would
-        # be bound by Spark to the array index, not the closure.
-        return F.array_min(F.transform(sh, lambda t: F.xxhash64(t, F.lit(seed))))
-
-    sig = F.array(*[_perm_min(i) for i in range(MINHASH_PERMS)])
-    return (d.filter(F.size(F.split(F.col("text"), " ")) >= 3)
-            .select("doc_id", sig.alias("sig")))
+    # Explode shingles once, then 32 min-aggregates in a single hash
+    # aggregation (map-side partial agg; one shuffle on doc_id). The
+    # array-expression form (32 x transform over a rebuilt shingle
+    # array) blows up codegen and runs ~50x slower.
+    sh = _distinct_shingles(d)
+    aggs = [F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"m{i}")
+            for i in range(MINHASH_PERMS)]
+    wide = sh.groupBy("doc_id").agg(*aggs)
+    sig = F.array(*[F.col(f"m{i}") for i in range(MINHASH_PERMS)])
+    return wide.select("doc_id", sig.alias("sig"))
 
 
 def dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
