@@ -36,6 +36,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="extraction partitions (default: defaultParallelism)")
     ap.add_argument("--no-resume", action="store_true",
                     help="process every input doc even if already committed")
+    ap.add_argument("--chunk-threshold", type=int, default=0,
+                    help="split documents larger than this many spans into "
+                         "parallel route chunks (0 = off)")
     ap.add_argument("--local-cores", type=int, default=0,
                     help="build a local[N] session (omit under spark-submit on a cluster)")
     args = ap.parse_args(argv)
@@ -59,7 +62,8 @@ def main(argv: list[str] | None = None) -> int:
 
     stats = job.run_job(spark, df, args.output,
                         resume=not args.no_resume,
-                        num_partitions=args.partitions or None)
+                        num_partitions=args.partitions or None,
+                        chunk_threshold=args.chunk_threshold or None)
     print(json.dumps(stats))
     return 0
 

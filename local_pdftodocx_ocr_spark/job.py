@@ -143,6 +143,143 @@ def extract_spans(docs: DataFrame, num_partitions: int | None = None,
     return salted.mapInPandas(extract_batch, schema=UNIFIED_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# Oversized-document chunking (the second half of the skew story):
+# salted repartition spreads DOCS uniformly, but one mega-document still
+# lands on a single task. Above `chunk_threshold` spans, a document is
+# split at span boundaries; the CPU-heavy route phase (clean/recognize/
+# boilerplate — ~90% of kernel time) runs per chunk in parallel, and the
+# cheap doc-global finalize (footer-repeat strip, stub merge, dedup,
+# ordering, offsets) reassembles per doc. Shares the exact kernel code
+# with the single-pass path, so outputs are identical (tests pin this).
+# ---------------------------------------------------------------------------
+
+BLOCK_DDL = ("kind string, page int, y double, x double, text string, "
+             "media_ref string, src_offset int, src_kind string, seq long")
+_ROUTED_SCHEMA = f"doc_id string, blocks array<struct<{BLOCK_DDL}>>"
+_CHUNK_PARTITION_OFFSET = 1_000_000
+
+
+def _route_chunks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        refs: set[str] = set()
+        for spans in pdf["spans"]:
+            if spans is None:
+                continue
+            for s in spans:
+                if s["media_ref"]:
+                    refs.add(s["media_ref"])
+        ref_list = sorted(refs)
+        media_text = dict(zip(ref_list, kernels.recognize_batch(ref_list)))
+
+        ids, blocks_col = [], []
+        for doc_id, base_seq, spans in zip(pdf["doc_id"], pdf["base_seq"], pdf["spans"]):
+            span_dicts = [dict(s) for s in spans] if spans is not None else []
+            blocks = kernels.route_spans(span_dicts, media_text, int(base_seq))
+            ids.append(doc_id)
+            blocks_col.append([kernels.block_to_dict(b) for b in blocks])
+        yield pd.DataFrame({"doc_id": pd.Series(ids, dtype="object"),
+                            "blocks": pd.Series(blocks_col, dtype="object")})
+
+
+def _finalize_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    doc_id = pdf["doc_id"].iloc[0]
+    blocks: list = []
+    for chunk in pdf["blocks"]:
+        if chunk is not None:
+            blocks.extend(kernels.block_from_dict(dict(b)) for b in chunk)
+    blocks.sort(key=lambda b: b.seq)  # restore the single-pass routing order
+    tuples = kernels.finalize_blocks(blocks)
+    if not tuples:
+        return pd.DataFrame({"doc_id": pd.Series([doc_id], dtype="object"),
+                             "spans": pd.Series([None], dtype="object"),
+                             "checksum": pd.Series([None], dtype="object")})
+    chk = kernels.doc_checksum(doc_id, tuples)
+    spans = [{"kind": k, "text": t, "media_ref": m, "offset": o}
+             for (k, t, m, o) in tuples]
+    return pd.DataFrame({"doc_id": pd.Series([doc_id], dtype="object"),
+                         "spans": pd.Series([spans], dtype="object"),
+                         "checksum": pd.Series([format(chk, '016x')], dtype="object")})
+
+
+def extract_spans_chunked(fat_docs: DataFrame, chunk_threshold: int) -> DataFrame:
+    """(doc_id, spans) of oversized docs -> unified rows via the
+    chunked two-phase plan: explode to span-chunks (pure JVM slice) ->
+    route per chunk (mapInPandas) -> groupBy(doc_id) finalize
+    (applyInPandas). Lineage rows come from the finalize stage with
+    partition ids offset to stay disjoint from the single-pass path."""
+    n_chunks = F.ceil(F.size("spans") / F.lit(chunk_threshold)).cast("int")
+    chunks = (fat_docs
+              .select("doc_id",
+                      F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+                      F.col("spans"))
+              .select("doc_id",
+                      (F.col("chunk_id").cast("long") * chunk_threshold).alias("base_seq"),
+                      F.slice("spans", F.col("chunk_id") * chunk_threshold + 1,
+                              F.lit(chunk_threshold)).alias("spans")))
+    routed = chunks.mapInPandas(_route_chunks, schema=_ROUTED_SCHEMA)
+    finalized = routed.groupBy("doc_id").applyInPandas(
+        _finalize_group, schema="doc_id string, spans array<struct<kind string, "
+                                "text string, media_ref string, offset int>>, "
+                                "checksum string")
+
+    def to_unified(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ctx = TaskContext.get()
+        pid = (ctx.partitionId() if ctx is not None else 0) + _CHUNK_PARTITION_OFFSET
+        t0 = time.monotonic()
+        docs_in = docs_out = 0
+        acc = 0
+        for pdf in batches:
+            rts, ids, spans_col = [], [], []
+            for doc_id, spans, chk in zip(pdf["doc_id"], pdf["spans"], pdf["checksum"]):
+                docs_in += 1
+                ids.append(doc_id)
+                if spans is None:
+                    rts.append("quarantine")
+                    spans_col.append(None)
+                else:
+                    docs_out += 1
+                    acc = (acc + int(chk, 16)) % kernels._CHECK_MOD
+                    rts.append("doc")
+                    spans_col.append([dict(s) for s in spans])
+            n = len(ids)
+            yield pd.DataFrame({
+                "row_type": pd.Series(rts, dtype="object"),
+                "doc_id": pd.Series(ids, dtype="object"),
+                "spans": pd.Series(spans_col, dtype="object"),
+                "partition_id": pd.array([None] * n, dtype="Int32"),
+                "docs_in": pd.array([None] * n, dtype="Int64"),
+                "docs_out": pd.array([None] * n, dtype="Int64"),
+                "checksum": pd.Series([None] * n, dtype="object"),
+                "wall_ms": pd.array([None] * n, dtype="Int64"),
+            })
+        yield pd.DataFrame({
+            "row_type": pd.Series(["lineage"], dtype="object"),
+            "doc_id": pd.Series([None], dtype="object"),
+            "spans": pd.Series([None], dtype="object"),
+            "partition_id": pd.array([pid], dtype="Int32"),
+            "docs_in": pd.array([docs_in], dtype="Int64"),
+            "docs_out": pd.array([docs_out], dtype="Int64"),
+            "checksum": pd.Series([format(acc, "016x")], dtype="object"),
+            "wall_ms": pd.array([int((time.monotonic() - t0) * 1000)], dtype="Int64"),
+        })
+
+    return finalized.mapInPandas(to_unified, schema=UNIFIED_SCHEMA)
+
+
+def extract_spans_auto(docs: DataFrame, num_partitions: int | None = None,
+                       salt: int = DEFAULT_SALT,
+                       chunk_threshold: int = 4096) -> DataFrame:
+    """Skew-complete extraction: normal docs through the single-pass
+    salted-repartition plan, oversized docs (> chunk_threshold spans)
+    through the chunked two-phase plan; one unified output."""
+    sized = docs.withColumn("_n", F.size("spans"))
+    small = sized.filter(F.col("_n") <= chunk_threshold).drop("_n")
+    fat = sized.filter(F.col("_n") > chunk_threshold).drop("_n")
+    return extract_spans(small, num_partitions, salt).unionByName(
+        extract_spans_chunked(fat, chunk_threshold))
+
+
 def split_unified(unified: DataFrame) -> tuple[DataFrame, DataFrame]:
     spans = (unified.filter(F.col("row_type") == "doc")
              .select("doc_id", "spans"))
@@ -152,7 +289,8 @@ def split_unified(unified: DataFrame) -> tuple[DataFrame, DataFrame]:
 
 
 def run_job(spark: SparkSession, docs: DataFrame, out_root: str,
-            resume: bool = True, num_partitions: int | None = None) -> dict:
+            resume: bool = True, num_partitions: int | None = None,
+            chunk_threshold: int | None = None) -> dict:
     """Execute the extraction with snapshot commit + idempotent resume.
 
     One full pass: the unified (docs + lineage) output is written to a
@@ -166,7 +304,11 @@ def run_job(spark: SparkSession, docs: DataFrame, out_root: str,
             docs = docs.join(done, "doc_id", "left_anti")
 
     snap_id, staging = table.begin()
-    unified = extract_spans(docs, num_partitions=num_partitions)
+    if chunk_threshold:
+        unified = extract_spans_auto(docs, num_partitions=num_partitions,
+                                     chunk_threshold=chunk_threshold)
+    else:
+        unified = extract_spans(docs, num_partitions=num_partitions)
     try:
         unified.write.mode("overwrite").parquet(staging)
     except Exception:

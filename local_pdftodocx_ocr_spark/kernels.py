@@ -275,6 +275,7 @@ class Block:
     src_offset: int = 0
     src_kind: str = ""
     norm_key: str = field(default="", repr=False)
+    seq: int = 0            # global source position (chunked-path ordering)
 
 
 _NORM_KEY_RE = re.compile(r"[\W_]+", re.UNICODE)
@@ -544,20 +545,15 @@ def sort_reading_order(blocks: list[Block]) -> list[Block]:
     return out
 
 
-def extract_document(doc_id: str, spans: list[dict],
-                     media_text: dict[str, str] | None = None) -> list[tuple[str, str, str, int]]:
-    """THE extraction pipeline for one document: route/clean/recognize ->
-    footer strip -> stub merge -> dedup -> reading order -> figure
-    placeholders -> dense offsets.
-
-    Pass order mirrors the reference's `_run_layout_pipeline` +
-    `process_pdf` finalization (src/pipeline.py:2910-3418, 2840-2860) —
-    order matters for output equality, so tests pin it.
-
-    Returns the ordered span tuples ``(kind, text, media_ref, offset)``.
-    """
+def route_spans(spans: list[dict],
+                media_text: dict[str, str] | None = None,
+                base_seq: int = 0) -> list[Block]:
+    """Phase 1 (embarrassingly parallel — safe to run per span-chunk):
+    parse geometry + classify/clean/recognize each span independently.
+    This is where ~90% of the extraction CPU lives, so it is the phase
+    the oversized-document chunking path spreads across tasks."""
     blocks: list[Block] = []
-    for s in spans or []:
+    for i, s in enumerate(spans or []):
         kind = s.get("kind") or ""
         raw = s.get("text") or ""
         media_ref = s.get("media_ref") or ""
@@ -565,7 +561,15 @@ def extract_document(doc_id: str, spans: list[dict],
         page, y, x, body = parse_pos_header(raw)
         b = _route_span(kind, body, media_ref, page, y, x, src_offset, media_text)
         if b is not None:
+            b.seq = base_seq + i
             blocks.append(b)
+    return blocks
+
+
+def finalize_blocks(blocks: list[Block]) -> list[tuple[str, str, str, int]]:
+    """Phase 2 (needs the whole document): cross-page footer-repeat strip,
+    same-page stub merge / dedup, reading order, figure numbering, dense
+    offsets. Cheap relative to routing — operates on cleaned blocks."""
     if not blocks:
         return []
     blocks = _drop_repeating_footers(blocks)
@@ -584,6 +588,37 @@ def extract_document(doc_id: str, spans: list[dict],
             text = f"[Figure {fig_i} — Page {b.page + 1}]"
         out.append((b.kind, text, b.media_ref, off))
     return out
+
+
+def extract_document(doc_id: str, spans: list[dict],
+                     media_text: dict[str, str] | None = None) -> list[tuple[str, str, str, int]]:
+    """THE extraction pipeline for one document: route/clean/recognize ->
+    footer strip -> stub merge -> dedup -> reading order -> figure
+    placeholders -> dense offsets.
+
+    Pass order mirrors the reference's `_run_layout_pipeline` +
+    `process_pdf` finalization (src/pipeline.py:2910-3418, 2840-2860) —
+    order matters for output equality, so tests pin it. Composed of
+    route_spans + finalize_blocks so the chunked (skew) execution path
+    shares the identical code.
+
+    Returns the ordered span tuples ``(kind, text, media_ref, offset)``.
+    """
+    return finalize_blocks(route_spans(spans, media_text))
+
+
+def block_to_dict(b: Block) -> dict:
+    """Wire form of an intermediate Block (chunked path shuffle)."""
+    return {"kind": b.kind, "page": b.page, "y": b.y, "x": b.x,
+            "text": b.text, "media_ref": b.media_ref,
+            "src_offset": b.src_offset, "src_kind": b.src_kind,
+            "seq": b.seq}
+
+
+def block_from_dict(d: dict) -> Block:
+    return Block(d["kind"], int(d["page"]), float(d["y"]), float(d["x"]),
+                 d["text"], d["media_ref"] or "", int(d["src_offset"]),
+                 d["src_kind"] or "", seq=int(d["seq"]))
 
 
 # --------------------------------------------------------------------------

@@ -76,3 +76,35 @@ def test_skewed_corpus_equality(spark, tmp_path):
     exp = oracle.expected_lineage_totals(corpus)
     assert stats["checksum"] == exp["checksum"]
     assert stats["docs_out"] == exp["docs_out"]
+
+
+def test_chunked_path_equality(spark, tmp_path):
+    """Oversized-doc chunking (route-per-chunk + doc-level finalize)
+    must produce byte-identical spans and the same global checksum as
+    the single-pass path and the oracle."""
+    corpus = synth.gen_corpus(100, skew=True)
+    docs = job.docs_df_from_corpus(spark, corpus)
+    unified = job.extract_spans_auto(docs, num_partitions=6, chunk_threshold=40)
+    spans_df, lineage = job.split_unified(unified)
+    got = {r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["offset"])
+                         for s in r["spans"]]
+           for r in spans_df.collect()}
+    expected = {d: s for d, s in oracle.extract_corpus(corpus).items() if s}
+    assert got == expected
+    rows = lineage.collect()
+    chk = kernels.combine_checksums(int(r["checksum"], 16) for r in rows)
+    exp = oracle.expected_lineage_totals(corpus)
+    assert chk == exp["checksum"]
+    assert sum(r["docs_in"] for r in rows) == exp["docs_in"]
+
+
+def test_run_job_with_chunking_resumes(spark, tmp_path):
+    corpus = synth.gen_corpus(60, skew=True)
+    out = str(tmp_path / "chunk_resume")
+    stats = job.run_job(spark, job.docs_df_from_corpus(spark, corpus), out,
+                        num_partitions=4, chunk_threshold=40)
+    exp = oracle.expected_lineage_totals(corpus)
+    assert stats["checksum"] == exp["checksum"]
+    stats2 = job.run_job(spark, job.docs_df_from_corpus(spark, corpus), out,
+                         num_partitions=4, chunk_threshold=40)
+    assert stats2["docs_in"] == 0
