@@ -155,7 +155,8 @@ def extract_spans(docs: DataFrame, num_partitions: int | None = None,
 # ---------------------------------------------------------------------------
 
 BLOCK_DDL = ("kind string, page int, y double, x double, text string, "
-             "media_ref string, src_offset int, src_kind string, seq long")
+             "media_ref string, src_offset int, src_kind string, seq long, "
+             "w double, h double")
 _ROUTED_SCHEMA = f"doc_id string, blocks array<struct<{BLOCK_DDL}>>"
 _CHUNK_PARTITION_OFFSET = 1_000_000
 

@@ -58,7 +58,8 @@ RELIABLE_MAX_REPLACEMENT_RATIO = 0.05
 BOILER_MIN_TEXT_LEN = 25
 BOILER_MAX_LINK_DENSITY = 0.33
 
-POS_HEADER_RE = re.compile(r"^p=(\d+);y=([0-9.]+);x=([0-9.]+)\|")
+POS_HEADER_RE = re.compile(
+    r"^p=(\d+);y=([0-9.]+);x=([0-9.]+)(?:;w=([0-9.]+);h=([0-9.]+))?\|")
 
 # --------------------------------------------------------------------------
 # Text cleaning (reference `clean_text`, src/pipeline.py:352-396)
@@ -276,6 +277,8 @@ class Block:
     src_kind: str = ""
     norm_key: str = field(default="", repr=False)
     seq: int = 0            # global source position (chunked-path ordering)
+    w: float = 0.0          # optional bbox extent (0 = point-positioned)
+    h: float = 0.0
 
 
 _NORM_KEY_RE = re.compile(r"[\W_]+", re.UNICODE)
@@ -287,14 +290,18 @@ def text_norm_key(s: str) -> str:
     return _NORM_KEY_RE.sub("", s).lower()
 
 
-def parse_pos_header(text: str) -> tuple[int, float, float, str]:
+def parse_pos_header(text: str) -> tuple[int, float, float, float, float, str]:
     """Strip the synthetic geometry header ``p=<page>;y=<y>;x=<x>|``
-    (FIXTURES.md §1). Headerless spans land on page 0 ordered by their
-    source offset."""
+    (FIXTURES.md §1), optionally extended with a bbox extent
+    ``;w=<w>;h=<h>`` (enables the structure-suppression / top-k-prune /
+    paragraph-merge operators). Headerless spans land on page 0 ordered
+    by their source offset. Returns (page, y, x, w, h, body)."""
     m = POS_HEADER_RE.match(text or "")
     if not m:
-        return 0, -1.0, -1.0, text or ""
-    return int(m.group(1)), float(m.group(2)), float(m.group(3)), text[m.end():]
+        return 0, -1.0, -1.0, 0.0, 0.0, text or ""
+    w = float(m.group(4)) if m.group(4) else 0.0
+    h = float(m.group(5)) if m.group(5) else 0.0
+    return int(m.group(1)), float(m.group(2)), float(m.group(3)), w, h, text[m.end():]
 
 
 _PAGE_NUM_RE = re.compile(r"^(page\s+\d+(\s+of\s+\d+)?|-?\s*\d{1,3}\s*-?|หน้า\s*\d+)$", re.IGNORECASE)
@@ -318,7 +325,8 @@ def is_valid_section_marker(tok: str) -> bool:
 
 
 def _route_span(kind: str, body: str, media_ref: str, page: int, y: float, x: float,
-                src_offset: int, media_text: dict[str, str] | None = None) -> Block | None:
+                w: float, h: float, src_offset: int,
+                media_text: dict[str, str] | None = None) -> Block | None:
     """Per-span classify/clean/recognize routing (reference plan selection
     §3.1 + engine routing `_build_cascade`, src/ocr_engine.py:773-815).
 
@@ -345,34 +353,34 @@ def _route_span(kind: str, body: str, media_ref: str, page: int, y: float, x: fl
         t = clean_text(body)
         if not t:
             return None
-        return Block("text", page, y, x, t, media_ref, src_offset, "text")
+        return Block("text", page, y, x, t, media_ref, src_offset, "text", w=w, h=h)
     if kind == "noisy_text":
         t = clean_text(body)
         if not t:
             return None
-        return Block("text", page, y, x, t, "", src_offset, "noisy_text")
+        return Block("text", page, y, x, t, "", src_offset, "noisy_text", w=w, h=h)
     if kind == "boiler":
         t = clean_text(body)
         if not t:
             return None
-        return Block("text", page, y, x, t, "", src_offset, "boiler")
+        return Block("text", page, y, x, t, "", src_offset, "boiler", w=w, h=h)
     if kind == "html":
         t = clean_text(strip_boilerplate_html(body))
         if not t:
             return None
-        return Block("text", page, y, x, t, "", src_offset, "html")
+        return Block("text", page, y, x, t, "", src_offset, "html", w=w, h=h)
     if kind == "image":
         t = clean_text(_recognize(media_ref))
         if not t:
             return None
-        return Block("text", page, y, x, t, media_ref, src_offset, "image")
+        return Block("text", page, y, x, t, media_ref, src_offset, "image", w=w, h=h)
     if kind == "figure":
-        return Block("figure", page, y, x, "", media_ref, src_offset, "figure")
+        return Block("figure", page, y, x, "", media_ref, src_offset, "figure", w=w, h=h)
     if kind == "table":
         t = flatten_table(body)
         if not t:
             return None
-        return Block("table", page, y, x, t, media_ref, src_offset, "table")
+        return Block("table", page, y, x, t, media_ref, src_offset, "table", w=w, h=h)
     return None  # unknown kind -> quarantined
 
 
@@ -513,6 +521,112 @@ def _merge_section_stubs(blocks: list[Block]) -> list[Block]:
     return out
 
 
+
+
+def _prune_structure_topk(blocks: list[Block], max_figs: int = 2,
+                          max_tables: int = 2) -> list[Block]:
+    """T1 structure pruning (reference `_prune_structure_blocks` /
+    `_select_page_structure`, src/pipeline.py:2538-2600): per page keep
+    the `max_figs` largest figures (bbox area desc, then (y, x)) and the
+    `max_tables` richest tables (text length desc, then (y, x))."""
+    keep: set[int] = set()
+    by_page: dict[int, list[tuple[int, Block]]] = {}
+    for i, b in enumerate(blocks):
+        if b.kind in ("figure", "table"):
+            by_page.setdefault(b.page, []).append((i, b))
+        else:
+            keep.add(i)
+    for page_items in by_page.values():
+        figs = [(i, b) for i, b in page_items if b.kind == "figure"]
+        tabs = [(i, b) for i, b in page_items if b.kind == "table"]
+        figs.sort(key=lambda ib: (-(ib[1].w * ib[1].h), ib[1].y, ib[1].x, ib[1].seq))
+        tabs.sort(key=lambda ib: (-len(ib[1].text), ib[1].y, ib[1].x, ib[1].seq))
+        keep.update(i for i, _ in figs[:max_figs])
+        keep.update(i for i, _ in tabs[:max_tables])
+    return [b for i, b in enumerate(blocks) if i in keep]
+
+
+def _center_in_rect(b: Block, r: Block) -> bool:
+    if r.w <= 0 or r.h <= 0:
+        return False
+    cx = b.x + b.w / 2.0
+    cy = b.y + b.h / 2.0
+    return r.x <= cx <= r.x + r.w and r.y <= cy <= r.y + r.h
+
+
+def _suppress_text_in_structure(blocks: list[Block]) -> list[Block]:
+    """J1 bbox-overlap anti-join (reference `_suppress_text_in_structure`,
+    src/docling_adapter.py:1589-1651; overlap frac src/pipeline.py:425-434):
+    drop text blocks whose bbox center lies inside a same-page table or
+    figure rect — their content is already represented by the structure
+    block. Heading/marker lines are exempt (reference keeps them)."""
+    structs: dict[int, list[Block]] = {}
+    for b in blocks:
+        if b.kind in ("table", "figure") and b.w > 0 and b.h > 0:
+            structs.setdefault(b.page, []).append(b)
+    if not structs:
+        return blocks
+    out = []
+    for b in blocks:
+        if b.kind == "text" and b.page in structs:
+            head = b.text.split(" ", 1)[0] if b.text else ""
+            is_heading = is_valid_section_marker(head)
+            if not is_heading and any(_center_in_rect(b, r) for r in structs[b.page]):
+                continue
+        out.append(b)
+    return out
+
+
+_THAI_CHAR_RE = re.compile(r"[ก-๎]")
+
+
+def join_text_blocks(a: str, b: str) -> str:
+    """Thai-aware join (reference `_thai_join` src/exporter.py:1310-1327,
+    `_join_trocr_chunks` src/ocr_engine.py:188-204): no space inserted
+    between a Thai trailing char and a Thai leading char."""
+    if not a:
+        return b
+    if not b:
+        return a
+    if _THAI_CHAR_RE.match(a[-1]) and _THAI_CHAR_RE.match(b[0]):
+        return a + b
+    return a + " " + b
+
+
+# Paragraph merge geometry gates (reference `_merge_lines_to_paragraphs`,
+# src/exporter.py:1329-1381: gap < 0.85 x line height, indent < 35%).
+PARA_GAP_FACTOR = 0.85
+PARA_MAX_INDENT = 0.35 * PAGE_W
+
+
+def _merge_wrapped_lines(blocks: list[Block]) -> list[Block]:
+    """W4 line->paragraph merge over the final reading order: a text
+    block continues the previous text block when both carry a bbox
+    height, they sit on the same page/column, the vertical gap is
+    < 0.85 x the previous line height, and the x offset is small.
+    Marker/heading lines never merge in either direction."""
+    out: list[Block] = []
+    for b in blocks:
+        if out and b.kind == "text" and out[-1].kind == "text":
+            p = out[-1]
+            head_b = b.text.split(" ", 1)[0] if b.text else ""
+            head_p = p.text.split(" ", 1)[0] if p.text else ""
+            if (p.page == b.page and p.h > 0 and b.h > 0
+                    and 0 <= (b.y - (p.y + p.h)) < PARA_GAP_FACTOR * p.h
+                    and abs(b.x - p.x) <= PARA_MAX_INDENT
+                    and not is_valid_section_marker(head_b)
+                    and not is_valid_section_marker(head_p)
+                    and "\n" not in p.text and "\n" not in b.text):
+                merged = Block(p.kind, p.page, p.y, p.x,
+                               join_text_blocks(p.text, b.text), p.media_ref,
+                               p.src_offset, p.src_kind, seq=p.seq,
+                               w=max(p.w, b.w), h=(b.y + b.h) - p.y)
+                out[-1] = merged
+                continue
+        out.append(b)
+    return out
+
+
 def sort_reading_order(blocks: list[Block]) -> list[Block]:
     """Column-aware XY-cut reading order (reference `_sort_reading_order`,
     src/pipeline.py:402-422; final sort src/pipeline.py:2850): per page,
@@ -558,8 +672,8 @@ def route_spans(spans: list[dict],
         raw = s.get("text") or ""
         media_ref = s.get("media_ref") or ""
         src_offset = int(s.get("offset") or 0)
-        page, y, x, body = parse_pos_header(raw)
-        b = _route_span(kind, body, media_ref, page, y, x, src_offset, media_text)
+        page, y, x, w, h, body = parse_pos_header(raw)
+        b = _route_span(kind, body, media_ref, page, y, x, w, h, src_offset, media_text)
         if b is not None:
             b.seq = base_seq + i
             blocks.append(b)
@@ -575,7 +689,10 @@ def finalize_blocks(blocks: list[Block]) -> list[tuple[str, str, str, int]]:
     blocks = _drop_repeating_footers(blocks)
     blocks = _merge_section_stubs(blocks)
     blocks = _dedup_page(blocks)
+    blocks = _prune_structure_topk(blocks)
+    blocks = _suppress_text_in_structure(blocks)
     blocks = sort_reading_order(blocks)
+    blocks = _merge_wrapped_lines(blocks)
 
     # figure placeholders in final order (reference `_blocks_to_text`,
     # src/pipeline.py:4157-4178: "[Figure {i} — Page {p}]")
@@ -612,13 +729,14 @@ def block_to_dict(b: Block) -> dict:
     return {"kind": b.kind, "page": b.page, "y": b.y, "x": b.x,
             "text": b.text, "media_ref": b.media_ref,
             "src_offset": b.src_offset, "src_kind": b.src_kind,
-            "seq": b.seq}
+            "seq": b.seq, "w": b.w, "h": b.h}
 
 
 def block_from_dict(d: dict) -> Block:
     return Block(d["kind"], int(d["page"]), float(d["y"]), float(d["x"]),
                  d["text"], d["media_ref"] or "", int(d["src_offset"]),
-                 d["src_kind"] or "", seq=int(d["seq"]))
+                 d["src_kind"] or "", seq=int(d["seq"]),
+                 w=float(d["w"]), h=float(d["h"]))
 
 
 # --------------------------------------------------------------------------

@@ -33,10 +33,13 @@ def _sentence(rng: random.Random, n: int) -> str:
 
 
 def _span(kind: str, page: int, y: float, x: float, body: str,
-          media_ref: str, offset: int) -> dict:
+          media_ref: str, offset: int, w: float = 0.0, h: float = 0.0) -> dict:
+    hdr = f"p={page};y={y:.1f};x={x:.1f}"
+    if w or h:
+        hdr += f";w={w:.1f};h={h:.1f}"
     return {
         "kind": kind,
-        "text": f"p={page};y={y:.1f};x={x:.1f}|{body}",
+        "text": hdr + "|" + body,
         "media_ref": media_ref,
         "offset": offset,
     }
@@ -63,8 +66,12 @@ def _demo_doc(rng: random.Random) -> list[dict]:
             for i, m in enumerate(("3)", "4)", "5)")):
                 spans.append(_span("text", page, 300 + 60 * i, 70, f"{m} {_sentence(rng, 5)}", "", off)); off += 1
             grid = "h1\th2\th3\nv1\tv2\tv3\nv4\tv5\tv6"
-            spans.append(_span("table", page, 600, 50, grid, "", off)); off += 1
-            spans.append(_span("figure", page, 680, 50, "", kernels.encode_media("fig-a"), off)); off += 1
+            spans.append(_span("table", page, 600, 50, grid, "", off, w=500, h=60)); off += 1
+            # stray text layer inside the table rect -> J1 suppression
+            spans.append(_span("text", page, 620, 120, "v1 v2 v3 stray cell text", "", off)); off += 1
+            # marker heading overlapping the rect -> exempt, kept
+            spans.append(_span("text", page, 610, 60, "6) ภายในตาราง kept", "", off)); off += 1
+            spans.append(_span("figure", page, 680, 50, "", kernels.encode_media("fig-a"), off, w=200, h=120)); off += 1
         if page == 2:
             grid = "a\ta\tb\nc\tc\td"  # duplicate cols must collapse
             spans.append(_span("table", page, 300, 50, grid, "", off)); off += 1
@@ -113,7 +120,9 @@ def _image_doc(rng: random.Random) -> list[dict]:
         payload = _sentence(rng, 8)
         spans.append(_span("image", 0, 100 + 250 * row, 60, "",
                            kernels.encode_media(payload), off)); off += 1
-    spans.append(_span("figure", 0, 880, 60, "", kernels.encode_media("photo"), off)); off += 1
+    spans.append(_span("figure", 0, 880, 60, "", kernels.encode_media("photo"), off, w=300, h=100)); off += 1
+    spans.append(_span("figure", 0, 890, 400, "", kernels.encode_media("thumb-small"), off, w=40, h=30)); off += 1
+    spans.append(_span("figure", 0, 900, 600, "", kernels.encode_media("chart-big"), off, w=350, h=90)); off += 1
     return spans
 
 
@@ -189,6 +198,16 @@ def gen_doc(i: int, seed: int = 42) -> tuple[str, list[dict]]:
         if i % 30 == 17:
             return doc_id, [_span("figure", 0, 400, 100, "",
                                   kernels.encode_media("lonely"), 0)]
+        if i % 30 == 27:
+            # wrapped lines: small gaps + line heights -> W4 paragraph merge
+            return doc_id, [
+                _span("text", 0, 100, 40, _sentence(rng, 8), "", 0, w=600, h=30),
+                _span("text", 0, 135, 42, _sentence(rng, 8), "", 1, w=600, h=30),
+                _span("text", 0, 170, 40, _sentence(rng, 6), "", 2, w=400, h=30),
+                # big gap -> new paragraph
+                _span("text", 0, 400, 40, _sentence(rng, 7), "", 3, w=600, h=30),
+                _span("text", 0, 436, 40, _sentence(rng, 5), "", 4, w=500, h=30),
+            ]
         return doc_id, [
             _span("text", 0, 100, 40, _sentence(rng, 11), "", 0),
             _span("text", 0, 400, 40, _sentence(rng, 7), "", 1),

@@ -122,10 +122,14 @@ class TestTableFlatten:
 
 class TestGeometry:
     def test_pos_header(self):
-        assert parse_pos_header("p=2;y=10.5;x=3.0|body") == (2, 10.5, 3.0, "body")
+        assert parse_pos_header("p=2;y=10.5;x=3.0|body") == (2, 10.5, 3.0, 0.0, 0.0, "body")
+
+    def test_pos_header_with_bbox(self):
+        assert parse_pos_header("p=2;y=10.5;x=3.0;w=100;h=40|b") == \
+            (2, 10.5, 3.0, 100.0, 40.0, "b")
 
     def test_headerless(self):
-        assert parse_pos_header("plain") == (0, -1.0, -1.0, "plain")
+        assert parse_pos_header("plain") == (0, -1.0, -1.0, 0.0, 0.0, "plain")
 
     def test_reading_order_two_columns(self):
         blocks = [
@@ -205,10 +209,32 @@ class TestExtractDocument:
         # 4 source spans -> base kept once, containment dup + norm-key dup gone
         assert len(out) == 2
 
-    def test_figure_placeholder_numbering(self):
+    def test_figure_placeholder_numbering_and_prune(self):
+        # image doc has 3 figures on page 0; T1 keeps the 2 largest
         _, spans = self._doc(3)
-        figs = [t for (k, t, _, _) in extract_document("d", spans) if k == "figure"]
-        assert figs == ["[Figure 1 — Page 1]"]
+        out = extract_document("d", spans)
+        figs = [(t, m) for (k, t, m, _) in out if k == "figure"]
+        assert [t for t, _ in figs] == ["[Figure 1 — Page 1]", "[Figure 2 — Page 1]"]
+        assert not any(m == kernels.encode_media("thumb-small") for _, m in figs)
+
+    def test_structure_suppression(self):
+        # demo doc page 1: stray text inside the table rect is dropped,
+        # the marker heading overlapping it is kept (J1 exemption)
+        _, spans = self._doc(0)
+        texts = [t for (_, t, _, _) in extract_document("d", spans)]
+        assert not any("stray cell text" in t for t in texts)
+        assert any(t.startswith("6)") for t in texts)
+
+    def test_wrapped_lines_merge(self):
+        # edge doc i=27: first three lines merge, big gap starts a new para
+        _, spans = synth.gen_doc(27)
+        out = extract_document("d", spans)
+        assert len(out) == 2
+        assert all(k == "text" for (k, _, _, _) in out)
+
+    def test_thai_join(self):
+        assert kernels.join_text_blocks("ไทย", "ต่อ") == "ไทยต่อ"
+        assert kernels.join_text_blocks("abc", "def") == "abc def"
 
 
 class TestChecksums:
