@@ -215,8 +215,47 @@ def simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", _simhash(F.col("text")).alias("simhash"))
 
 
+def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized dedup decision: documents surviving near-dup
+    removal (greedy: a doc is dropped iff it appears as the larger
+    doc_id of a >=0.6-Jaccard pair — deterministic, order-free)."""
+    d = _docs(spark, sf_dir)
+    pairs = dedup_jaccard_pairs(spark, sf_dir)
+    drops = pairs.select(F.col("doc2").alias("doc_id")).distinct()
+    return d.join(drops, "doc_id", "left_anti").select("doc_id", "lang", "source")
+
+
+DEDUP_KEEP_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    range(1, GREATEST(len(string_split(text, ' ')) - 2, 0) + 1),
+    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+         || ' ' || string_split(text, ' ')[i+2]
+  ))) AS s
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+drops AS (
+  SELECT DISTINCT doc2 AS doc_id
+  FROM inter
+  JOIN sizes s1 ON s1.doc_id = doc1
+  JOIN sizes s2 ON s2.doc_id = doc2
+  WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= {JACCARD_THRESHOLD}
+)
+SELECT doc_id, lang, source FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+"""
+
+
 QUERIES = {
     "docs_dedup_exact": dedup_exact,
+    "docs_dedup_keep_list": dedup_keep_list,
     "docs_dedup_jaccard_pairs": dedup_jaccard_pairs,
     "docs_dedup_minhash_candidates": dedup_minhash_candidates,
     "docs_simhash64": simhash64,
@@ -224,6 +263,7 @@ QUERIES = {
 
 ORACLES = {
     "docs_dedup_exact": DEDUP_EXACT_SQL,
+    "docs_dedup_keep_list": DEDUP_KEEP_SQL,
     "docs_dedup_jaccard_pairs": DEDUP_JACCARD_SQL,
     # minhash/simhash: xxhash64/blake2b have no DuckDB equivalent ->
     # rows-only driver check; pytest property-tests candidates ⊇ oracle pairs.

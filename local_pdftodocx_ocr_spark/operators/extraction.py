@@ -176,6 +176,34 @@ def extract_recognize_media_oracle_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# TXT sink render (S7 analog: reference `_blocks_to_txt`,
+# src/exporter.py:1536-1569): ordered span texts joined per document —
+# computed entirely JVM-side from the spans array.
+# ---------------------------------------------------------------------------
+
+def extract_txt_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _golden_corpus()
+    docs = job.docs_df_from_corpus(spark, corpus)
+    unified = job.extract_spans(docs, num_partitions=4)
+    spans = job.split_unified(unified)[0]
+    ordered = F.array_sort(
+        F.transform(F.col("spans"),
+                    lambda s: F.struct(s["offset"].alias("o"), s["text"].alias("t"))))
+    return spans.select(
+        "doc_id",
+        F.array_join(F.transform(ordered, lambda s: s["t"]), "\n").alias("txt"))
+
+
+def extract_txt_render_oracle_sql() -> str:
+    rows = []
+    for doc_id, spans in _golden_corpus():
+        tuples = kernels.extract_document(doc_id, spans)
+        if tuples:
+            rows.append((doc_id, "\n".join(t for (_, t, _, _) in tuples)))
+    return _values_sql(rows, ["doc_id", "txt"], int_cols=set())
+
+
+# ---------------------------------------------------------------------------
 # At-scale pipeline over the driver's documents table (rows-only check;
 # also the entry()/bench flagship)
 # ---------------------------------------------------------------------------
@@ -193,6 +221,7 @@ QUERIES = {
     "extract_clean_text": extract_clean_text,
     "extract_boilerplate_html": extract_boilerplate_html,
     "extract_recognize_media": extract_recognize_media,
+    "extract_txt_render": extract_txt_render,
     "extract_from_documents": extract_from_documents,
 }
 
@@ -204,6 +233,7 @@ def oracles() -> dict[str, str]:
         "extract_clean_text": extract_clean_text_oracle_sql(),
         "extract_boilerplate_html": extract_boilerplate_html_oracle_sql(),
         "extract_recognize_media": extract_recognize_media_oracle_sql(),
+        "extract_txt_render": extract_txt_render_oracle_sql(),
         # extract_from_documents: full pipeline over external-scale input;
         # not SQL-expressible -> rows-only driver check (golden covers the
         # exact-equality gate).

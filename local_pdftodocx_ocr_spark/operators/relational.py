@@ -299,8 +299,31 @@ FROM events GROUP BY event_type
 """
 
 
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_pivot_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide counts per event_type per user)."""
+    e = _t(spark, sf_dir, "events")
+    df = (e.groupBy("user_id").pivot("event_type", list(_EVENT_TYPES)).count()
+          .na.fill(0, list(_EVENT_TYPES)))
+    return df.select("user_id", *[F.col(t).alias(f"n_{t}") for t in _EVENT_TYPES])
+
+
+EVENTS_PIVOT_SQL = """
+SELECT user_id,
+       COUNT(*) FILTER (event_type = 'click')    AS n_click,
+       COUNT(*) FILTER (event_type = 'error')    AS n_error,
+       COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+       COUNT(*) FILTER (event_type = 'signup')   AS n_signup,
+       COUNT(*) FILTER (event_type = 'view')     AS n_view
+FROM events GROUP BY user_id
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
+    "events_pivot_by_user": events_pivot_by_user,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier": q5_local_supplier,
     "topk_orders_per_customer": topk_orders_per_customer,
@@ -313,6 +336,7 @@ QUERIES = {
 
 ORACLES = {
     "q1_pricing_summary": Q1_SQL,
+    "events_pivot_by_user": EVENTS_PIVOT_SQL,
     "q3_shipping_priority": Q3_SQL,
     "q5_local_supplier": Q5_SQL,
     "topk_orders_per_customer": TOPK_SQL,

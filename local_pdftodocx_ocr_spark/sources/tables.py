@@ -1,0 +1,53 @@
+"""Table readers.
+
+Centralizes how the engine reads its inputs so format concerns
+(parquet today; Iceberg identifiers on a cluster with the runtime jar)
+stay out of operator code. Every reader returns a plain DataFrame and
+relies on Catalyst for pushdown/pruning — readers never .cache() or
+.collect().
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..schema import DOCS_SCHEMA
+
+TPCH_TABLES = ("region", "nation", "customer", "supplier", "part",
+               "orders", "lineitem")
+AUX_TABLES = ("events", "documents", "embeddings")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """One of the driver's benchmark tables by name."""
+    if name not in TPCH_TABLES + AUX_TABLES:
+        raise KeyError(f"unknown table {name!r}")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Temp views for SQL-first callers (mirrors the driver's DuckDB
+    view registration, so the same SQL text runs on both engines)."""
+    for name in TPCH_TABLES + AUX_TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def load_interleaved_docs(spark: SparkSession, path: str) -> DataFrame:
+    """The extraction input: either an interleaved (doc_id, spans)
+    table, or a flat (doc_id, text) documents table which is
+    deterministically interleaved first (synth.spans_from_flat_doc)."""
+    df = spark.read.parquet(path)
+    if "spans" in df.columns:
+        return df.select("doc_id", "spans")
+    if {"doc_id", "text"} <= set(df.columns):
+        from ..job import interleaved_docs_from_flat
+        return interleaved_docs_from_flat(df)
+    raise ValueError(
+        f"input at {path} must have (doc_id, spans) or (doc_id, text); "
+        f"got {sorted(df.columns)}")
+
+
+def empty_docs(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([], DOCS_SCHEMA)

@@ -8,6 +8,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from local_pdftodocx_ocr_spark.operators import dedup, similarity
+from local_pdftodocx_ocr_spark.plans import asserts as plans
 
 SF_DIR = "/root/testdata/sf0.01"
 
@@ -72,16 +73,12 @@ class TestPhysicalPlans:
         df = (spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
               .filter(F.col("l_shipdate") <= "1997-01-01")
               .select("l_orderkey", "l_quantity"))
-        plan = df._jdf.queryExecution().executedPlan().toString()
-        assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
-        # column pruning: only the needed columns in ReadSchema
-        assert "l_extendedprice" not in plan.split("ReadSchema")[1][:400]
+        assert "IsNotNull(l_shipdate)" in plans.pushed_filters(df)
+        plans.assert_columns_pruned(df, ["l_extendedprice", "l_tax"])
 
     def test_q5_uses_broadcast_joins(self, spark):
         from local_pdftodocx_ocr_spark.operators.relational import q5_local_supplier
-        plan = q5_local_supplier(spark, SF_DIR)._jdf.queryExecution() \
-            .executedPlan().toString()
-        assert "BroadcastHashJoin" in plan
+        assert plans.has_broadcast_join(q5_local_supplier(spark, SF_DIR))
 
     def test_extraction_has_single_exchange(self, spark):
         """The extraction job must shuffle exactly once (the salted
@@ -89,8 +86,8 @@ class TestPhysicalPlans:
         from local_pdftodocx_ocr_spark import job, synth
         docs = job.docs_df_from_corpus(spark, synth.gen_corpus(10))
         unified = job.extract_spans(docs, num_partitions=4)
-        plan = unified._jdf.queryExecution().executedPlan().toString()
-        assert plan.count("Exchange") == 1, plan
+        plans.assert_max_exchanges(unified, 1)
+        assert plans.count_exchanges(unified) == 1
 
     def test_resume_antijoin_reads_doc_id_only(self, spark, tmp_path):
         from local_pdftodocx_ocr_spark import job, synth
@@ -98,9 +95,7 @@ class TestPhysicalPlans:
         job.run_job(spark, job.docs_df_from_corpus(spark, synth.gen_corpus(10)), out)
         from local_pdftodocx_ocr_spark.catalog import SnapshotTable
         done = SnapshotTable(out).committed_doc_ids(spark)
-        plan = done._jdf.queryExecution().executedPlan().toString()
-        schema_part = plan.split("ReadSchema")[1][:300]
-        assert "spans" not in schema_part, "resume scan must prune the spans column"
+        plans.assert_columns_pruned(done, ["spans", "wall_ms"])
 
 
 class TestStreaming:
