@@ -350,6 +350,59 @@ def read_lineage(spark: SparkSession, out_root: str) -> DataFrame:
     return split_unified(df)[1]
 
 
+def write_media_store(spark: SparkSession, docs: DataFrame, out_dir: str) -> int:
+    """S10 figure-file sink analog: materialize every distinct media_ref
+    payload into a binary side table (media_ref, payload, byte_len).
+    Spans keep carrying only the ref — binary never rides a shuffle with
+    document rows (SURVEY §1.3). Returns the number of refs written."""
+    from pyspark.sql import types as T
+
+    refs = (docs.select(F.explode("spans").alias("s"))
+            .select(F.col("s.media_ref").alias("media_ref"))
+            .filter(F.col("media_ref") != "")
+            .distinct())
+
+    @F.pandas_udf(T.BinaryType())
+    def decode(refs_s: pd.Series) -> pd.Series:
+        return pd.Series(
+            [kernels.recognize_one(r).encode("utf-8") for r in refs_s],
+            index=refs_s.index)
+
+    out = refs.select("media_ref", decode(F.col("media_ref")).alias("payload"))               .withColumn("byte_len", F.length("payload"))
+    out.write.mode("overwrite").parquet(out_dir)
+    return spark.read.parquet(out_dir).count()
+
+
+def inject_manual_regions(docs: DataFrame, regions: DataFrame) -> DataFrame:
+    """Manual-correction regions as a broadcast side-table (reference
+    `process_pdf_with_corrections` + `_merge_manual_regions`,
+    src/pipeline.py:4277-4396, 3696-3711; SURVEY §3.2: "the only
+    broadcast join in the system"). `regions` columns: doc_id, kind,
+    text, media_ref, page, y, x. Regions become extra spans appended
+    after the document's own (offset-shifted), all JVM-side."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy("page", "y", "x")
+    spans = regions.select(
+        "doc_id",
+        F.struct(
+            F.col("kind").alias("kind"),
+            F.format_string("p=%d;y=%s;x=%s|%s",
+                            F.col("page"),
+                            F.format_number(F.col("y").cast("double"), 1),
+                            F.format_number(F.col("x").cast("double"), 1),
+                            F.col("text")).alias("text"),
+            F.col("media_ref").alias("media_ref"),
+            (F.lit(1_000_000) + F.row_number().over(w)).alias("offset"),
+        ).alias("span"))
+    extra = spans.groupBy("doc_id").agg(F.collect_list("span").alias("extra"))
+    return (docs.join(F.broadcast(extra), "doc_id", "left")
+            .select("doc_id",
+                    F.when(F.col("extra").isNotNull(),
+                           F.concat(F.col("spans"), F.col("extra")))
+                    .otherwise(F.col("spans")).alias("spans")))
+
+
 def docs_df_from_corpus(spark: SparkSession, corpus: list[tuple[str, list[dict]]]) -> DataFrame:
     rows = [(doc_id, [
         {"kind": s["kind"], "text": s["text"], "media_ref": s["media_ref"],

@@ -176,6 +176,42 @@ def extract_recognize_media_oracle_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# Per-page content stats (A1 analog: reference `_page_content_chars` /
+# `_page_text_block_count`, src/pipeline.py:589-626) over the raw input
+# spans — page parsed from the position header, all JVM-side.
+# ---------------------------------------------------------------------------
+
+def extract_page_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _golden_corpus()
+    docs = job.docs_df_from_corpus(spark, corpus)
+    s = F.col("s")
+    body_len = F.length(F.regexp_replace(s["text"], r"^p=\d+;y=[0-9.]+;x=[0-9.]+(;w=[0-9.]+;h=[0-9.]+)?\|", ""))
+    page = F.regexp_extract(s["text"], r"^p=(\d+);", 1).cast("int")
+    return (docs.select("doc_id", F.explode("spans").alias("s"))
+            .select("doc_id", page.alias("page"), body_len.alias("chars"))
+            .groupBy("doc_id", "page")
+            .agg(F.count("*").alias("n_spans"),
+                 F.sum("chars").alias("n_chars")))
+
+
+def extract_page_stats_oracle_sql() -> str:
+    agg: dict[tuple, list[int]] = {}
+    for doc_id, spans in _golden_corpus():
+        for sp in spans:
+            page, _, _, _, _, body = kernels.parse_pos_header(sp["text"])
+            k = (doc_id, page)
+            cur = agg.setdefault(k, [0, 0])
+            cur[0] += 1
+            cur[1] += len(body)
+    rows = [(d, p, n, c) for (d, p), (n, c) in sorted(agg.items())]
+    sql = _values_sql(rows, ["doc_id", "page", "n_spans", "n_chars"],
+                      int_cols={"page"})
+    # n_spans / n_chars are BIGINT on the Spark side (count/sum)
+    return sql.replace('"n_spans"', 'CAST("n_spans" AS BIGINT) AS "n_spans"', 1) \
+              .replace('"n_chars"', 'CAST("n_chars" AS BIGINT) AS "n_chars"', 1)
+
+
+# ---------------------------------------------------------------------------
 # TXT sink render (S7 analog: reference `_blocks_to_txt`,
 # src/exporter.py:1536-1569): ordered span texts joined per document —
 # computed entirely JVM-side from the spans array.
@@ -222,6 +258,7 @@ QUERIES = {
     "extract_boilerplate_html": extract_boilerplate_html,
     "extract_recognize_media": extract_recognize_media,
     "extract_txt_render": extract_txt_render,
+    "extract_page_stats": extract_page_stats,
     "extract_from_documents": extract_from_documents,
 }
 
@@ -234,6 +271,7 @@ def oracles() -> dict[str, str]:
         "extract_boilerplate_html": extract_boilerplate_html_oracle_sql(),
         "extract_recognize_media": extract_recognize_media_oracle_sql(),
         "extract_txt_render": extract_txt_render_oracle_sql(),
+        "extract_page_stats": extract_page_stats_oracle_sql(),
         # extract_from_documents: full pipeline over external-scale input;
         # not SQL-expressible -> rows-only driver check (golden covers the
         # exact-equality gate).

@@ -67,3 +67,52 @@ def test_resume_matches_oracle_totals(spark, tmp_path):
     exp = oracle.expected_lineage_totals(corpus)
     final = _final_table(spark, out)
     assert len(final) == exp["docs_out"]
+
+
+def test_media_store(spark, tmp_path):
+    """S10 analog: every distinct media_ref materialized once as a
+    binary payload row; spans keep only the ref."""
+    corpus = synth.gen_corpus(30)
+    docs = job.docs_df_from_corpus(spark, corpus)
+    out = str(tmp_path / "media")
+    n = job.write_media_store(spark, docs, out)
+    expected_refs = {s["media_ref"] for _, spans in corpus for s in spans
+                     if s["media_ref"]}
+    assert n == len(expected_refs)
+    from local_pdftodocx_ocr_spark import kernels
+    rows = spark.read.parquet(out).collect()
+    for r in rows:
+        assert bytes(r["payload"]).decode("utf-8") == kernels.recognize_one(r["media_ref"])
+
+
+def test_manual_regions_broadcast_join(spark):
+    """§3.2 analog: manual regions injected via broadcast side-table
+    must extract identically to oracle-side injection."""
+    from local_pdftodocx_ocr_spark import kernels
+    corpus = synth.gen_corpus(12)
+    docs = job.docs_df_from_corpus(spark, corpus)
+    regions = spark.createDataFrame(
+        [("doc-000001", "text", "manual region alpha content", "", 0, 350.0, 44.0),
+         ("doc-000002", "figure", "", kernels.encode_media("manual-fig"), 0, 700.0, 60.0)],
+        "doc_id string, kind string, text string, media_ref string, "
+        "page int, y double, x double")
+    injected = job.inject_manual_regions(docs, regions)
+    unified = job.extract_spans(injected, num_partitions=3)
+    got = {r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["offset"])
+                         for s in r["spans"]]
+           for r in job.split_unified(unified)[0].collect()}
+
+    # oracle-side injection: same spans appended sequentially
+    extra = {
+        "doc-000001": [{"kind": "text",
+                        "text": "p=0;y=350.0;x=44.0|manual region alpha content",
+                        "media_ref": "", "offset": 1_000_001}],
+        "doc-000002": [{"kind": "figure", "text": "p=0;y=700.0;x=60.0|",
+                        "media_ref": kernels.encode_media("manual-fig"),
+                        "offset": 1_000_001}],
+    }
+    for doc_id, spans in corpus:
+        expected = kernels.extract_document(doc_id, list(spans) + extra.get(doc_id, []))
+        if expected:
+            assert got[doc_id] == expected, doc_id
+    assert any("manual region alpha" in t for (_, t, _, _) in got["doc-000001"])
