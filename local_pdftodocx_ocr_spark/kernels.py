@@ -66,7 +66,7 @@ POS_HEADER_RE = re.compile(
 # --------------------------------------------------------------------------
 
 _ZERO_WIDTH_RE = re.compile("[​‌‍⁠﻿]")
-_CONTROL_RE = re.compile("[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]")
+_CONTROL_RE = re.compile("[\x00-\x08\x0b-\x1f\x7f]")  # incl \r; keeps \t \n
 _THAI_DIGITS = str.maketrans("๐๑๒๓๔๕๖๗๘๙", "0123456789")
 _SARA_AM_RE = re.compile("ํา")          # nikhahit + sara aa -> sara am
 _DUP_COMBINING_RE = re.compile(r"([ัิ-ฺ็-๎])\1+")
@@ -87,23 +87,29 @@ def clean_text(s: str) -> str:
     """
     if not s:
         return ""
-    s = unicodedata.normalize("NFC", s)
-    s = _ZERO_WIDTH_RE.sub("", s)
+    is_ascii = s.isascii()
+    if not is_ascii:
+        # all five passes below are provable no-ops on pure-ASCII input,
+        # so the fast path skips them (NFC is identity on ASCII too)
+        s = unicodedata.normalize("NFC", s)
+        s = _ZERO_WIDTH_RE.sub("", s)
+        s = s.translate(_THAI_DIGITS)
+        s = s.replace("เเ", "แ")  # เเ -> แ
+        s = _SARA_AM_RE.sub("ำ", s)
+        s = _DUP_COMBINING_RE.sub(r"\1", s)
     s = _CONTROL_RE.sub("", s)
-    s = s.translate(_THAI_DIGITS)
-    s = s.replace("เเ", "แ")  # เเ -> แ
-    s = _SARA_AM_RE.sub("ำ", s)
-    s = _DUP_COMBINING_RE.sub(r"\1", s)
 
     out_lines: list[str] = []
     for ln in s.split("\n"):
-        ln = _WS_RE.sub(" ", ln).strip()
+        if " " in ln or "\t" in ln:
+            ln = _WS_RE.sub(" ", ln).strip()
         if not ln:
             out_lines.append("")
             continue
         if _JUNK_LINE_RE.match(ln) or _HALLUCINATION_RE.match(ln):
             continue
-        ln = _THAI_GAP_RE.sub("", ln)
+        if not is_ascii:
+            ln = _THAI_GAP_RE.sub("", ln)
         out_lines.append(ln)
 
     # collapse runs of blank lines to a single blank line
@@ -277,6 +283,7 @@ class Block:
     src_kind: str = ""
     norm_key: str = field(default="", repr=False)
     seq: int = 0            # global source position (chunked-path ordering)
+    cnt: dict | None = field(default=None, repr=False, compare=False)
     w: float = 0.0          # optional bbox extent (0 = point-positioned)
     h: float = 0.0
 
@@ -413,7 +420,28 @@ def _drop_repeating_footers(blocks: list[Block]) -> list[Block]:
     return out
 
 
-def _is_near_duplicate_keys(ka: str, kb: str) -> bool:
+def _char_counts(k: str) -> dict:
+    c: dict = {}
+    for ch in k[:NEARDUP_PREFIX]:
+        c[ch] = c.get(ch, 0) + 1
+    return c
+
+
+def _counter_bound(ca: dict, cb: dict, la: int, lb: int) -> float:
+    """difflib.quick_ratio's multiset upper bound, from cached counters."""
+    m = 0
+    if len(cb) < len(ca):
+        ca, cb = cb, ca
+    for ch, n in ca.items():
+        o = cb.get(ch)
+        if o is not None:
+            m += n if n < o else o
+    return 2.0 * m / (la + lb)
+
+
+def _is_near_duplicate_keys(ka: str, kb: str,
+                            ca: dict | None = None,
+                            cb: dict | None = None) -> bool:
     """Fuzzy near-dup on precomputed norm keys (reference
     `_is_near_duplicate_text`, src/pipeline.py:474-490): containment
     >=0.55 or difflib ratio >=0.90 on the first 80 chars.
@@ -434,9 +462,13 @@ def _is_near_duplicate_keys(ka: str, kb: str) -> bool:
     la, lb = len(pa), len(pb)
     if 2.0 * min(la, lb) / (la + lb) < NEARDUP_RATIO:
         return False
-    sm = difflib.SequenceMatcher(None, pa, pb)
-    if sm.real_quick_ratio() < NEARDUP_RATIO or sm.quick_ratio() < NEARDUP_RATIO:
+    # multiset upper bound from cached per-block counters (identical to
+    # difflib.quick_ratio, computed without rebuilding SequenceMatcher)
+    if _counter_bound(ca if ca is not None else _char_counts(ka),
+                      cb if cb is not None else _char_counts(kb),
+                      la, lb) < NEARDUP_RATIO:
         return False
+    sm = difflib.SequenceMatcher(None, pa, pb)
     return sm.ratio() >= NEARDUP_RATIO
 
 
@@ -470,11 +502,14 @@ def _dedup_page(blocks: list[Block]) -> list[Block]:
                 continue
             best_idx[k] = len(order)
             order.append(b)
-        # near-dup with bounded look-back (norm keys precomputed above)
+        # near-dup with bounded look-back (norm keys precomputed above;
+        # char counters cached per block for the quick-ratio bound)
         kept: list[Block] = []
         for b in order:
             if b.kind == "text":
-                if any(_is_near_duplicate_keys(b.norm_key, w.norm_key)
+                if b.cnt is None:
+                    b.cnt = _char_counts(b.norm_key)
+                if any(_is_near_duplicate_keys(b.norm_key, w.norm_key, b.cnt, w.cnt)
                        for w in kept[-DEDUP_LOOKBACK:] if w.kind == "text"):
                     continue
             kept.append(b)

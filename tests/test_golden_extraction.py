@@ -108,3 +108,18 @@ def test_run_job_with_chunking_resumes(spark, tmp_path):
     stats2 = job.run_job(spark, job.docs_df_from_corpus(spark, corpus), out,
                          num_partitions=4, chunk_threshold=40)
     assert stats2["docs_in"] == 0
+
+
+def test_partition_balance_no_stragglers(spark):
+    """The salted repartition must spread documents uniformly: with 500
+    docs over 8 partitions, per-partition docs_in stays within 2x of the
+    mean (the no-straggler property BENCH.md relies on)."""
+    corpus = synth.gen_corpus(500)
+    unified = job.extract_spans(job.docs_df_from_corpus(spark, corpus),
+                                num_partitions=8)
+    rows = job.split_unified(unified)[1].collect()
+    counts = [r["docs_in"] for r in rows]
+    assert len(counts) == 8
+    mean = sum(counts) / len(counts)
+    assert max(counts) <= 2 * mean, counts
+    assert min(counts) >= 0.5 * mean, counts
