@@ -80,6 +80,26 @@ class SnapshotTable:
     def abort(self, staging: str) -> None:
         shutil.rmtree(staging, ignore_errors=True)
 
+    def compact(self, spark: SparkSession) -> str | None:
+        """Rewrite all committed snapshots into one (Iceberg's
+        rewrite_data_files + expire_snapshots in a single atomic
+        manifest swap). Readers before/after see identical rows; stale
+        snapshot dirs are removed only after the swap commits."""
+        old = self.snapshots()
+        if len(old) <= 1:
+            return None
+        df = spark.read.parquet(*[s["path"] for s in old])
+        snap_id, staging = self.begin()
+        df.write.mode("overwrite").parquet(staging)
+        final = os.path.join(self.root, "snapshots", snap_id)
+        os.replace(staging, final)
+        self._write_manifest([{"id": snap_id, "path": final, "ts": time.time(),
+                               "meta": {"kind": "compaction",
+                                        "replaced": [s["id"] for s in old]}}])
+        for s in old:
+            shutil.rmtree(s["path"], ignore_errors=True)
+        return snap_id
+
     # -- read path --------------------------------------------------------
 
     def committed_paths(self) -> list[str]:

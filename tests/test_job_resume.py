@@ -116,3 +116,53 @@ def test_manual_regions_broadcast_join(spark):
         if expected:
             assert got[doc_id] == expected, doc_id
     assert any("manual region alpha" in t for (_, t, _, _) in got["doc-000001"])
+
+
+def test_streaming_incremental_extraction(spark, tmp_path):
+    """Continuous-ingest form of the batch contract: micro-batches via
+    foreachBatch produce the identical final table as one batch run,
+    and re-draining the stream adds nothing (exactly-once per doc)."""
+    from local_pdftodocx_ocr_spark.streaming import extract_stream as es
+
+    corpus = synth.gen_corpus(40)
+    in_dir = tmp_path / "stream_in"
+    in_dir.mkdir()
+    # two arrival files
+    job.docs_df_from_corpus(spark, corpus[:20]).coalesce(1) \
+        .write.parquet(str(in_dir / "arrival=0"))
+    job.docs_df_from_corpus(spark, corpus[20:]).coalesce(1) \
+        .write.parquet(str(in_dir / "arrival=1"))
+
+    out = str(tmp_path / "stream_out")
+    stats = es.run_streaming_extraction(
+        spark, str(in_dir) + "/*", out, str(tmp_path / "ckpt"), num_partitions=4)
+    assert stats["docs_in"] == 40
+
+    batch_out = str(tmp_path / "batch_out")
+    job.run_job(spark, job.docs_df_from_corpus(spark, corpus), batch_out,
+                num_partitions=4)
+    assert _final_table(spark, out) == _final_table(spark, batch_out)
+
+    # second drain with a fresh checkpoint: snapshot resume dedupes all
+    stats2 = es.run_streaming_extraction(
+        spark, str(in_dir) + "/*", out, str(tmp_path / "ckpt2"), num_partitions=4)
+    assert _final_table(spark, out) == _final_table(spark, batch_out)
+
+
+def test_snapshot_compaction(spark, tmp_path):
+    """compact() folds all snapshots into one with identical content;
+    resume stays a no-op afterwards."""
+    from local_pdftodocx_ocr_spark.catalog import SnapshotTable
+
+    corpus = synth.gen_corpus(50)
+    out = str(tmp_path / "compact")
+    job.run_job(spark, job.docs_df_from_corpus(spark, corpus[:25]), out)
+    job.run_job(spark, job.docs_df_from_corpus(spark, corpus), out)
+    before = _final_table(spark, out)
+    table = SnapshotTable(out)
+    assert len(table.snapshots()) == 2
+    table.compact(spark)
+    assert len(table.snapshots()) == 1
+    assert _final_table(spark, out) == before
+    stats = job.run_job(spark, job.docs_df_from_corpus(spark, corpus), out)
+    assert stats["docs_in"] == 0

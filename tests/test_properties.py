@@ -1,0 +1,140 @@
+"""Property-based tests (hypothesis) for the kernel pipeline — coverage
+the reference never had (SURVEY.md §5: "No property-based/randomized
+testing"). No SparkSession needed: kernels are pure."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from local_pdftodocx_ocr_spark import kernels
+
+KINDS = ["text", "noisy_text", "boiler", "html", "image", "figure", "table",
+         "junk_kind", ""]
+
+_text = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)),  # any non-surrogate
+    max_size=200,
+)
+
+
+def _span_strategy():
+    def build(kind, page, y, x, body, with_media, offset):
+        header = f"p={page};y={y:.1f};x={x:.1f}|"
+        media = kernels.encode_media(body[:40]) if with_media else ""
+        return {"kind": kind, "text": header + body, "media_ref": media,
+                "offset": offset}
+
+    return st.builds(
+        build,
+        kind=st.sampled_from(KINDS),
+        page=st.integers(0, 5),
+        y=st.floats(0, 999, allow_nan=False),
+        x=st.floats(0, 999, allow_nan=False),
+        body=_text,
+        with_media=st.booleans(),
+        offset=st.integers(0, 1000),
+    )
+
+
+_raw_span = st.fixed_dictionaries({
+    "kind": st.sampled_from(KINDS),
+    "text": _text,  # headerless / garbage headers included
+    "media_ref": st.one_of(st.just(""), _text.map(lambda s: "mem:" + s[:20])),
+    "offset": st.integers(-5, 10_000),
+})
+
+_doc = st.lists(st.one_of(_span_strategy(), _raw_span), max_size=25)
+
+
+class TestExtractProperties:
+    @given(_doc)
+    @settings(max_examples=150, deadline=None)
+    def test_never_crashes_and_offsets_dense(self, spans):
+        out = kernels.extract_document("doc-x", spans)
+        assert [o for (_, _, _, o) in out] == list(range(len(out)))
+        for kind, text, media_ref, _ in out:
+            assert kind in ("text", "table", "figure")
+            assert isinstance(text, str) and isinstance(media_ref, str)
+
+    @given(_doc)
+    @settings(max_examples=100, deadline=None)
+    def test_deterministic(self, spans):
+        a = kernels.extract_document("doc-x", spans)
+        b = kernels.extract_document("doc-x", [dict(s) for s in spans])
+        assert a == b
+
+    @given(_doc, st.integers(1, 7))
+    @settings(max_examples=100, deadline=None)
+    def test_chunked_equals_direct(self, spans, chunk):
+        """route-per-chunk + finalize == single-pass extract, for ANY
+        chunk size — the invariant the skew path depends on."""
+        direct = kernels.extract_document("doc-x", spans)
+        blocks = []
+        for i in range(0, max(len(spans), 1), chunk):
+            blocks.extend(kernels.route_spans(spans[i:i + chunk], base_seq=i))
+        blocks.sort(key=lambda b: b.seq)
+        assert kernels.finalize_blocks(blocks) == direct
+
+    @given(_doc)
+    @settings(max_examples=60, deadline=None)
+    def test_media_cache_equivalence(self, spans):
+        refs = sorted({s.get("media_ref", "") for s in spans if s.get("media_ref")})
+        cache = dict(zip(refs, kernels.recognize_batch(refs)))
+        assert kernels.extract_document("d", spans, cache) == \
+            kernels.extract_document("d", spans)
+
+
+class TestCleanTextProperties:
+    @given(_text)
+    @settings(max_examples=200, deadline=None)
+    def test_idempotent(self, s):
+        once = kernels.clean_text(s)
+        assert kernels.clean_text(once) == once
+
+    @given(_text)
+    @settings(max_examples=200, deadline=None)
+    def test_no_control_chars_survive(self, s):
+        out = kernels.clean_text(s)
+        assert not any(ord(c) < 32 and c not in "\n" for c in out)
+
+    @given(_text)
+    @settings(max_examples=100, deadline=None)
+    def test_norm_key_punct_whitespace_insensitive(self, s):
+        # NB: upper/lower round-trips are NOT identity in Unicode
+        # (hypothesis found µ -> Μ -> μ), so the invariant is only
+        # punctuation/whitespace insensitivity + lowercase idempotence
+        assert kernels.text_norm_key("  " + s + " !!,") == kernels.text_norm_key(s)
+        assert kernels.text_norm_key(s.lower()) == kernels.text_norm_key(s)
+
+
+class TestCodecProperties:
+    @given(_text)
+    @settings(max_examples=200, deadline=None)
+    def test_recognize_roundtrip(self, s):
+        assert kernels.recognize_one(kernels.encode_media(s)) == s
+
+    @given(st.text(max_size=50))
+    @settings(max_examples=100, deadline=None)
+    def test_recognize_never_crashes_on_garbage(self, s):
+        kernels.recognize_one("mem:" + s)
+        kernels.recognize_one(s)
+
+
+class TestChecksumProperties:
+    @given(st.lists(st.integers(0, (1 << 61) - 2), max_size=20))
+    @settings(max_examples=100, deadline=None)
+    def test_combine_order_insensitive(self, vals):
+        assert kernels.combine_checksums(vals) == \
+            kernels.combine_checksums(list(reversed(vals)))
+
+    @given(st.lists(st.integers(0, (1 << 61) - 2), max_size=20),
+           st.integers(0, 10))
+    @settings(max_examples=100, deadline=None)
+    def test_combine_partition_invariant(self, vals, split):
+        """combine(combine(A), combine(B)) == combine(A+B) — why the
+        global checksum is stable across any partitioning."""
+        k = min(split, len(vals))
+        a, b = vals[:k], vals[k:]
+        partial = [int(kernels.combine_checksums(a), 16),
+                   int(kernels.combine_checksums(b), 16)]
+        assert kernels.combine_checksums(partial) == kernels.combine_checksums(vals)
