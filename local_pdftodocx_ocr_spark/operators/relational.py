@@ -299,6 +299,94 @@ FROM events GROUP BY event_type
 """
 
 
+def semi_join_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS via left_semi join (no row duplication from the big side)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+            .select("c_custkey", "c_name", "c_mktsegment"))
+
+
+SEMI_JOIN_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def anti_join_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS via left_anti join — same shape as the resume join."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+            .select("c_custkey", "c_acctbal"))
+
+
+ANTI_JOIN_SQL = """
+SELECT c_custkey, c_acctbal
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def except_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference: BUILDING customers minus high-value order keys."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    building = (c.filter(F.col("c_mktsegment") == "BUILDING")
+                .select(F.col("c_custkey").alias("custkey")))
+    big = (o.filter(F.col("o_totalprice") > 100000)
+           .select(F.col("o_custkey").alias("custkey")))
+    return building.exceptAll(big.distinct()).distinct()
+
+
+EXCEPT_SQL = """
+SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+EXCEPT
+SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 100000
+"""
+
+
+def part_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function projection/group: upper + substring + LIKE."""
+    p = _t(spark, sf_dir, "part")
+    return (p.filter(F.col("p_name").like("%a%"))
+            .groupBy(F.col("p_brand").alias("brand"),
+                     F.upper(F.substring("p_type", 1, 5)).alias("type5"))
+            .agg(F.count("*").alias("n"),
+                 F.round(F.avg(F.col("p_retailprice").cast("decimal(18,4)"))
+                         .cast("double"), 4).alias("avg_price"),
+                 F.max(F.length("p_name")).alias("max_name_len")))
+
+
+PART_TYPE_SQL = """
+SELECT p_brand AS brand, UPPER(SUBSTRING(p_type, 1, 5)) AS type5,
+       COUNT(*) AS n,
+       ROUND(CAST(AVG(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS avg_price,
+       CAST(MAX(LENGTH(p_name)) AS INTEGER) AS max_name_len
+FROM part
+WHERE p_name LIKE '%a%'
+GROUP BY 1, 2
+"""
+
+
+def events_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar math projection + histogram-style aggregation."""
+    e = _t(spark, sf_dir, "events")
+    bucket = F.floor(F.col("value") / 10).cast("long")
+    return (e.groupBy(bucket.alias("bucket"))
+            .agg(F.count("*").alias("n"),
+                 F.round(F.min("value"), 2).alias("min_v"),
+                 F.round(F.max("value"), 2).alias("max_v")))
+
+
+VALUE_BUCKETS_SQL = """
+SELECT CAST(FLOOR(value / 10) AS BIGINT) AS bucket, COUNT(*) AS n,
+       ROUND(MIN(value), 2) AS min_v, ROUND(MAX(value), 2) AS max_v
+FROM events GROUP BY 1
+"""
+
+
 _EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
@@ -324,6 +412,11 @@ FROM events GROUP BY user_id
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "events_pivot_by_user": events_pivot_by_user,
+    "semi_join_active_customers": semi_join_active_customers,
+    "anti_join_idle_customers": anti_join_idle_customers,
+    "except_big_spenders": except_big_spenders,
+    "part_type_stats": part_type_stats,
+    "events_value_buckets": events_value_buckets,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier": q5_local_supplier,
     "topk_orders_per_customer": topk_orders_per_customer,
@@ -337,6 +430,11 @@ QUERIES = {
 ORACLES = {
     "q1_pricing_summary": Q1_SQL,
     "events_pivot_by_user": EVENTS_PIVOT_SQL,
+    "semi_join_active_customers": SEMI_JOIN_SQL,
+    "anti_join_idle_customers": ANTI_JOIN_SQL,
+    "except_big_spenders": EXCEPT_SQL,
+    "part_type_stats": PART_TYPE_SQL,
+    "events_value_buckets": VALUE_BUCKETS_SQL,
     "q3_shipping_priority": Q3_SQL,
     "q5_local_supplier": Q5_SQL,
     "topk_orders_per_customer": TOPK_SQL,
