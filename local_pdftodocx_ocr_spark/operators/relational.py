@@ -196,6 +196,9 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 # ---------------------------------------------------------------------------
 
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # _epoch (ntz -> ltz -> long) is session-timezone dependent; pin UTC
+    # so the DuckDB oracle (naive == UTC) matches under ANY driver session
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     e = _t(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     epoch = _epoch(F.col("ts"))
@@ -250,6 +253,7 @@ FROM events GROUP BY 1, 2
 # ---------------------------------------------------------------------------
 
 def asof_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     e = _t(spark, sf_dir, "events")
     w = (W.partitionBy("user_id").orderBy("ts", "event_id")
          .rowsBetween(W.unboundedPreceding, -1))
