@@ -156,11 +156,13 @@ def _mp_platform_control(sf_dir: str) -> dict:
 
     out = {}
     for procs in (8, 32):
-        t0 = time.monotonic()
+        walls = []
         with mp.get_context("fork").Pool(procs) as pool:
-            pool.map(_MPWork(docs), [4] * procs)
-        wall = time.monotonic() - t0
-        out[procs] = round(len(docs) * 4 * procs / wall, 1)
+            for _ in range(3):  # best-of-3, same noise defense as Spark runs
+                t0 = time.monotonic()
+                pool.map(_MPWork(docs), [3] * procs)
+                walls.append(time.monotonic() - t0)
+        out[procs] = round(len(docs) * 3 * procs / min(walls), 1)
     out["ceiling_efficiency_8_32"] = round(out[32] / (4 * out[8]), 3)
     return out
 
