@@ -123,3 +123,27 @@ def test_partition_balance_no_stragglers(spark):
     mean = sum(counts) / len(counts)
     assert max(counts) <= 2 * mean, counts
     assert min(counts) >= 0.5 * mean, counts
+
+
+def test_anti_leak_general_docs(spark):
+    """FIXTURES.md §4 anti-leak analog (reference _check_general_pdf):
+    general docs must carry their own sentinels verbatim and must NOT
+    contain demo-doc phrases (no cross-document contamination)."""
+    corpus = synth.gen_corpus(40)
+    ex = oracle.extract_corpus(corpus)
+    demo_only = {"Confidential", "internal draft"}
+    for i in range(1, 40, 10):  # general-like docs
+        texts = " ".join(t for (_, t, _, _) in ex[f"doc-{i:06d}"])
+        assert "UNIQUE_TOKEN_ALPHA_7788" in texts
+        assert not any(p in texts for p in demo_only)
+
+
+def test_empty_input_job(spark, tmp_path):
+    from local_pdftodocx_ocr_spark.sources.tables import empty_docs
+    out = str(tmp_path / "empty")
+    stats = job.run_job(spark, empty_docs(spark), out, num_partitions=2)
+    assert stats["docs_in"] == 0 and stats["docs_out"] == 0
+    # and the committed (empty) snapshot still supports resume
+    stats2 = job.run_job(spark, job.docs_df_from_corpus(spark, synth.gen_corpus(5)),
+                         out, num_partitions=2)
+    assert stats2["docs_in"] == 5

@@ -122,3 +122,34 @@ class TestStreaming:
         stream = es.read_events_stream(spark, SF_DIR)
         es.run_to_memory(es.session_counts(stream), "sess_out")
         assert spark.sql("SELECT count(*) AS n FROM sess_out").first()["n"] >= 0
+
+
+class TestBucketedJoin:
+    def test_bucketed_join_has_no_join_exchange(self, spark, tmp_path):
+        """Bucketing both sides on the join key co-locates partitions:
+        the sort-merge join runs with NO Exchange on either side — the
+        technique that removes the shuffle from repeated big-big joins
+        at 100 TB (e.g. spans table joined to a labels table by doc_id)."""
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        l = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        try:
+            o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey") \
+                .mode("overwrite").saveAsTable("b_orders")
+            l.withColumnRenamed("l_orderkey", "o_orderkey") \
+                .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey") \
+                .mode("overwrite").saveAsTable("b_lineitem")
+            joined = spark.table("b_lineitem").join(spark.table("b_orders"),
+                                                    "o_orderkey")
+            plan = plans.executed_plan(joined)
+            assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            assert plans.count_exchanges(joined) == 0, plan
+            # sanity: same row count as the shuffled join
+            n_plain = l.join(o, l.l_orderkey == o.o_orderkey).count()
+            assert joined.count() == n_plain
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+            spark.sql("DROP TABLE IF EXISTS b_orders")
+            spark.sql("DROP TABLE IF EXISTS b_lineitem")
