@@ -240,6 +240,59 @@ def extract_txt_render_oracle_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# HTML sink render (S8 analog: reference `_build_html`,
+# src/exporter.py:505-519): ordered spans -> flow HTML per document.
+# Pure JVM expressions; the escape chain is mirrored exactly in SQL.
+# ---------------------------------------------------------------------------
+
+def _html_escape(col):
+    return F.replace(F.replace(F.replace(col, F.lit("&"), F.lit("&amp;")),
+                               F.lit("<"), F.lit("&lt;")),
+                     F.lit(">"), F.lit("&gt;"))
+
+
+def extract_html_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _golden_corpus()
+    docs = job.docs_df_from_corpus(spark, corpus)
+    unified = job.extract_spans(docs, num_partitions=4)
+    spans = job.split_unified(unified)[0]
+    ordered = F.array_sort(
+        F.transform(F.col("spans"),
+                    lambda sp: F.struct(sp["offset"].alias("o"),
+                                        sp["kind"].alias("k"),
+                                        sp["text"].alias("t"))))
+    frag = lambda sp: (
+        F.when(sp["k"] == "table",
+               F.concat(F.lit("<table>"), _html_escape(sp["t"]), F.lit("</table>")))
+        .when(sp["k"] == "figure",
+              F.concat(F.lit("<figure>"), _html_escape(sp["t"]), F.lit("</figure>")))
+        .otherwise(F.concat(F.lit("<p>"), _html_escape(sp["t"]), F.lit("</p>"))))
+    return spans.select(
+        "doc_id",
+        F.concat(F.lit("<article>"),
+                 F.array_join(F.transform(ordered, frag), ""),
+                 F.lit("</article>")).alias("html"))
+
+
+def _py_html_escape(t: str) -> str:
+    return t.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+
+def extract_html_render_oracle_sql() -> str:
+    rows = []
+    for doc_id, spans in _golden_corpus():
+        tuples = kernels.extract_document(doc_id, spans)
+        if not tuples:
+            continue
+        frags = []
+        for k, t, _, _ in tuples:
+            tag = {"table": "table", "figure": "figure"}.get(k, "p")
+            frags.append(f"<{tag}>{_py_html_escape(t)}</{tag}>")
+        rows.append((doc_id, "<article>" + "".join(frags) + "</article>"))
+    return _values_sql(rows, ["doc_id", "html"], int_cols=set())
+
+
+# ---------------------------------------------------------------------------
 # At-scale pipeline over the driver's documents table (rows-only check;
 # also the entry()/bench flagship)
 # ---------------------------------------------------------------------------
@@ -259,6 +312,7 @@ QUERIES = {
     "extract_recognize_media": extract_recognize_media,
     "extract_txt_render": extract_txt_render,
     "extract_page_stats": extract_page_stats,
+    "extract_html_render": extract_html_render,
     "extract_from_documents": extract_from_documents,
 }
 
@@ -272,6 +326,7 @@ def oracles() -> dict[str, str]:
         "extract_recognize_media": extract_recognize_media_oracle_sql(),
         "extract_txt_render": extract_txt_render_oracle_sql(),
         "extract_page_stats": extract_page_stats_oracle_sql(),
+        "extract_html_render": extract_html_render_oracle_sql(),
         # extract_from_documents: full pipeline over external-scale input;
         # not SQL-expressible -> rows-only driver check (golden covers the
         # exact-equality gate).

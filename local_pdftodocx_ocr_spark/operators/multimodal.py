@@ -74,5 +74,45 @@ FROM documents
 """
 
 
-QUERIES = {"multimodal_features": multimodal_features}
-ORACLES = {"multimodal_features": MULTIMODAL_SQL}
+def frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling plumbing: one input payload -> N output frame rows
+    (the 1->N batch shape video decoding needs). Frame extraction is the
+    deterministic stub (sha256 of payload + frame index); the ffmpeg
+    seek/decode call slots into _frame_of."""
+
+    def _frame_of(payload: bytes, idx: int) -> str:
+        return hashlib.sha256(payload + str(idx).encode()).hexdigest()
+
+    m = media_table(spark, sf_dir)
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, hashes = [], [], []
+            for doc_id, media in zip(pdf["doc_id"], pdf["media"]):
+                payload = bytes(media)
+                n = len(payload) % 4 + 1  # stub frame count
+                for i in range(n):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    hashes.append(_frame_of(payload, i))
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs,
+                                "frame_sha": hashes})
+
+    return m.mapInPandas(sample, schema="doc_id long, frame_idx int, frame_sha string")
+
+
+FRAMES_SQL = """
+SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+       sha256(text || CAST(i AS VARCHAR)) AS frame_sha
+FROM (
+  SELECT doc_id, text,
+         unnest(range(0, octet_length(encode(text)) % 4 + 1)) AS i
+  FROM documents
+)
+"""
+
+
+QUERIES = {"multimodal_features": multimodal_features,
+           "multimodal_frame_samples": frame_samples}
+ORACLES = {"multimodal_features": MULTIMODAL_SQL,
+           "multimodal_frame_samples": FRAMES_SQL}

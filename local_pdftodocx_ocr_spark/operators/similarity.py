@@ -201,14 +201,46 @@ WHERE vr = 1
 """
 
 
+NEAR_DUP_COS = 0.4
+
+
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (the dedup ladder's semantic
+    tier): all vector pairs with cosine >= NEAR_DUP_COS. Exact
+    all-pairs here (the oracle); at corpus scale the same scoring runs
+    only on LSH-bucket candidates (ann path above)."""
+    e = _emb(spark, sf_dir)
+    a = e.select(F.col("vec_id").alias("id1"),
+                 F.col("embedding").cast("array<double>").alias("v1"))
+    b = e.select(F.col("vec_id").alias("id2"),
+                 F.col("embedding").cast("array<double>").alias("v2"))
+    pairs = a.join(b, F.col("id1") < F.col("id2"))
+    cos = _cosine(F.col("v1"), F.col("v2"))
+    return (pairs.withColumn("cos_raw", cos)
+            .filter(F.col("cos_raw") >= NEAR_DUP_COS)
+            .select("id1", "id2", F.round("cos_raw", 3).alias("cos")))
+
+
+EMB_NEAR_DUP_SQL = f"""
+SELECT a.vec_id AS id1, b.vec_id AS id2,
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 3) AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= {NEAR_DUP_COS}
+"""
+
+
 QUERIES = {
     "emb_cosine_topk": cosine_topk_bruteforce,
+    "emb_near_dup_pairs": embedding_near_dup_pairs,
     "emb_ann_lsh_topk": ann_lsh_topk,
     "emb_knn_label_vote": knn_label_vote,
 }
 
 ORACLES = {
     "emb_cosine_topk": COSINE_TOPK_SQL,
+    "emb_near_dup_pairs": EMB_NEAR_DUP_SQL,
     # ann_lsh_topk: hyperplane signatures not expressible in DuckDB ->
     # rows-only; recall vs brute force asserted in pytest.
     "emb_knn_label_vote": KNN_VOTE_SQL,
