@@ -231,9 +231,76 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 """
 
 
+IVF_CELLS = 16
+IVF_NPROBE = 4
+_IVF_CENTROID_BASE = 100   # deterministic centroid picks, disjoint from queries
+
+
+def _ivf_assign(e: DataFrame, centroids: np.ndarray, nprobe: int,
+                out_col: str = "cell") -> DataFrame:
+    """Assign each vector to its `nprobe` nearest coarse cells (cosine),
+    one numpy matmul per Arrow batch."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            v = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["embedding"]])
+            vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+            sims = vn @ cn.T                       # (n, cells)
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+            out = pd.DataFrame({
+                "vec_id": pdf["vec_id"].values.repeat(nprobe),
+                "embedding": pd.Series(list(pdf["embedding"]), dtype="object")
+                               .repeat(nprobe).values,
+                out_col: order.reshape(-1).astype(np.int32),
+            })
+            yield out
+
+    return e.select("vec_id", "embedding").mapInPandas(
+        assign, schema=f"vec_id long, embedding array<float>, {out_col} int")
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (coarse-quantizer) ANN: corpus vectors live in their single
+    nearest cell; queries probe their IVF_NPROBE nearest cells and score
+    only those cells' members. Centroids are a deterministic sample of
+    the corpus (vec_id in [100, 100+IVF_CELLS)). At 10^9 vectors the
+    cell equi-join scores ~nprobe/cells of the corpus per query."""
+    from pyspark.sql import Window as W
+
+    e = _emb(spark, sf_dir)
+    cent_rows = (e.filter((F.col("vec_id") >= _IVF_CENTROID_BASE)
+                          & (F.col("vec_id") < _IVF_CENTROID_BASE + IVF_CELLS))
+                 .orderBy("vec_id").collect())
+    centroids = np.stack([np.asarray(r["embedding"], dtype=np.float64)
+                          for r in cent_rows])
+
+    corpus_cells = _ivf_assign(e, centroids, nprobe=1)
+    q = (_ivf_assign(e.filter(F.col("vec_id") < N_QUERIES), centroids,
+                     nprobe=IVF_NPROBE)
+         .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"),
+                 "cell"))
+    cand = (corpus_cells.join(F.broadcast(q), "cell")
+            .filter(F.col("vec_id") != F.col("qid"))
+            .select("qid", "qv", "vec_id", "embedding").distinct())
+    scored = cand.withColumn("cos", _cosine(
+        F.col("qv").cast("array<double>"), F.col("embedding").cast("array<double>")))
+    w = W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= TOP_K)
+            .select("qid", F.col("vec_id").alias("neighbor"),
+                    F.round("cos", 3).alias("cos"),
+                    F.col("rk").cast("int").alias("rk")))
+
+
 QUERIES = {
     "emb_cosine_topk": cosine_topk_bruteforce,
     "emb_near_dup_pairs": embedding_near_dup_pairs,
+    "emb_ann_ivf_topk": ann_ivf_topk,
     "emb_ann_lsh_topk": ann_lsh_topk,
     "emb_knn_label_vote": knn_label_vote,
 }

@@ -22,18 +22,25 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Token counting (whitespace tokens; JVM-side split)
 # ---------------------------------------------------------------------------
 
+_BPE_RE = "[A-Za-z0-9]+|[^A-Za-z0-9 ]"  # word pieces + punct, ASCII-explicit
+                                         # so Java and RE2 dialects agree
+
+
 def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     return d.select(
         "doc_id",
         F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), F.lit(0)))
+         .alias("n_bpe_tokens"),
         F.length("text").alias("n_chars_calc"),
     )
 
 
-TOKEN_COUNT_SQL = """
+TOKEN_COUNT_SQL = f"""
 SELECT doc_id,
        CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS INTEGER) AS n_bpe_tokens,
        CAST(length(text) AS INTEGER) AS n_chars_calc
 FROM documents
 """
@@ -139,8 +146,44 @@ GROUP BY doc_id
 """
 
 
+def quality_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed pipeline filter (the shape a training-data run uses):
+    keep documents passing length + stopword + mean-token-length gates,
+    emitting the gate bits for auditability."""
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks)
+    stop_hits = F.size(F.filter(toks, lambda x: x.isin(*_STOPWORDS)))
+    stop_ratio = stop_hits / n_tok
+    mean_tok_len = (F.length("text") - (n_tok - 1)) / n_tok
+    len_ok = (F.length("text") >= 80) & (F.length("text") <= 5000)
+    stop_ok = stop_ratio >= 0.01
+    tok_ok = (mean_tok_len >= 2.5) & (mean_tok_len <= 12.0)
+    return (d.select("doc_id", "lang",
+                     len_ok.alias("len_ok"), stop_ok.alias("stop_ok"),
+                     tok_ok.alias("tok_ok"))
+            .filter("len_ok AND stop_ok AND tok_ok"))
+
+
+QUALITY_FILTER_SQL = f"""
+WITH g AS (
+  SELECT doc_id, lang,
+         length(text) BETWEEN 80 AND 5000 AS len_ok,
+         CAST(len(list_filter(string_split(text, ' '),
+                              x -> x IN ({_STOP_SQL_LIST}))) AS DOUBLE)
+           / len(string_split(text, ' ')) >= 0.01 AS stop_ok,
+         CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+           / len(string_split(text, ' ')) BETWEEN 2.5 AND 12.0 AS tok_ok
+  FROM documents
+)
+SELECT doc_id, lang, len_ok, stop_ok, tok_ok
+FROM g WHERE len_ok AND stop_ok AND tok_ok
+"""
+
+
 QUERIES = {
     "docs_token_count": token_count,
+    "docs_quality_filter_chain": quality_filter_chain,
     "docs_lang_id": lang_id,
     "docs_quality_score": quality_score,
     "docs_fingerprint": fingerprint,
@@ -148,6 +191,7 @@ QUERIES = {
 
 ORACLES = {
     "docs_token_count": TOKEN_COUNT_SQL,
+    "docs_quality_filter_chain": QUALITY_FILTER_SQL,
     "docs_lang_id": LANG_ID_SQL,
     "docs_quality_score": QUALITY_SQL,
     "docs_fingerprint": FINGERPRINT_SQL,

@@ -153,3 +153,15 @@ class TestBucketedJoin:
             spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
             spark.sql("DROP TABLE IF EXISTS b_orders")
             spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+class TestIVF:
+    def test_ivf_recall_vs_bruteforce(self, spark):
+        exact = {(r["qid"], r["neighbor"])
+                 for r in similarity.cosine_topk_bruteforce(spark, SF_DIR).collect()}
+        approx = {(r["qid"], r["neighbor"])
+                  for r in similarity.ann_ivf_topk(spark, SF_DIR).collect()}
+        recall = len(exact & approx) / len(exact)
+        # near-random corpus: nprobe/cells = 4/16 of the corpus scored;
+        # recall must clearly beat that random-inclusion baseline
+        assert recall >= 0.4, f"IVF recall {recall:.2f}"
