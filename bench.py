@@ -72,7 +72,10 @@ def _scaled_docs(spark, sf_dir: str, multiplier: int):
 
     flat = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n = flat.count()
-    parts = [flat.select((F.col("doc_id") + F.lit(i * n)).alias("doc_id"), "text")
+    # distinct text per replica: replicated payloads would otherwise
+    # collapse in the batched-recognize ref dedup and understate work
+    parts = [flat.select((F.col("doc_id") + F.lit(i * n)).alias("doc_id"),
+                         F.concat(F.col("text"), F.lit(f" rep{i}")).alias("text"))
              for i in range(multiplier)]
     df = parts[0]
     for p in parts[1:]:
@@ -102,8 +105,9 @@ def _extract_worker(cores: int, sf_dir: str, multiplier: int) -> dict:
         # variance — transient host CPU steal; min is the stable
         # estimator of the machine's actual capability)
         _materialize(job.extract_spans(docs, num_partitions=cores * 2))
+        n_runs = 2 if os.environ.get("SPARK_EXTRACT_MODEL_COST_ITERS") else 3
         walls = []
-        for _ in range(3):
+        for _ in range(n_runs):
             t0 = time.monotonic()
             _materialize(job.extract_spans(docs, num_partitions=cores * 2))
             walls.append(time.monotonic() - t0)
@@ -115,13 +119,16 @@ def _extract_worker(cores: int, sf_dir: str, multiplier: int) -> dict:
         spark.stop()
 
 
-def _extract_throughput(cores: int, sf_dir: str, multiplier: int) -> dict:
+def _extract_throughput(cores: int, sf_dir: str, multiplier: int,
+                        model_cost_iters: int = 0) -> dict:
     import subprocess
 
     cpu_list = f"0-{cores - 1}" if cores > 1 else "0"
     cmd = ["taskset", "-c", cpu_list, sys.executable, os.path.abspath(__file__),
            "--extract-worker", str(cores), sf_dir, str(multiplier)]
     env = dict(os.environ)
+    if model_cost_iters:
+        env["SPARK_EXTRACT_MODEL_COST_ITERS"] = str(model_cost_iters)
     out = subprocess.run(cmd, capture_output=True, text=True, env=env,
                          timeout=1200)
     if out.returncode != 0:
@@ -201,11 +208,24 @@ def main() -> int:
     eff = big["docs_per_sec"] / (ratio * small["docs_per_sec"])
     platform = _mp_platform_control(sf_dir)
 
+    # model-cost mode: recognize carries model-like CPU (the real
+    # system's compute density; reference TrOCR ~10 s/page) — the
+    # byte-movement costs that bound the light-codec ratio amortize away
+    mc_iters = int(os.environ.get("SPARK_GRAFT_MODEL_COST_ITERS", "8000"))
+    mc_mult = max(2, multiplier // 4)
+    mc_small = _extract_throughput(n_small, sf_dir, mc_mult,
+                                   model_cost_iters=mc_iters)
+    mc_big = _extract_throughput(cpus, sf_dir, mc_mult,
+                                 model_cost_iters=mc_iters)
+    mc_eff = mc_big["docs_per_sec"] / (ratio * mc_small["docs_per_sec"])
+
     total = round(sum(queries.values()), 3)
     print(json.dumps({
-        "metric": "headline_suite_wall_sec",
-        "value": total,
-        "unit": "sec",
+        # headline = the north-rule metric: extraction docs/sec at 4N
+        "metric": "extraction_docs_per_sec_local32",
+        "value": big["docs_per_sec"],
+        "unit": "docs/sec",
+        "headline_suite_wall_sec": total,
         "queries": queries,
         "sf": sf,
         "extract_scaling": {
@@ -220,6 +240,12 @@ def main() -> int:
                 big["docs_per_sec"] / platform[cpus], 3) if cpus in platform else None,
             "efficiency_normalized_to_platform": round(
                 eff / platform["ceiling_efficiency_8_32"], 3),
+            "model_cost_mode": {
+                "recognize_iters": mc_iters,
+                f"local[{n_small}]": mc_small,
+                f"local[{cpus}]": mc_big,
+                "scaling_efficiency": round(mc_eff, 3),
+            },
         },
     }))
     return 0

@@ -21,6 +21,7 @@ import base64
 import codecs
 import difflib
 import hashlib
+import os
 import re
 import unicodedata
 from dataclasses import dataclass, field
@@ -151,6 +152,16 @@ def encode_media(text: str) -> str:
     return "mem:" + payload
 
 
+# Model-cost simulation knob (bench only; default off). The sandbox
+# codec is ~10^5x lighter than the reference's TrOCR generate step
+# (~10 s/page, BASELINE.md); setting this burns a deterministic,
+# payload-dependent amount of CPU per recognize call WITHOUT changing
+# any output, so scaling measurements can be taken at a realistic
+# compute density. Read once at import: propagates to Spark Python
+# workers via the inherited environment.
+MODEL_COST_ITERS = int(os.environ.get("SPARK_EXTRACT_MODEL_COST_ITERS", "0"))
+
+
 def recognize_one(media_ref: str) -> str:
     if not media_ref or not media_ref.startswith("mem:"):
         return ""
@@ -158,6 +169,10 @@ def recognize_one(media_ref: str) -> str:
         raw = base64.b64decode(media_ref[4:].encode("ascii")).decode("utf-8")
     except Exception:
         return ""
+    if MODEL_COST_ITERS:
+        h = raw.encode("utf-8")
+        for _ in range(MODEL_COST_ITERS):
+            h = hashlib.blake2b(h, digest_size=32).digest()
     return codecs.decode(raw, "rot13")
 
 
