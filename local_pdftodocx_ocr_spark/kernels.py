@@ -406,6 +406,44 @@ def _route_span(kind: str, body: str, media_ref: str, page: int, y: float, x: fl
     return None  # unknown kind -> quarantined
 
 
+_MASHED_MARKER_RE = re.compile(r" (?=\d{1,2}\) )")
+
+
+def _split_mashed_markers(blocks: list[Block]) -> list[Block]:
+    """Mashed-line split (reference mashed-split pass, SURVEY §3.1 step 3;
+    marker handling `_add_missing_list_markers`, src/pipeline.py:1727-1875):
+    a text block whose body contains a valid duty-list marker ``N)``
+    mid-line is split at each marker so every list item becomes its own
+    block. Split parts keep the block geometry with a tiny deterministic
+    y nudge (+0.001 per part) to preserve their relative reading order."""
+    out: list[Block] = []
+    for b in blocks:
+        if b.kind != "text" or "\n" in b.text:
+            out.append(b)
+            continue
+        parts = _MASHED_MARKER_RE.split(b.text)
+        if len(parts) <= 1:
+            out.append(b)
+            continue
+        # only split where the following token is a valid marker
+        merged_parts: list[str] = [parts[0]]
+        for p in parts[1:]:
+            tok = p.split(" ", 1)[0]
+            if is_valid_section_marker(tok):
+                merged_parts.append(p)
+            else:
+                merged_parts[-1] = merged_parts[-1] + " " + p
+        if len(merged_parts) <= 1:
+            out.append(b)
+            continue
+        for i, part in enumerate(merged_parts):
+            out.append(Block(b.kind, b.page, b.y + 0.001 * i, b.x, part,
+                             b.media_ref if i == 0 else "",
+                             b.src_offset, b.src_kind, seq=b.seq,
+                             w=b.w, h=b.h))
+    return out
+
+
 def _drop_repeating_footers(blocks: list[Block]) -> list[Block]:
     """Boilerplate/footer strip (reference `_drop_repeating_footer_noise`,
     src/pipeline.py:1551-1586): a text block is furniture if its
@@ -736,6 +774,7 @@ def finalize_blocks(blocks: list[Block]) -> list[tuple[str, str, str, int]]:
     offsets. Cheap relative to routing — operates on cleaned blocks."""
     if not blocks:
         return []
+    blocks = _split_mashed_markers(blocks)
     blocks = _drop_repeating_footers(blocks)
     blocks = _merge_section_stubs(blocks)
     blocks = _dedup_page(blocks)

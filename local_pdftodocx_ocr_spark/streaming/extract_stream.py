@@ -47,3 +47,34 @@ def run_streaming_extraction(spark: SparkSession, input_dir: str,
     lineage = job.read_lineage(spark, out_root)
     agg = lineage.groupBy().sum("docs_in", "docs_out").collect()[0]
     return {"docs_in": agg[0] or 0, "docs_out": agg[1] or 0}
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator: cross-batch first-occurrence dedup
+# (applyInPandasWithState — SURVEY §2.11's "custom stateful" slot).
+# ---------------------------------------------------------------------------
+
+def dedup_docs_stateful(stream: DataFrame) -> DataFrame:
+    """Emit each doc_id only the FIRST time it appears across the whole
+    stream: per-key GroupState holds a seen flag. This is the streaming
+    analog of exact dedup for a live crawl feed (the snapshot-resume
+    anti-join covers the batch case)."""
+    import pandas as pd
+
+    def dedup(key, pdfs, state):
+        if state.exists:
+            return iter(())
+        state.update((True,))
+        for pdf in pdfs:
+            yield pdf.head(1)[["doc_id"]].assign(n_spans=pdf["spans"].map(
+                lambda sp: len(sp) if sp is not None else 0).head(1))
+            break
+        return
+
+    return stream.groupBy("doc_id").applyInPandasWithState(
+        dedup,
+        outputStructType="doc_id string, n_spans int",
+        stateStructType="seen boolean",
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

@@ -65,6 +65,11 @@ def _demo_doc(rng: random.Random) -> list[dict]:
         if page == 1:
             for i, m in enumerate(("3)", "4)", "5)")):
                 spans.append(_span("text", page, 300 + 60 * i, 70, f"{m} {_sentence(rng, 5)}", "", off)); off += 1
+            # mashed line: two duty items fused -> must split (kernel
+            # _split_mashed_markers); "2 items" keeps its own block
+            spans.append(_span("text", page, 500, 70,
+                               f"10) {_sentence(rng, 4)} 11) {_sentence(rng, 4)}",
+                               "", off)); off += 1
             grid = "h1\th2\th3\nv1\tv2\tv3\nv4\tv5\tv6"
             spans.append(_span("table", page, 600, 50, grid, "", off, w=500, h=60)); off += 1
             # stray text layer inside the table rect -> J1 suppression

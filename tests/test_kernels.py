@@ -260,3 +260,22 @@ class TestSynthDeterminism:
         docs = synth.gen_corpus(100, skew=True)
         sizes = [len(s) for _, s in docs]
         assert max(sizes) > 50 * (sum(sizes) - max(sizes)) / max(1, len(sizes) - 1) / 3
+
+
+class TestMashedSplit:
+    def test_mashed_markers_split(self):
+        _, spans = synth.gen_doc(0)
+        out = extract_document("d", spans)
+        texts = [t for (_, t, _, _) in out]
+        tens = [t for t in texts if t.startswith("10) ")]
+        elevens = [t for t in texts if t.startswith("11) ")]
+        assert len(tens) == 1 and len(elevens) == 1
+        assert "11)" not in tens[0]
+
+    def test_decimals_not_split(self):
+        # "2 items)" is not a valid marker context; "out of 40) chart" is
+        # invalid (>30) — neither splits
+        from local_pdftodocx_ocr_spark.kernels import _split_mashed_markers, Block
+        b = Block("text", 0, 10, 10, "keep 99) together and 40) too")
+        assert [x.text for x in _split_mashed_markers([b])] == \
+            ["keep 99) together and 40) too"]

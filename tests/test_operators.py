@@ -165,3 +165,34 @@ class TestIVF:
         # near-random corpus: nprobe/cells = 4/16 of the corpus scored;
         # recall must clearly beat that random-inclusion baseline
         assert recall >= 0.4, f"IVF recall {recall:.2f}"
+
+
+class TestStatefulStreaming:
+    def test_cross_batch_stateful_dedup(self, spark, tmp_path):
+        """applyInPandasWithState: a doc_id arriving in two micro-batches
+        is emitted exactly once."""
+        from local_pdftodocx_ocr_spark import job, synth
+        from local_pdftodocx_ocr_spark.streaming import (
+            events_stream as es,
+            extract_stream as xs,
+        )
+        corpus = synth.gen_corpus(20)
+        in_dir = tmp_path / "dup_in"
+        in_dir.mkdir()
+        job.docs_df_from_corpus(spark, corpus).coalesce(1) \
+            .write.parquet(str(in_dir / "a"))
+        # second file repeats the first 10 docs
+        job.docs_df_from_corpus(spark, corpus[:10]).coalesce(1) \
+            .write.parquet(str(in_dir / "b"))
+        stream = xs.read_docs_stream(spark, str(in_dir) + "/*",
+                                     max_files_per_trigger=1)
+        deduped = xs.dedup_docs_stateful(stream)
+        q = (deduped.writeStream.format("memory").queryName("dedup_out")
+             .outputMode("append")
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .start())
+        q.processAllAvailable()
+        q.stop()
+        rows = spark.sql("SELECT doc_id FROM dedup_out").collect()
+        ids = [r["doc_id"] for r in rows]
+        assert len(ids) == len(set(ids)) == 20
