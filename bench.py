@@ -212,7 +212,7 @@ def main() -> int:
     # system's compute density; reference TrOCR ~10 s/page) — the
     # byte-movement costs that bound the light-codec ratio amortize away
     mc_iters = int(os.environ.get("SPARK_GRAFT_MODEL_COST_ITERS", "8000"))
-    mc_mult = max(2, multiplier // 4)
+    mc_mult = max(2, multiplier // 8)
     mc_small = _extract_throughput(n_small, sf_dir, mc_mult,
                                    model_cost_iters=mc_iters)
     mc_big = _extract_throughput(cpus, sf_dir, mc_mult,

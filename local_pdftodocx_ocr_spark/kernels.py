@@ -145,9 +145,19 @@ def is_reliable_text(s: str) -> bool:
 # --------------------------------------------------------------------------
 
 
+_THAI_ANY_RE = re.compile("[ก-๎]")
+
+
 def encode_media(text: str) -> str:
     """Produce a media_ref whose payload deterministically 'recognizes'
-    back to *text* (FIXTURES.md §1: reversible rot13+base64 encoding)."""
+    back to *text* (FIXTURES.md §1: reversible encodings). Two schemes
+    model the reference's script-routed engines (`_build_cascade`,
+    src/ocr_engine.py:773-815): Thai-bearing payloads go to the
+    'memt:' engine (byte-reversal codec, the TrOCR slot), others to
+    'mem:' (rot13, the Paddle slot)."""
+    if _THAI_ANY_RE.search(text):
+        payload = base64.b64encode(text.encode("utf-8")[::-1]).decode("ascii")
+        return "memt:" + payload
     payload = base64.b64encode(codecs.encode(text, "rot13").encode("utf-8")).decode("ascii")
     return "mem:" + payload
 
@@ -163,7 +173,22 @@ MODEL_COST_ITERS = int(os.environ.get("SPARK_EXTRACT_MODEL_COST_ITERS", "0"))
 
 
 def recognize_one(media_ref: str) -> str:
-    if not media_ref or not media_ref.startswith("mem:"):
+    """Engine-routed recognize: the ref scheme selects the decoder —
+    the strict no-fallback policy of the reference's engine dispatch
+    (explicit engine runs alone, src/ocr_engine.py:797-815)."""
+    if not media_ref:
+        return ""
+    if media_ref.startswith("memt:"):
+        try:
+            raw = base64.b64decode(media_ref[5:].encode("ascii"))[::-1].decode("utf-8")
+        except Exception:
+            return ""
+        if MODEL_COST_ITERS:
+            h = raw.encode("utf-8")
+            for _ in range(MODEL_COST_ITERS):
+                h = hashlib.blake2b(h, digest_size=32).digest()
+        return raw
+    if not media_ref.startswith("mem:"):
         return ""
     try:
         raw = base64.b64decode(media_ref[4:].encode("ascii")).decode("utf-8")

@@ -279,3 +279,22 @@ class TestMashedSplit:
         b = Block("text", 0, 10, 10, "keep 99) together and 40) too")
         assert [x.text for x in _split_mashed_markers([b])] == \
             ["keep 99) together and 40) too"]
+
+
+class TestEngineRouting:
+    def test_thai_payload_routes_to_memt(self):
+        ref = kernels.encode_media("ภาษาไทย ๑๒๓")
+        assert ref.startswith("memt:")
+        assert kernels.recognize_one(ref) == "ภาษาไทย ๑๒๓"
+
+    def test_latin_payload_routes_to_mem(self):
+        ref = kernels.encode_media("plain english")
+        assert ref.startswith("mem:") and not ref.startswith("memt:")
+        assert kernels.recognize_one(ref) == "plain english"
+
+    def test_no_fallback_between_engines(self):
+        # a memt: ref with a mem:-style payload must NOT fall back
+        import base64, codecs
+        rot = base64.b64encode(codecs.encode("abc", "rot13").encode()).decode()
+        out = kernels.recognize_one("memt:" + rot)
+        assert out != "abc"  # decoded by the memt engine only
