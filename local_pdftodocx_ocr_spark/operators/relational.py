@@ -391,6 +391,27 @@ FROM events GROUP BY 1
 """
 
 
+def events_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per group (linear interpolation — Spark's exact
+    percentile() and DuckDB's quantile_cont agree bit-for-bit; the
+    approx_percentile/t-digest sketches would not cross engines)."""
+    e = _t(spark, sf_dir, "events")
+    return (e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+    ))
+
+
+QUANTILES_SQL = """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 4) AS p50,
+       ROUND(quantile_cont(value, 0.9), 4) AS p90,
+       ROUND(quantile_cont(value, 0.99), 4) AS p99
+FROM events GROUP BY event_type
+"""
+
+
 _EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
@@ -421,6 +442,7 @@ QUERIES = {
     "except_big_spenders": except_big_spenders,
     "part_type_stats": part_type_stats,
     "events_value_buckets": events_value_buckets,
+    "events_quantiles": events_quantiles,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier": q5_local_supplier,
     "topk_orders_per_customer": topk_orders_per_customer,
@@ -439,6 +461,7 @@ ORACLES = {
     "except_big_spenders": EXCEPT_SQL,
     "part_type_stats": PART_TYPE_SQL,
     "events_value_buckets": VALUE_BUCKETS_SQL,
+    "events_quantiles": QUANTILES_SQL,
     "q3_shipping_priority": Q3_SQL,
     "q5_local_supplier": Q5_SQL,
     "topk_orders_per_customer": TOPK_SQL,
