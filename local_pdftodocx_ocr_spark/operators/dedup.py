@@ -253,8 +253,35 @@ WHERE doc_id NOT IN (SELECT doc_id FROM drops)
 """
 
 
+def dedup_pipeline_at_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed 100 TB dedup path: MinHash-LSH candidates (no O(n²))
+    -> exact shingle-Jaccard verify ON CANDIDATES ONLY -> survivors.
+    Rows-only driver check; pytest asserts it equals the exact keep
+    list on this corpus (LSH recall property)."""
+    d = _docs(spark, sf_dir)
+    cand = dedup_minhash_candidates(spark, sf_dir)
+
+    sh = _distinct_shingles(d)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    # verify join restricted to candidate pairs
+    s1 = sh.select(F.col("doc_id").alias("doc1"), F.col("s").alias("s1"))
+    s2 = sh.select(F.col("doc_id").alias("_d2"), F.col("s").alias("s2"))
+    inter = (cand.join(s1, "doc1")
+             .join(s2, (F.col("doc2") == F.col("_d2"))
+                   & (F.col("s1") == F.col("s2")))
+             .groupBy("doc1", "doc2").agg(F.count("*").alias("inter")))
+    z1 = sizes.select(F.col("doc_id").alias("doc1"), F.col("sz").alias("sz1"))
+    z2 = sizes.select(F.col("doc_id").alias("doc2"), F.col("sz").alias("sz2"))
+    jac = F.col("inter") / (F.col("sz1") + F.col("sz2") - F.col("inter"))
+    dups = (inter.join(F.broadcast(z1), "doc1").join(F.broadcast(z2), "doc2")
+            .filter(jac >= JACCARD_THRESHOLD)
+            .select(F.col("doc2").alias("doc_id")).distinct())
+    return d.join(dups, "doc_id", "left_anti").select("doc_id", "lang", "source")
+
+
 QUERIES = {
     "docs_dedup_exact": dedup_exact,
+    "docs_dedup_pipeline_at_scale": dedup_pipeline_at_scale,
     "docs_dedup_keep_list": dedup_keep_list,
     "docs_dedup_jaccard_pairs": dedup_jaccard_pairs,
     "docs_dedup_minhash_candidates": dedup_minhash_candidates,

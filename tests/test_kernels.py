@@ -298,3 +298,31 @@ class TestEngineRouting:
         rot = base64.b64encode(codecs.encode("abc", "rot13").encode()).decode()
         out = kernels.recognize_one("memt:" + rot)
         assert out != "abc"  # decoded by the memt engine only
+
+
+class TestReferenceE2EGates:
+    """Mirror of the reference's own e2e gates (run_e2e_test.py:83-89,
+    337-355) on the demo-like fixture: structure counts, needle
+    presence, and the body block-order skeleton."""
+
+    def test_demo_doc_gates(self):
+        _, spans = synth.gen_doc(0)
+        out = extract_document("d", spans)
+        kinds = [k for (k, _, _, _) in out]
+        # 2 tables + 2 figures (reference gate: exactly 2 and 2)
+        assert kinds.count("table") == 2
+        assert kinds.count("figure") == 2
+        texts = [t for (_, t, _, _) in out]
+        # needles: section markers and duty-list markers survive in order
+        for needle in ("2.1", "2.2", "2.3", "3)", "4)", "5)", "10)", "11)"):
+            assert any(t.startswith(needle) for t in texts), needle
+        # block-order skeleton on page 1 (reference's P/T/I check):
+        # duty list items ... then table then figure
+        i_5 = next(i for i, t in enumerate(texts) if t.startswith("5)"))
+        i_tab = next(i for i, (k, t, _, _) in enumerate(out)
+                     if k == "table" and "h1" in t)
+        i_fig = next(i for i, (k, t, _, _) in enumerate(out)
+                     if k == "figure" and "Page 2" in t)
+        assert i_5 < i_tab < i_fig
+        # no junk tokens (reference junk gate)
+        assert not any(t.strip() in ("|", "~~~~") for t in texts)

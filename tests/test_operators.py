@@ -196,3 +196,12 @@ class TestStatefulStreaming:
         rows = spark.sql("SELECT doc_id FROM dedup_out").collect()
         ids = [r["doc_id"] for r in rows]
         assert len(ids) == len(set(ids)) == 20
+
+
+class TestDedupPipeline:
+    def test_scale_pipeline_equals_exact_keep_list(self, spark):
+        """candidates(LSH) -> verify(exact Jaccard on candidates) must
+        produce the identical keep set as all-pairs exact Jaccard."""
+        a = {r["doc_id"] for r in dedup.dedup_pipeline_at_scale(spark, SF_DIR).collect()}
+        b = {r["doc_id"] for r in dedup.dedup_keep_list(spark, SF_DIR).collect()}
+        assert a == b
