@@ -303,6 +303,92 @@ FROM events GROUP BY event_type
 """
 
 
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 pattern: pure filter + single agg (pushdown showcase)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (l.filter((F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+                     & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+                     & (F.col("l_discount").between(0.04, 0.07))
+                     & (F.col("l_quantity") < 24))
+            .agg(F.round(_dec_sum(F.col("l_extendedprice") * F.col("l_discount"))
+                         .cast("double"), 4).alias("revenue"),
+                 F.count("*").alias("n")))
+
+
+Q6_SQL = """
+SELECT ROUND(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(24,8))) AS DOUBLE),4) AS revenue,
+       COUNT(*) AS n
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.04 AND 0.07 AND l_quantity < 24
+"""
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 pattern: EXISTS semi-join + count by priority."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey").distinct()
+    return (o.filter((F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+                     & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz")))
+            .join(l, o.o_orderkey == l.l_orderkey, "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("order_count")))
+
+
+Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+GROUP BY o_orderpriority
+"""
+
+
+def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 pattern: join + conditional (CASE) aggregation."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    high = F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0)
+    low = F.when(~F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0)
+    return (l.join(o, l.l_orderkey == o.o_orderkey)
+            .filter(F.col("l_quantity") >= 30)
+            .groupBy(F.col("l_linestatus").alias("linestatus"))
+            .agg(F.sum(high).alias("high_line_count"),
+                 F.sum(low).alias("low_line_count")))
+
+
+Q12_SQL = """
+SELECT l_linestatus AS linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_quantity >= 30
+GROUP BY l_linestatus
+"""
+
+
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 pattern: join + conditional revenue ratio."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(24,8)")
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(24,8)"))
+    return (l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+            .agg(F.round((F.lit(100.0) * F.sum(promo).cast("double")
+                          / F.sum(rev).cast("double")), 4).alias("promo_pct"),
+                 F.count("*").alias("n")))
+
+
+Q14_SQL = """
+SELECT ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                                   THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,8))
+                                   ELSE CAST(0 AS DECIMAL(24,8)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,8))) AS DOUBLE), 4) AS promo_pct,
+       COUNT(*) AS n
+FROM lineitem JOIN part ON l_partkey = p_partkey
+"""
+
+
 def semi_join_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXISTS via left_semi join (no row duplication from the big side)."""
     c = _t(spark, sf_dir, "customer")
@@ -443,6 +529,10 @@ QUERIES = {
     "part_type_stats": part_type_stats,
     "events_value_buckets": events_value_buckets,
     "events_quantiles": events_quantiles,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q4_order_priority": q4_order_priority,
+    "q12_priority_shipping": q12_priority_shipping,
+    "q14_promo_effect": q14_promo_effect,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier": q5_local_supplier,
     "topk_orders_per_customer": topk_orders_per_customer,
@@ -462,6 +552,10 @@ ORACLES = {
     "part_type_stats": PART_TYPE_SQL,
     "events_value_buckets": VALUE_BUCKETS_SQL,
     "events_quantiles": QUANTILES_SQL,
+    "q6_forecast_revenue": Q6_SQL,
+    "q4_order_priority": Q4_SQL,
+    "q12_priority_shipping": Q12_SQL,
+    "q14_promo_effect": Q14_SQL,
     "q3_shipping_priority": Q3_SQL,
     "q5_local_supplier": Q5_SQL,
     "topk_orders_per_customer": TOPK_SQL,
