@@ -389,6 +389,31 @@ FROM lineitem JOIN part ON l_partkey = p_partkey
 """
 
 
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 pattern: correlated scalar subquery (per-part average
+    threshold), decorrelated into a groupBy + broadcast join."""
+    l = _t(spark, sf_dir, "lineitem")
+    thresholds = (l.groupBy(F.col("l_partkey").alias("pk"))
+                  .agg((F.lit(0.5) * F.avg(F.col("l_quantity").cast("decimal(24,8)"))
+                        .cast("double")).alias("thresh")))
+    return (l.join(F.broadcast(thresholds), l.l_partkey == thresholds.pk)
+            .filter(F.col("l_quantity") < F.col("thresh"))
+            .agg(F.round(_dec_sum(F.col("l_extendedprice"), 4).cast("double") / 7.0, 4)
+                 .alias("avg_yearly"),
+                 F.count("*").alias("n")))
+
+
+Q17_SQL = """
+SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,4))) AS DOUBLE) / 7.0, 4) AS avg_yearly,
+       COUNT(*) AS n
+FROM lineitem l
+WHERE l_quantity < (
+  SELECT 0.5 * CAST(AVG(CAST(l_quantity AS DECIMAL(24,8))) AS DOUBLE)
+  FROM lineitem i WHERE i.l_partkey = l.l_partkey
+)
+"""
+
+
 def semi_join_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXISTS via left_semi join (no row duplication from the big side)."""
     c = _t(spark, sf_dir, "customer")
@@ -533,6 +558,7 @@ QUERIES = {
     "q4_order_priority": q4_order_priority,
     "q12_priority_shipping": q12_priority_shipping,
     "q14_promo_effect": q14_promo_effect,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier": q5_local_supplier,
     "topk_orders_per_customer": topk_orders_per_customer,
@@ -556,6 +582,7 @@ ORACLES = {
     "q4_order_priority": Q4_SQL,
     "q12_priority_shipping": Q12_SQL,
     "q14_promo_effect": Q14_SQL,
+    "q17_small_quantity_revenue": Q17_SQL,
     "q3_shipping_priority": Q3_SQL,
     "q5_local_supplier": Q5_SQL,
     "topk_orders_per_customer": TOPK_SQL,
