@@ -84,12 +84,15 @@ def extract_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         media_text = dict(zip(ref_list, kernels.recognize_batch(ref_list)))
 
         out_ids: list[str] = []
-        out_spans: list[list[dict]] = []
+        out_spans: list = []
         row_types: list[str] = []
         for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
             docs_in += 1
-            span_dicts = [dict(s) for s in spans] if spans is not None else []
-            tuples = kernels.extract_document(doc_id, span_dicts, media_text)
+            # spans pass through untouched (Arrow hands us an ndarray of
+            # dicts; kernels only read) and the output tuples go straight
+            # back to Arrow — no per-span dict materialization in the hot
+            # loop (the round-1 version double-allocated every span).
+            tuples = kernels.extract_document(doc_id, spans, media_text)
             if not tuples:
                 # quarantine row: marks the doc as processed (so resume
                 # skips it) without polluting the spans table
@@ -100,10 +103,7 @@ def extract_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             docs_out += 1
             checksum_acc = (checksum_acc + kernels.doc_checksum(doc_id, tuples)) % kernels._CHECK_MOD
             out_ids.append(doc_id)
-            out_spans.append([
-                {"kind": k, "text": t, "media_ref": m, "offset": o}
-                for (k, t, m, o) in tuples
-            ])
+            out_spans.append(tuples)
             row_types.append("doc")
         n = len(out_ids)
         yield pd.DataFrame({
@@ -175,10 +175,9 @@ def _route_chunks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
         ids, blocks_col = [], []
         for doc_id, base_seq, spans in zip(pdf["doc_id"], pdf["base_seq"], pdf["spans"]):
-            span_dicts = [dict(s) for s in spans] if spans is not None else []
-            blocks = kernels.route_spans(span_dicts, media_text, int(base_seq))
+            blocks = kernels.route_spans(spans, media_text, int(base_seq))
             ids.append(doc_id)
-            blocks_col.append([kernels.block_to_dict(b) for b in blocks])
+            blocks_col.append([kernels.block_to_tuple(b) for b in blocks])
         yield pd.DataFrame({"doc_id": pd.Series(ids, dtype="object"),
                             "blocks": pd.Series(blocks_col, dtype="object")})
 
@@ -188,7 +187,7 @@ def _finalize_group(pdf: pd.DataFrame) -> pd.DataFrame:
     blocks: list = []
     for chunk in pdf["blocks"]:
         if chunk is not None:
-            blocks.extend(kernels.block_from_dict(dict(b)) for b in chunk)
+            blocks.extend(kernels.block_from_dict(b) for b in chunk)
     blocks.sort(key=lambda b: b.seq)  # restore the single-pass routing order
     tuples = kernels.finalize_blocks(blocks)
     if not tuples:
@@ -196,10 +195,8 @@ def _finalize_group(pdf: pd.DataFrame) -> pd.DataFrame:
                              "spans": pd.Series([None], dtype="object"),
                              "checksum": pd.Series([None], dtype="object")})
     chk = kernels.doc_checksum(doc_id, tuples)
-    spans = [{"kind": k, "text": t, "media_ref": m, "offset": o}
-             for (k, t, m, o) in tuples]
     return pd.DataFrame({"doc_id": pd.Series([doc_id], dtype="object"),
-                         "spans": pd.Series([spans], dtype="object"),
+                         "spans": pd.Series([tuples], dtype="object"),
                          "checksum": pd.Series([format(chk, '016x')], dtype="object")})
 
 
@@ -242,7 +239,7 @@ def extract_spans_chunked(fat_docs: DataFrame, chunk_threshold: int) -> DataFram
                     docs_out += 1
                     acc = (acc + int(chk, 16)) % kernels._CHECK_MOD
                     rts.append("doc")
-                    spans_col.append([dict(s) for s in spans])
+                    spans_col.append(spans)
             n = len(ids)
             yield pd.DataFrame({
                 "row_type": pd.Series(rts, dtype="object"),
@@ -387,10 +384,12 @@ def inject_manual_regions(docs: DataFrame, regions: DataFrame) -> DataFrame:
         "doc_id",
         F.struct(
             F.col("kind").alias("kind"),
-            F.format_string("p=%d;y=%s;x=%s|%s",
+            # %.1f, NOT format_number: grouping separators ("1,000.0")
+            # would break POS_HEADER_RE for coordinates >= 1000
+            F.format_string("p=%d;y=%.1f;x=%.1f|%s",
                             F.col("page"),
-                            F.format_number(F.col("y").cast("double"), 1),
-                            F.format_number(F.col("x").cast("double"), 1),
+                            F.col("y").cast("double"),
+                            F.col("x").cast("double"),
                             F.col("text")).alias("text"),
             F.col("media_ref").alias("media_ref"),
             (F.lit(1_000_000) + F.row_number().over(w)).alias("offset"),

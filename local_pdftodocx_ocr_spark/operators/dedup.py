@@ -23,6 +23,16 @@ LSH_BANDS = 8               # 8 bands x 4 rows -> catches J >= ~0.6
 LSH_ROWS = MINHASH_PERMS // LSH_BANDS
 JACCARD_THRESHOLD = 0.6
 
+# Document-frequency cap on shingles (standard MinHash practice): a
+# shingle appearing in more docs than this is boilerplate ("of the
+# and"-grade 3-grams have df in the millions at web scale) and is
+# dropped from the index BEFORE the self-join — otherwise one hot
+# shingle makes a df^2 bucket and the join goes quadratic at 100 TB.
+# The cap is mirrored verbatim in the DuckDB oracles, so cross-engine
+# equality holds at any cap value; at the test SFs it is a no-op
+# (pytest pins both facts).
+SHINGLE_DF_CAP = 1000
+
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -73,6 +83,19 @@ def _distinct_shingles(d: DataFrame) -> DataFrame:
             .select("doc_id", F.explode(_shingle_array(F.col("text"))).alias("s")))
 
 
+def _capped_shingles(d: DataFrame, cap: int = SHINGLE_DF_CAP) -> DataFrame:
+    """Inverted-index shingles with the df cap applied: one map-side-
+    combinable groupBy to count df, one equi-join to drop hot shingles.
+    Bounds every self-join bucket at cap^2 rows regardless of corpus
+    size — the property that keeps the exact-verify tier alive at
+    10^12 docs."""
+    sh = _distinct_shingles(d)
+    ok = (sh.groupBy("s").agg(F.count("*").alias("df"))
+          .filter(F.col("df") <= cap)
+          .select("s"))
+    return sh.join(ok, "s")
+
+
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All doc pairs with word-3-gram-shingle Jaccard >= 0.6 (doc1 < doc2).
 
@@ -83,7 +106,7 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the self-join is pre-filtered by the LSH candidates below;
     here it doubles as the exact oracle."""
     d = _docs(spark, sf_dir)
-    toks = _distinct_shingles(d)
+    toks = _capped_shingles(d)
     sizes = toks.groupBy("doc_id").agg(F.count("*").alias("sz"))
     t1 = toks.alias("t1")
     t2 = toks.alias("t2")
@@ -97,15 +120,20 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     s2 = sizes.select(F.col("doc_id").alias("doc2"), F.col("sz").alias("sz2"))
     jac = F.col("inter") / (F.col("sz1") + F.col("sz2") - F.col("inter"))
     return (
-        inter.join(F.broadcast(s1), "doc1").join(F.broadcast(s2), "doc2")
-        .withColumn("jaccard", F.round(jac, 4))
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .select("doc1", "doc2", "jaccard")
+        # sizes has one row per doc (scales with the corpus): AQE-decided
+        # joins, no forced broadcast at 10^12 docs
+        inter.join(s1, "doc1").join(s2, "doc2")
+        # filter on the RAW jaccard (the oracle does too); round only in
+        # the projected output column
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc1", "doc2", F.round(jac, 4).alias("jaccard"))
     )
 
 
-DEDUP_JACCARD_SQL = f"""
-WITH sh AS (
+# Shared CTE prefix: shingle index with the df cap mirrored exactly
+# (sh0 = raw distinct shingles, ok = shingles under the cap).
+_SH_CTES = f"""
+sh0 AS (
   SELECT doc_id, unnest(list_distinct(list_transform(
     range(1, GREATEST(len(string_split(text, ' ')) - 2, 0) + 1),
     i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
@@ -114,12 +142,17 @@ WITH sh AS (
   FROM documents
   WHERE len(string_split(text, ' ')) >= 3
 ),
+ok AS (SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= {SHINGLE_DF_CAP}),
+sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN ok USING (s)),
 sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS inter
   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY 1, 2
-)
+)"""
+
+DEDUP_JACCARD_SQL = f"""
+WITH {_SH_CTES}
 SELECT doc1, doc2,
        ROUND(CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter), 4) AS jaccard
 FROM inter
@@ -140,8 +173,10 @@ def minhash_signatures(d: DataFrame) -> DataFrame:
     # Explode shingles once, then 32 min-aggregates in a single hash
     # aggregation (map-side partial agg; one shuffle on doc_id). The
     # array-expression form (32 x transform over a rebuilt shingle
-    # array) blows up codegen and runs ~50x slower.
-    sh = _distinct_shingles(d)
+    # array) blows up codegen and runs ~50x slower. Same df-capped
+    # shingle base as the exact tier, so LSH recall vs capped Jaccard
+    # keeps its guarantee.
+    sh = _capped_shingles(d)
     aggs = [F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"m{i}")
             for i in range(MINHASH_PERMS)]
     wide = sh.groupBy("doc_id").agg(*aggs)
@@ -182,11 +217,31 @@ def dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SimHash (64-bit) near-dup signatures — vectorized pandas UDF
 # ---------------------------------------------------------------------------
 
+def simhash_of_text(t: str) -> int:
+    """Sequential SimHash64 of one text (the oracle form; the
+    vectorized UDF below is pinned against it bit-for-bit)."""
+    import hashlib as _hl
+    votes = [0] * 64
+    for tok in set((t or "").split()):
+        h = int.from_bytes(_hl.blake2b(tok.encode(), digest_size=8).digest(), "big")
+        for b in range(64):
+            votes[b] += 1 if (h >> b) & 1 else -1
+    v = 0
+    for b in range(64):
+        if votes[b] > 0:
+            v |= 1 << b
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
 def simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash over unigram tokens. The bit-vote accumulation is
-    numpy inside an Arrow-batched pandas UDF (64 bit-columns of JVM
-    expressions would bloat codegen; this is the documented slow-path
-    escape hatch). Deterministic: blake2b token hashes."""
+    """64-bit SimHash over unigram tokens, Arrow-batched pandas UDF.
+
+    Fully batch-vectorized (round-1 version looped per row AND per
+    token in Python): each distinct token of the batch is hashed once,
+    its 64 bits come from one np.unpackbits over the concatenated
+    digests, and the ±1 votes are segment-summed per row with
+    np.add.at. Output is bit-identical to simhash_of_text (VALUES
+    oracle + pytest pin)."""
     import hashlib
 
     import numpy as np
@@ -195,21 +250,29 @@ def simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @F.pandas_udf(T.LongType())
     def _simhash(texts: pd.Series) -> pd.Series:
-        out = np.zeros(len(texts), dtype=np.int64)
+        n = len(texts)
+        row_idx: list[int] = []
+        toks: list[str] = []
         for i, t in enumerate(texts):
-            votes = np.zeros(64, dtype=np.int64)
-            shifts = np.arange(64, dtype=np.uint64)
             for tok in set((t or "").split()):
-                h = np.uint64(int.from_bytes(
-                    hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big"))
-                bits = (h >> shifts) & np.uint64(1)
-                votes += np.where(bits == 1, 1, -1)
-            v = 0
-            for b in range(64):
-                if votes[b] > 0:
-                    v |= 1 << b
-            out[i] = np.int64(v - (1 << 64) if v >= (1 << 63) else v)
-        return pd.Series(out)
+                row_idx.append(i)
+                toks.append(tok)
+        if not toks:
+            return pd.Series(np.zeros(n, dtype=np.int64))
+        uniq, inv = np.unique(np.asarray(toks, dtype=object), return_inverse=True)
+        digests = b"".join(
+            hashlib.blake2b(u.encode(), digest_size=8).digest() for u in uniq)
+        # unpackbits is MSB-first: column j holds bit (63-j) of the
+        # big-endian uint64; reverse columns so column b == bit b
+        bits = np.unpackbits(
+            np.frombuffer(digests, dtype=np.uint8).reshape(-1, 8), axis=1)[:, ::-1]
+        pm = bits.astype(np.int32) * 2 - 1                    # (U, 64) of ±1
+        votes = np.zeros((n, 64), dtype=np.int64)
+        np.add.at(votes, np.asarray(row_idx, dtype=np.int64), pm[inv])
+        weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+        packed = ((votes > 0).astype(np.uint64) * weights).sum(
+            axis=1, dtype=np.uint64)
+        return pd.Series(packed.view(np.int64))
 
     d = _docs(spark, sf_dir)
     return d.select("doc_id", _simhash(F.col("text")).alias("simhash"))
@@ -226,21 +289,7 @@ def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DEDUP_KEEP_SQL = f"""
-WITH sh AS (
-  SELECT doc_id, unnest(list_distinct(list_transform(
-    range(1, GREATEST(len(string_split(text, ' ')) - 2, 0) + 1),
-    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
-         || ' ' || string_split(text, ' ')[i+2]
-  ))) AS s
-  FROM documents
-  WHERE len(string_split(text, ' ')) >= 3
-),
-sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
-inter AS (
-  SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS inter
-  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-),
+WITH {_SH_CTES},
 drops AS (
   SELECT DISTINCT doc2 AS doc_id
   FROM inter
@@ -261,7 +310,7 @@ def dedup_pipeline_at_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     cand = dedup_minhash_candidates(spark, sf_dir)
 
-    sh = _distinct_shingles(d)
+    sh = _capped_shingles(d)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     # verify join restricted to candidate pairs
     s1 = sh.select(F.col("doc_id").alias("doc1"), F.col("s").alias("s1"))
@@ -273,7 +322,7 @@ def dedup_pipeline_at_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     z1 = sizes.select(F.col("doc_id").alias("doc1"), F.col("sz").alias("sz1"))
     z2 = sizes.select(F.col("doc_id").alias("doc2"), F.col("sz").alias("sz2"))
     jac = F.col("inter") / (F.col("sz1") + F.col("sz2") - F.col("inter"))
-    dups = (inter.join(F.broadcast(z1), "doc1").join(F.broadcast(z2), "doc2")
+    dups = (inter.join(z1, "doc1").join(z2, "doc2")  # per-doc sizes scale: AQE decides
             .filter(jac >= JACCARD_THRESHOLD)
             .select(F.col("doc2").alias("doc_id")).distinct())
     return d.join(dups, "doc_id", "left_anti").select("doc_id", "lang", "source")

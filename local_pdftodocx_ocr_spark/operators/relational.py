@@ -82,7 +82,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        # customer scales with SF: no forced broadcast — AQE picks a
+        # broadcast join at small SF and a shuffle join at 100x
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", F.col("o_orderdate").cast("string").alias("o_orderdate"),
                  "o_orderpriority")
         .agg(F.round(_dec_sum(revenue).cast("double"), 4).alias("revenue"))
@@ -119,7 +121,9 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), (l.l_suppkey == s.s_suppkey)
+        # supplier scales with SF: AQE-decided join (nation/region stay
+        # hinted — fixed 25/5 rows at every SF)
+        .join(s, (l.l_suppkey == s.s_suppkey)
               & (c.c_nationkey == s.s_nationkey))
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
@@ -373,7 +377,9 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part")
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(24,8)")
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(24,8)"))
-    return (l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    # part scales with SF (~2B rows at the 100 TB design point): no
+    # forced broadcast — AQE decides per actual size
+    return (l.join(p, l.l_partkey == p.p_partkey)
             .agg(F.round((F.lit(100.0) * F.sum(promo).cast("double")
                           / F.sum(rev).cast("double")), 4).alias("promo_pct"),
                  F.count("*").alias("n")))
@@ -396,7 +402,10 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     thresholds = (l.groupBy(F.col("l_partkey").alias("pk"))
                   .agg((F.lit(0.5) * F.avg(F.col("l_quantity").cast("decimal(24,8)"))
                         .cast("double")).alias("thresh")))
-    return (l.join(F.broadcast(thresholds), l.l_partkey == thresholds.pk)
+    # thresholds has one row per partkey (scales with SF); the groupBy
+    # already co-partitions it on the join key, so a plain shuffle join
+    # reuses that partitioning — never broadcast a scaling aggregate
+    return (l.join(thresholds, l.l_partkey == thresholds.pk)
             .filter(F.col("l_quantity") < F.col("thresh"))
             .agg(F.round(_dec_sum(F.col("l_extendedprice"), 4).cast("double") / 7.0, 4)
                  .alias("avg_yearly"),
