@@ -5,12 +5,12 @@ entry(spark)   -- flagship: full extraction pipeline over the sf0.001
                   to flat span rows.
 queries()      -- one entry per implemented operator (SURVEY.md §2 +
                   training-data ops); each (spark, sf_dir) -> DataFrame.
-oracle_sql()   -- DuckDB-runnable ANSI SQL per query. Extraction-pipeline
-                  queries use inline VALUES oracles generated from the
-                  sequential kernel oracle, so the driver's hash compare IS
-                  the span-sequence-equality gate. Keys intentionally absent
-                  (minhash/simhash/LSH-ANN/extract_from_documents) are
-                  non-SQL-expressible -> rows-only checks.
+oracle_sql()   -- DuckDB-runnable ANSI SQL per query. Non-SQL-expressible
+                  queries (extraction pipeline, minhash/simhash, ANN) use
+                  inline VALUES oracles recomputed sequentially on the
+                  driver (kernels / hashlib / numpy; see seq_oracles.py),
+                  so the driver's hash compare is a genuine distributed-
+                  vs-sequential equality gate for every query.
 """
 
 from __future__ import annotations
@@ -47,7 +47,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
-    out.update(extraction.oracles())
-    for mod in (relational, textstats, dedup, similarity, multimodal):
-        out.update(mod.ORACLES)
+    for mod in (extraction, relational, textstats, dedup, similarity, multimodal):
+        fn = getattr(mod, "oracles", None)
+        out.update(fn() if fn is not None else mod.ORACLES)
     return out

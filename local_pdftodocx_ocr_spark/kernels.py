@@ -277,6 +277,99 @@ def strip_boilerplate_html(html: str) -> str:
 
 
 # --------------------------------------------------------------------------
+# Cell/garble predicates (P5/P6 at full strength — simplified from
+# src/docling_adapter.py:256-362; Thai-specific brand lists and RapidOCR
+# token tables are replaced by the structural rules)
+# --------------------------------------------------------------------------
+
+_ASCII_LETTER_RE = re.compile(r"[A-Za-z]")
+
+
+def _thai_count(s: str) -> int:
+    return len(_THAI_ANY_RE.findall(s or ""))
+
+
+def _ascii_letter_count(s: str) -> int:
+    return sum(1 for ch in s if ("A" <= ch <= "Z") or ("a" <= ch <= "z"))
+
+
+def looks_like_healthy_latin(text: str) -> bool:
+    """Real space-separated English / product names, as opposed to OCR
+    consonant soup (simplified from src/docling_adapter.py:264-292: the
+    vowel-ratio + word-break structure rules, without the brand list)."""
+    t = (text or "").strip()
+    if not t:
+        return False
+    letters = _ascii_letter_count(t)
+    if letters < 2:
+        return False
+    vowels = sum(1 for ch in t if ch.lower() in "aeiou")
+    spaces = t.count(" ") + t.count("\n") + t.count("\t")
+    upper = sum(1 for ch in t if "A" <= ch <= "Z")
+    if vowels >= max(1, letters // 8) and (spaces >= 1 or letters <= 24):
+        if upper / max(letters, 1) < 0.85 or spaces >= 2:
+            return True
+    # short mixed-case labels with a lowercase letter ("VMware", "pc-01")
+    if letters <= 40 and re.search(r"[a-z]", t):
+        return True
+    # ALLCAPS brand 2-8 letters with a vowel (ESET-style)
+    if 2 <= letters <= 8 and vowels >= 1 and spaces == 0 and upper == letters:
+        return True
+    return False
+
+
+def plausible_table_cell(text: str) -> bool:
+    """P6: reject blank-crop hallucinations / OCR soup in table cells
+    (simplified from `_plausible_table_cell`, src/docling_adapter.py:
+    295-319): repeated-char residue and Latin-soup-with-thin-Thai are
+    dropped; digits, real Thai (>=2 chars), short digit-bearing labels
+    and healthy Latin are kept."""
+    t = (text or "").strip()
+    if not t:
+        return False
+    compact = _WS_RE.sub("", t)
+    if len(compact) >= 4 and len(set(compact)) <= 2:
+        return False          # "----" / "กากา" residue
+    if looks_like_healthy_latin(t):
+        return True
+    letters = _ascii_letter_count(t)
+    thai = _thai_count(t)
+    if letters > 6 and letters > thai * 1.5:
+        return False          # Latin soup with thin Thai
+    if compact.replace(".", "").replace(",", "").isdigit():
+        return True
+    if thai >= 2:
+        return True
+    if len(compact) <= 6 and any(ch.isdigit() for ch in compact):
+        return True
+    return False
+
+
+def looks_garbled_for_thai(text: str) -> bool:
+    """P5: OCR-on-Thai Latin gibberish — ALLCAPS consonant soup with no
+    usable Thai (simplified from `_looks_garbled_for_thai`,
+    src/docling_adapter.py:322-362, minus the hallucination token list).
+    Applied only to recognize (OCR-path) outputs, never embedded text."""
+    t = (text or "").strip()
+    if not t:
+        return False
+    thai = _thai_count(t)
+    if thai >= 3 and thai / max(len(t), 1) >= 0.15:
+        return False          # usable Thai present
+    if looks_like_healthy_latin(t):
+        return False
+    letters = _ascii_letter_count(t)
+    if letters < 6:
+        return False
+    if thai == 0:
+        upper = sum(1 for ch in t if "A" <= ch <= "Z")
+        vowels = sum(1 for ch in t if ch.lower() in "aeiou")
+        if upper >= letters * 0.75 and vowels <= max(1, letters // 6):
+            return True
+    return False
+
+
+# --------------------------------------------------------------------------
 # Table canonical flatten (reference plain-form grid,
 # src/layout_detector.py:829-833; duplicate-column collapse
 # src/docling_adapter.py:791-805, 847-862)
@@ -310,6 +403,275 @@ def flatten_table(text: str) -> str:
             r = r[:-1]
         out_rows.append("\t".join(r))
     return "\n".join(out_rows)
+
+
+# --------------------------------------------------------------------------
+# Table GRID extraction (M8/M9 — rebuilt from the reference's Docling
+# grid re-OCR: cell spans + coverage map src/docling_adapter.py:1255-1337,
+# sibling-geometry empty-slot fill :1339-1382, duplicate-column collapse
+# :847-861, spanned flatten `_cells_to_spanned_html` :1165-1203, grid
+# size guard src/layout_detector.py:777-781).
+#
+# Payload form (FIXTURES.md): body = "grid:R,C" header line, then one
+# cell per line "r0,c0[,r1,c1]|text" (end indices exclusive; omitted ->
+# 1x1). The span's media_ref, when present, is the sibling-geometry
+# re-OCR seam: its recognized payload carries "r,c|text" lines offering
+# recovered text for UNCOVERED slots only (the sandbox recognize codec
+# stands in for the per-cell TrOCR call).
+# --------------------------------------------------------------------------
+
+_GRID_HDR_RE = re.compile(r"^grid:(\d{1,3}),(\d{1,3})$")
+GRID_MAX_ROWS = 100           # src/layout_detector.py:778 size guard
+GRID_MAX_COLS = 50
+
+
+def parse_grid_table(body: str):
+    """Parse a grid-table payload -> (num_rows, num_cols, entries) where
+    entries are [r0, c0, r1, c1, text]; None if not a grid payload (the
+    caller falls back to the plain tab-grid flatten)."""
+    lines = (body or "").split("\n")
+    m = _GRID_HDR_RE.match(lines[0].strip()) if lines else None
+    if not m:
+        return None
+    num_rows, num_cols = int(m.group(1)), int(m.group(2))
+    entries: list[list] = []
+    for ln in lines[1:]:
+        head, sep, text = ln.partition("|")
+        if not sep:
+            continue
+        parts = head.split(",")
+        try:
+            if len(parts) == 2:
+                r0, c0 = int(parts[0]), int(parts[1])
+                r1, c1 = r0 + 1, c0 + 1
+            elif len(parts) == 4:
+                r0, c0, r1, c1 = (int(p) for p in parts)
+            else:
+                continue
+        except ValueError:
+            continue
+        entries.append([r0, c0, r1, c1, text])
+    return num_rows, num_cols, entries
+
+
+def grid_table_text(num_rows: int, num_cols: int, entries: list,
+                    fill_payload: str = "") -> str:
+    """Grid -> canonical plain text: clamp spans, validate cells, fill
+    uncovered slots from the media backup, collapse duplicate leading
+    columns (3->2), then the spanned-occupancy row walk."""
+    if num_rows <= 0 or num_cols <= 0:
+        return ""
+    if num_rows > GRID_MAX_ROWS or num_cols > GRID_MAX_COLS:
+        return ""             # size guard: oversized grids are quarantined
+    covered = [[False] * num_cols for _ in range(num_rows)]
+    norm: list[list] = []
+    for r0, c0, r1, c1, text in entries:
+        if r0 < 0 or c0 < 0 or r0 >= num_rows or c0 >= num_cols:
+            continue
+        r1 = min(max(r1, r0 + 1), num_rows)
+        c1 = min(max(c1, c0 + 1), num_cols)
+        t = clean_text(" ".join((text or "").split()))
+        if t:
+            compact = _WS_RE.sub("", t)
+            # digit-seed exception: pure 1-6 digit cells always survive
+            # (src/docling_adapter.py:1326-1330)
+            if not plausible_table_cell(t) and not (
+                    compact.isdigit() and 1 <= len(compact) <= 6):
+                t = ""
+        norm.append([r0, c0, r1, c1, t])
+        for rr in range(r0, r1):
+            for cc in range(c0, c1):
+                covered[rr][cc] = True
+
+    # empty-slot fill: accepted only for UNCOVERED slots, and only when
+    # substantial (>=4 Thai chars, a digit, or healthy Latin — the
+    # reference's fill accept rule, src/docling_adapter.py:1370-1377)
+    fills: dict[tuple[int, int], str] = {}
+    for ln in (fill_payload or "").split("\n"):
+        head, sep, t = ln.partition("|")
+        if not sep:
+            continue
+        try:
+            r_s, c_s = head.split(",")
+            fills[(int(r_s), int(c_s))] = t
+        except ValueError:
+            continue
+    for r in range(num_rows):
+        for c in range(num_cols):
+            if covered[r][c] or (r, c) not in fills:
+                continue
+            got = clean_text(" ".join(fills[(r, c)].split()))
+            if not got or not plausible_table_cell(got):
+                continue
+            digits = sum(1 for ch in got if ch.isdigit())
+            if (_thai_count(got) < 4 and digits < 1
+                    and not looks_like_healthy_latin(got)):
+                continue
+            norm.append([r, c, r + 1, c + 1, got])
+            covered[r][c] = True
+
+    # duplicate leading-column collapse, 3->2 only (the reference's
+    # Docling-specific rule, src/docling_adapter.py:847-861)
+    if num_cols == 3 and num_rows > 0:
+        grid = [[""] * 3 for _ in range(num_rows)]
+        for r0, c0, r1, c1, t in norm:
+            for rr in range(r0, r1):
+                for cc in range(c0, c1):
+                    grid[rr][cc] = t
+        if (all(row[0] == row[1] for row in grid)
+                and any(row[0] for row in grid)):
+            seen: set[tuple[int, int]] = set()
+            merged: list[list] = []
+            for r0, c0, r1, c1, t in norm:
+                nc0 = 0 if c0 <= 1 else c0 - 1
+                nc1 = max(c1 - 1, nc0 + 1)
+                if (r0, nc0) in seen:
+                    continue
+                seen.add((r0, nc0))
+                merged.append([r0, nc0, r1, nc1, t])
+            norm = merged
+            num_cols = 2
+
+    # spanned flatten: anchor text once per span, covered continuations
+    # consume no output cell (plain-rows walk of _cells_to_spanned_html)
+    occupied = [[False] * num_cols for _ in range(num_rows)]
+    meta: dict[tuple[int, int], tuple[int, int, str]] = {}
+    for r0, c0, r1, c1, t in norm:
+        meta[(r0, c0)] = (r1 - r0, c1 - c0, t)
+        for rr in range(r0, r1):
+            for cc in range(c0, c1):
+                occupied[rr][cc] = True
+    out_rows: list[str] = []
+    for r in range(num_rows):
+        plain: list[str] = []
+        c = 0
+        while c < num_cols:
+            if (r, c) in meta:
+                _, cs, t = meta[(r, c)]
+                plain.append(t)
+                c += cs
+            elif occupied[r][c]:
+                c += 1
+            else:
+                plain.append("")
+                c += 1
+        while plain and plain[-1] == "":
+            plain.pop()
+        if any(plain):
+            out_rows.append("\t".join(plain))
+    return "\n".join(out_rows)
+
+
+# --------------------------------------------------------------------------
+# Segment -> line clustering (W3 — rebuilt from `_segments_to_lines`,
+# src/pipeline.py:133-202: y-center overlap clustering at 0.6 x line
+# height, left-to-right within a line, Thai-aware join). The sandbox's
+# "multi-segment recognize output" is a media payload whose decoded text
+# is "segs:" followed by "x,y0,y1|text" lines.
+# --------------------------------------------------------------------------
+
+SEGS_PREFIX = "segs:\n"
+
+
+def encode_media_segments(segments: list[tuple[float, float, float, str]]) -> str:
+    """(x, y0, y1, text) segments -> a media_ref whose recognized payload
+    is the multi-segment form (FIXTURES.md; deterministic codec)."""
+    body = SEGS_PREFIX + "\n".join(
+        f"{x:.1f},{y0:.1f},{y1:.1f}|{t}" for x, y0, y1, t in segments)
+    return encode_media(body)
+
+
+def parse_segments_payload(raw: str):
+    """Decoded recognize payload -> segment tuples, or None if the
+    payload is not segmented (plain whole-text recognize)."""
+    if not raw or not raw.startswith(SEGS_PREFIX):
+        return None
+    segs: list[tuple[float, float, float, str]] = []
+    for ln in raw[len(SEGS_PREFIX):].split("\n"):
+        head, sep, t = ln.partition("|")
+        if not sep:
+            continue
+        try:
+            x_s, y0_s, y1_s = head.split(",")
+            segs.append((float(x_s), float(y0_s), float(y1_s), t))
+        except ValueError:
+            continue
+    return segs
+
+
+def segments_to_lines(segs: list[tuple[float, float, float, str]]) -> list[str]:
+    """Cluster segments into visual lines: sort by (y-center, x), grow a
+    cluster while |cy - first.cy| <= 0.6 x max(line heights), then join
+    each line left-to-right with the Thai-aware join and clean it."""
+    entries = []
+    for x, y0, y1, t in segs:
+        t = (t or "").strip()
+        if not t:
+            continue
+        entries.append(((y0 + y1) / 2.0, x, y1 - y0, t))
+    if not entries:
+        return []
+    entries.sort(key=lambda e: (e[0], e[1]))
+    lines: list[str] = []
+
+    def _flush(items) -> None:
+        items.sort(key=lambda e: e[1])
+        joined = ""
+        for _, _, _, t in items:
+            joined = join_text_blocks(joined, t)
+        t = clean_text(joined)
+        if t:
+            lines.append(t)
+
+    cluster = [entries[0]]
+    for e in entries[1:]:
+        ref = cluster[0]
+        tol = max(ref[2], e[2]) * 0.6
+        if abs(e[0] - ref[0]) <= tol:
+            cluster.append(e)
+        else:
+            _flush(cluster)
+            cluster = [e]
+    _flush(cluster)
+    return lines
+
+
+# --------------------------------------------------------------------------
+# Gridless table clustering (W5 — rebuilt from `_items_to_table`,
+# src/layout_detector.py:955-1039: loose positioned OCR items are
+# clustered into rows by y-center at max(15, 2% page height), ordered
+# left-to-right within a row, and padded to the widest row). Input is
+# the same multi-segment payload shape as W3, attached to a `table`
+# span with an empty body.
+# --------------------------------------------------------------------------
+
+
+def items_to_table(segs: list[tuple[float, float, float, str]]) -> str:
+    entries = []
+    for x, y0, y1, t in segs:
+        t = (t or "").strip()
+        if t:
+            entries.append(((y0 + y1) / 2.0, x, t))
+    if not entries:
+        return ""
+    entries.sort(key=lambda e: (e[0], e[1]))
+    thr = max(15.0, 0.02 * PAGE_H)
+    rows: list[list] = []
+    cur = [entries[0]]
+    for e in entries[1:]:
+        if abs(e[0] - cur[0][0]) < thr:
+            cur.append(e)
+        else:
+            rows.append(sorted(cur, key=lambda it: it[1]))
+            cur = [e]
+    rows.append(sorted(cur, key=lambda it: it[1]))
+    max_cols = max(len(r) for r in rows)
+    out = []
+    for r in rows:
+        cells = [clean_text(" ".join(t.split())) for (_, _, t) in r]
+        cells += [""] * (max_cols - len(r))
+        out.append("\t".join(cells))
+    return "\n".join(out)
 
 
 # --------------------------------------------------------------------------
@@ -395,17 +757,21 @@ def _route_span(kind: str, body: str, media_ref: str, page: int, y: float, x: fl
         return recognize_one(ref)
 
     if kind == "text":
+        from_ocr = False
         if not is_reliable_text(body):
             # unreliable text layer: recognize from media if present,
             # else drop (reference routes the page to the OCR branch,
             # src/pipeline.py:227-266 + 3762-3812)
             if media_ref:
                 body = _recognize(media_ref)
+                from_ocr = True
             else:
                 return None
         t = clean_text(body)
         if not t:
             return None
+        if from_ocr and looks_garbled_for_thai(t):
+            return None       # P5: OCR soup never replaces the text layer
         return Block("text", page, y, x, t, media_ref, src_offset, "text", w=w, h=h)
     if kind == "noisy_text":
         t = clean_text(body)
@@ -423,14 +789,50 @@ def _route_span(kind: str, body: str, media_ref: str, page: int, y: float, x: fl
             return None
         return Block("text", page, y, x, t, "", src_offset, "html", w=w, h=h)
     if kind == "image":
-        t = clean_text(_recognize(media_ref))
-        if not t:
+        raw = _recognize(media_ref)
+        segs = parse_segments_payload(raw)
+        if segs is not None:
+            # W3: multi-segment recognize output -> line clustering
+            t = "\n".join(segments_to_lines(segs))
+        else:
+            t = clean_text(raw)
+        if not t or looks_garbled_for_thai(t):
             return None
         return Block("text", page, y, x, t, media_ref, src_offset, "image", w=w, h=h)
+    if kind == "band":
+        # M11 recovery band: a media-backed scan of one duty-list item.
+        # Routed provisionally; finalize admits it only if its marker is
+        # MISSING from the document text (additive-only,
+        # src/pipeline.py:1727-1875). Soft-wrap lines join Thai-aware
+        # (src/pipeline.py:1823-1838).
+        t = clean_text(_recognize(media_ref))
+        if not t or looks_garbled_for_thai(t):
+            return None
+        parts = [ln for ln in t.split("\n") if ln.strip()]
+        tok = parts[0].split(" ", 1)[0] if parts else ""
+        if not (tok.endswith(")") and is_valid_section_marker(tok)):
+            return None       # band must lead with an "N)" duty marker
+        best = parts[0]
+        for ln in parts[1:]:
+            head = ln.split(" ", 1)[0]
+            if head.endswith(")") and is_valid_section_marker(head):
+                break         # next item's band bleed-through
+            best = join_text_blocks(best, ln)
+        return Block("text", page, y, x, best, media_ref, src_offset, "band", w=w, h=h)
     if kind == "figure":
         return Block("figure", page, y, x, "", media_ref, src_offset, "figure", w=w, h=h)
     if kind == "table":
-        t = flatten_table(body)
+        grid = parse_grid_table(body)
+        if grid is not None:
+            num_rows, num_cols, entries = grid
+            fill = _recognize(media_ref) if media_ref else ""
+            t = grid_table_text(num_rows, num_cols, entries, fill)
+        elif not body.strip() and media_ref:
+            # gridless table: loose OCR items from the media payload (W5)
+            segs = parse_segments_payload(_recognize(media_ref))
+            t = items_to_table(segs) if segs is not None else ""
+        else:
+            t = flatten_table(body)
         if not t:
             return None
         return Block("table", page, y, x, t, media_ref, src_offset, "table", w=w, h=h)
@@ -565,9 +967,9 @@ def _is_near_duplicate(a: str, b: str) -> bool:
 def _dedup_page(blocks: list[Block]) -> list[Block]:
     """Per-page dedup, simplified from the reference's
     `_dedup_page_text_blocks` (src/pipeline.py:518-560): exact key dedup
-    keeps the richest duplicate (reference prefers the Thai-richest;
-    here: longest), near-dup scans a 12-block look-back window (no
-    y-proximity gate) and keeps the earlier block."""
+    keeps the richest duplicate (Thai content first, then length — the
+    reference's preference), near-dup scans a 12-block look-back window
+    (no y-proximity gate) and keeps the earlier block."""
     by_page: dict[int, list[Block]] = {}
     for b in blocks:
         by_page.setdefault(b.page, []).append(b)
@@ -584,8 +986,11 @@ def _dedup_page(blocks: list[Block]) -> list[Block]:
             k = b.norm_key = text_norm_key(b.text)
             if k in best_idx:
                 idx = best_idx[k]
-                if len(b.text) > len(order[idx].text):
-                    order[idx] = b  # richer duplicate replaces in place
+                o = order[idx]
+                # richest duplicate wins: Thai content first (the
+                # reference's preference), then length
+                if (_thai_count(b.text), len(b.text)) > (_thai_count(o.text), len(o.text)):
+                    order[idx] = b
                 continue
             best_idx[k] = len(order)
             order.append(b)
@@ -653,10 +1058,13 @@ def _merge_section_stubs(blocks: list[Block]) -> list[Block]:
 
 def _prune_structure_topk(blocks: list[Block], max_figs: int = 2,
                           max_tables: int = 2) -> list[Block]:
-    """T1 structure pruning (reference `_prune_structure_blocks` /
-    `_select_page_structure`, src/pipeline.py:2538-2600): per page keep
-    the `max_figs` largest figures (bbox area desc, then (y, x)) and the
-    `max_tables` richest tables (text length desc, then (y, x))."""
+    """T1+T4 structure pruning (reference `_select_page_structure`,
+    src/pipeline.py:2538-2555): per page keep the `max_figs` largest
+    figures (bbox area desc, then (y, x)) and the `max_tables` richest
+    tables (text length desc, then (y, x)). T4: a figure under 8% of the
+    page's largest figure area is a sliver and is dropped even inside
+    the top-k (src/pipeline.py:2548-2550); point-positioned figures
+    (no bbox) bypass the area gate — they carry no geometry to compare."""
     keep: set[int] = set()
     by_page: dict[int, list[tuple[int, Block]]] = {}
     for i, b in enumerate(blocks):
@@ -668,10 +1076,109 @@ def _prune_structure_topk(blocks: list[Block], max_figs: int = 2,
         figs = [(i, b) for i, b in page_items if b.kind == "figure"]
         tabs = [(i, b) for i, b in page_items if b.kind == "table"]
         figs.sort(key=lambda ib: (-(ib[1].w * ib[1].h), ib[1].y, ib[1].x, ib[1].seq))
+        if figs:
+            max_area = figs[0][1].w * figs[0][1].h
+            if max_area > 0:
+                min_area = max(max_area * 0.08, 1.0)
+                figs = [ib for ib in figs
+                        if ib[1].w * ib[1].h <= 0
+                        or ib[1].w * ib[1].h >= min_area]
         tabs.sort(key=lambda ib: (-len(ib[1].text), ib[1].y, ib[1].x, ib[1].seq))
         keep.update(i for i, _ in figs[:max_figs])
         keep.update(i for i, _ in tabs[:max_tables])
     return [b for i, b in enumerate(blocks) if i in keep]
+
+
+_MARKER_NUM_RE = re.compile(r"^(\d{1,2})\)")
+
+
+def _recover_missing_markers(blocks: list[Block]) -> list[Block]:
+    """M11-lite additive band recovery (rebuilt from
+    `_add_missing_list_markers`, src/pipeline.py:1727-1875): a routed
+    band block is admitted only when its duty marker "N)" is missing
+    from the document's own text AND its content passes the substance
+    gates (>=12 letters or a >=4-letter Latin word — the reference's
+    thai>=12 / [A-Za-z]{4,} accept rule); otherwise it is dropped.
+    Recovery is strictly additive: present markers never get replaced."""
+    bands = [b for b in blocks if b.src_kind == "band"]
+    if not bands:
+        return blocks
+    joined = "\n".join(b.text for b in blocks
+                       if b.kind == "text" and b.src_kind != "band")
+    out = [b for b in blocks if b.src_kind != "band"]
+    for b in sorted(bands, key=lambda b: (b.page, b.y, b.x, b.src_offset)):
+        m = _MARKER_NUM_RE.match(b.text)
+        if m is None:
+            continue
+        num = m.group(1)
+        if re.search(rf"(?:^|\n)\s*{num}\s*\)", joined):
+            continue          # marker already present -> additive only
+        content = b.text[m.end():].strip()
+        letters = sum(1 for ch in content if ch.isalpha())
+        if letters < 12 and not re.search(r"[A-Za-z]{4,}", content):
+            continue          # substance gate
+        out.append(b)
+        joined += "\n" + b.text
+    return out
+
+
+def _overlap_frac_of_inner(inner: Block, outer: Block) -> float:
+    """Fraction of *inner*'s bbox area inside *outer* (reference
+    `_mostly_inside`, src/pipeline.py:2442-2454)."""
+    if inner.w <= 0 or inner.h <= 0 or outer.w <= 0 or outer.h <= 0:
+        return 0.0
+    ix0 = max(inner.x, outer.x)
+    iy0 = max(inner.y, outer.y)
+    ix1 = min(inner.x + inner.w, outer.x + outer.w)
+    iy1 = min(inner.y + inner.h, outer.y + outer.h)
+    if ix1 <= ix0 or iy1 <= iy0:
+        return 0.0
+    return (ix1 - ix0) * (iy1 - iy0) / max(inner.w * inner.h, 1e-9)
+
+
+_SECONDARY_SRC_KINDS = ("image", "band")
+_PRIMARY_SRC_KINDS = ("text", "html", "boiler", "noisy_text")
+
+
+def _replace_weak_primaries(blocks: list[Block]) -> list[Block]:
+    """J2 full complementary merge (rebuilt from
+    `_merge_complementary_blocks`'s weak-primary swap,
+    src/pipeline.py:2478-2496): a secondary (OCR-sourced) text block
+    whose bbox lies mostly (>0.65) inside a primary (embedded-layer)
+    block REPLACES that primary's content when it is much richer
+    (>15 more letters and longer, or the primary is a bare section
+    stub). Exact duplicates are left to the dedup pass. The replacement
+    keeps the primary's geometry/seq so reading order is unchanged
+    (divergence from the reference, which re-sorts on the secondary's
+    bbox — our synthetic overlap makes the two equivalent)."""
+    prim_idx = [i for i, b in enumerate(blocks)
+                if b.kind == "text" and b.src_kind in _PRIMARY_SRC_KINDS
+                and b.w > 0 and b.h > 0]
+    if not prim_idx:
+        return blocks
+    consumed: set[int] = set()
+    for j, s in enumerate(blocks):
+        if (s.kind != "text" or s.src_kind not in _SECONDARY_SRC_KINDS
+                or s.w <= 0 or s.h <= 0):
+            continue
+        for i in prim_idx:
+            p = blocks[i]
+            if p.page != s.page or _overlap_frac_of_inner(s, p) <= 0.65:
+                continue
+            if text_norm_key(s.text) == text_norm_key(p.text):
+                break         # exact dup -> handled by _dedup_page
+            a_s = sum(1 for ch in s.text if ch.isalpha())
+            a_p = sum(1 for ch in p.text if ch.isalpha())
+            if a_s > a_p + 15 and (len(s.text) > len(p.text)
+                                   or _SECTION_STUB_RE.match(p.text.strip())):
+                blocks[i] = Block(p.kind, p.page, p.y, p.x, s.text,
+                                  s.media_ref, p.src_offset, s.src_kind,
+                                  seq=p.seq, w=p.w, h=p.h)
+                consumed.add(j)
+            break
+    if not consumed:
+        return blocks
+    return [b for j, b in enumerate(blocks) if j not in consumed]
 
 
 def _center_in_rect(b: Block, r: Block) -> bool:
@@ -813,12 +1320,16 @@ def route_spans(spans: list[dict],
 
 
 def finalize_blocks(blocks: list[Block]) -> list[tuple[str, str, str, int]]:
-    """Phase 2 (needs the whole document): cross-page footer-repeat strip,
-    same-page stub merge / dedup, reading order, figure numbering, dense
+    """Phase 2 (needs the whole document): mashed-marker split, missing-
+    marker band recovery, weak-primary replacement, cross-page footer-
+    repeat strip, stub merge, dedup, structure prune, overlap
+    suppression, reading order, paragraph merge, figure numbering, dense
     offsets. Cheap relative to routing — operates on cleaned blocks."""
     if not blocks:
         return []
     blocks = _split_mashed_markers(blocks)
+    blocks = _recover_missing_markers(blocks)
+    blocks = _replace_weak_primaries(blocks)
     blocks = _drop_repeating_footers(blocks)
     blocks = _merge_section_stubs(blocks)
     blocks = _dedup_page(blocks)

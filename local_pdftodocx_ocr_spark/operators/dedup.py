@@ -9,9 +9,10 @@ The dedup ladder a training-data pipeline runs (SURVEY.md task brief):
 * SimHash      — 64-bit near-dup signature, hamming-bucket join
 * embedding cosine near-dup — see similarity.py
 
-Exact and Jaccard have DuckDB oracles. MinHash/SimHash use xxhash64
-(JVM-side, no DuckDB equivalent) — they are rows-only checked by the
-driver and property-tested against the exact-Jaccard oracle in pytest
+Exact and Jaccard have direct DuckDB SQL oracles. MinHash (md5-based
+double hashing) and SimHash (blake2b) are recomputed sequentially on
+the driver and inlined as VALUES oracles (seq_oracles.py), plus
+property-tested against the exact-Jaccard oracle in pytest
 (candidates ⊇ high-similarity pairs).
 """
 
@@ -19,7 +20,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 MINHASH_PERMS = 32          # minhash signature length
-LSH_BANDS = 8               # 8 bands x 4 rows -> catches J >= ~0.6
+# 16 bands x 2 rows: P(candidate | J) = 1-(1-J^2)^16 -> 0.997 at J=0.6.
+# (8x4 banding only reaches ~0.67 at the threshold; round 1 passed the
+# full-recall pytest on luck. More bands = slightly more verify work on
+# mid-similarity pairs, but recall at the threshold is what the
+# composed pipeline's correctness rests on.)
+LSH_BANDS = 16
 LSH_ROWS = MINHASH_PERMS // LSH_BANDS
 JACCARD_THRESHOLD = 0.6
 
@@ -166,10 +172,23 @@ WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= {JACCARD_THRESHOLD}
 # MinHash + LSH candidate generation (the at-scale path; JVM-side xxhash64)
 # ---------------------------------------------------------------------------
 
+# The textbook pairwise-independent permutation family over the prime
+# field p = 2^31-1: perm_i(s) = (a_i * h(s) + b_i) mod p, h = the first
+# 32 bits of md5(s) reduced mod p. All intermediates stay < 2^62 (ANSI-
+# safe long arithmetic), md5 keeps the signature *sequentially
+# reproducible* (hashlib mirror -> VALUES oracle). Seeded coefficients;
+# no wall clock, no global hash seed.
+MINHASH_PRIME = (1 << 31) - 1
+_coeff_rng = __import__("random").Random(0xA11CE)
+MINHASH_COEFFS = [(1 + _coeff_rng.randrange(MINHASH_PRIME - 1),
+                   _coeff_rng.randrange(MINHASH_PRIME))
+                  for _ in range(MINHASH_PERMS)]
+
+
 def minhash_signatures(d: DataFrame) -> DataFrame:
     """32-perm minhash over distinct word-3-gram shingles, entirely
-    with built-in expressions: perm_i(doc) = min over shingles of
-    xxhash64(shingle, i). No Python, no UDF."""
+    with built-in expressions (no Python, no UDF): one md5 per shingle,
+    32 (a*h+b) mod p permutations, 32 min-aggregates."""
     # Explode shingles once, then 32 min-aggregates in a single hash
     # aggregation (map-side partial agg; one shuffle on doc_id). The
     # array-expression form (32 x transform over a rebuilt shingle
@@ -177,9 +196,15 @@ def minhash_signatures(d: DataFrame) -> DataFrame:
     # shingle base as the exact tier, so LSH recall vs capped Jaccard
     # keeps its guarantee.
     sh = _capped_shingles(d)
-    aggs = [F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"m{i}")
-            for i in range(MINHASH_PERMS)]
-    wide = sh.groupBy("doc_id").agg(*aggs)
+    hx = F.md5(F.col("s"))
+    hashed = sh.select(
+        "doc_id",
+        F.pmod(F.conv(F.substring(hx, 1, 8), 16, 10).cast("long"),
+               F.lit(MINHASH_PRIME)).alias("h"))
+    aggs = [F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b),
+                         F.lit(MINHASH_PRIME))).alias(f"m{i}")
+            for i, (a, b) in enumerate(MINHASH_COEFFS)]
+    wide = hashed.groupBy("doc_id").agg(*aggs)
     sig = F.array(*[F.col(f"m{i}") for i in range(MINHASH_PERMS)])
     return wide.select("doc_id", sig.alias("sig"))
 
@@ -196,7 +221,10 @@ def dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = F.array(*[
         F.struct(
             F.lit(b).alias("band"),
-            F.xxhash64(*[F.col("sig")[b * LSH_ROWS + r] for r in range(LSH_ROWS)]).alias("bh"),
+            # band key = the band's signature values verbatim (joined);
+            # grouping needs only equality, not another hash
+            F.concat_ws("_", *[F.col("sig")[b * LSH_ROWS + r].cast("string")
+                               for r in range(LSH_ROWS)]).alias("bh"),
         )
         for b in range(LSH_BANDS)
     ])
@@ -337,10 +365,18 @@ QUERIES = {
     "docs_simhash64": simhash64,
 }
 
-ORACLES = {
-    "docs_dedup_exact": DEDUP_EXACT_SQL,
-    "docs_dedup_keep_list": DEDUP_KEEP_SQL,
-    "docs_dedup_jaccard_pairs": DEDUP_JACCARD_SQL,
-    # minhash/simhash: xxhash64/blake2b have no DuckDB equivalent ->
-    # rows-only driver check; pytest property-tests candidates ⊇ oracle pairs.
-}
+
+def oracles() -> dict[str, str]:
+    from .. import seq_oracles
+    return {
+        "docs_dedup_exact": DEDUP_EXACT_SQL,
+        "docs_dedup_keep_list": DEDUP_KEEP_SQL,
+        "docs_dedup_jaccard_pairs": DEDUP_JACCARD_SQL,
+        # the at-scale pipeline must land on the exact keep list (LSH
+        # recall; pytest pins the set equality at the same sf)
+        "docs_dedup_pipeline_at_scale": DEDUP_KEEP_SQL,
+        # minhash/simhash: recomputed sequentially (hashlib md5/blake2b)
+        # and inlined as VALUES — full cross-engine hash checks
+        "docs_dedup_minhash_candidates": seq_oracles.minhash_candidates_values_sql(),
+        "docs_simhash64": seq_oracles.simhash_values_sql(),
+    }

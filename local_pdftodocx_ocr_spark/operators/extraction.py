@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import job, kernels, oracle, synth
+from .. import seq_oracles as _seq
 from ..functions.text import (
     clean_text_udf,
     recognize_udf,
@@ -293,8 +294,40 @@ def extract_html_render_oracle_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
-# At-scale pipeline over the driver's documents table (rows-only check;
-# also the entry()/bench flagship)
+# Focused operator-family queries (round 2): grid tables (M8/M9),
+# segment->line clustering (W3), marker band recovery (M11), weak-primary
+# complementary merge (J2). Each runs the full distributed pipeline over
+# a dedicated fixture corpus and is checked against the sequential
+# kernel oracle inlined as VALUES — distributed-vs-sequential equality.
+# ---------------------------------------------------------------------------
+
+_FLAT_COLS = ["doc_id", "kind", "text", "media_ref", "offset"]
+
+
+def _kind_query(name: str):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        corpus = synth.gen_kind_corpus(name)
+        docs = job.docs_df_from_corpus(spark, corpus)
+        unified = job.extract_spans(docs, num_partitions=4)
+        return explode_spans(job.split_unified(unified)[0])
+    q.__name__ = f"extract_{name}_query"
+    return q
+
+
+def _kind_oracle_sql(name: str) -> str:
+    rows = oracle.flat_rows(synth.gen_kind_corpus(name))
+    return _values_sql(rows, _FLAT_COLS, int_cols={"offset"})
+
+
+extract_table_grid = _kind_query("grid")
+extract_segments_to_lines = _kind_query("segments")
+extract_marker_recovery = _kind_query("band")
+extract_complementary_merge = _kind_query("weak")
+
+
+# ---------------------------------------------------------------------------
+# At-scale pipeline over the driver's documents table (VALUES oracle from
+# the sequential kernels; also the entry()/bench flagship)
 # ---------------------------------------------------------------------------
 
 def extract_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -306,6 +339,10 @@ def extract_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "extract_spans_golden": extract_spans_golden,
+    "extract_table_grid": extract_table_grid,
+    "extract_segments_to_lines": extract_segments_to_lines,
+    "extract_marker_recovery": extract_marker_recovery,
+    "extract_complementary_merge": extract_complementary_merge,
     "extract_lineage_totals": extract_lineage_totals,
     "extract_clean_text": extract_clean_text,
     "extract_boilerplate_html": extract_boilerplate_html,
@@ -320,6 +357,10 @@ QUERIES = {
 def oracles() -> dict[str, str]:
     return {
         "extract_spans_golden": extract_spans_golden_oracle_sql(),
+        "extract_table_grid": _kind_oracle_sql("grid"),
+        "extract_segments_to_lines": _kind_oracle_sql("segments"),
+        "extract_marker_recovery": _kind_oracle_sql("band"),
+        "extract_complementary_merge": _kind_oracle_sql("weak"),
         "extract_lineage_totals": extract_lineage_totals_oracle_sql(),
         "extract_clean_text": extract_clean_text_oracle_sql(),
         "extract_boilerplate_html": extract_boilerplate_html_oracle_sql(),
@@ -327,7 +368,7 @@ def oracles() -> dict[str, str]:
         "extract_txt_render": extract_txt_render_oracle_sql(),
         "extract_page_stats": extract_page_stats_oracle_sql(),
         "extract_html_render": extract_html_render_oracle_sql(),
-        # extract_from_documents: full pipeline over external-scale input;
-        # not SQL-expressible -> rows-only driver check (golden covers the
-        # exact-equality gate).
+        # full pipeline over the driver's documents table, checked against
+        # the sequential kernel oracle inlined as VALUES (seq_oracles)
+        "extract_from_documents": _seq.extract_from_documents_values_sql(),
     }

@@ -305,10 +305,15 @@ QUERIES = {
     "emb_knn_label_vote": knn_label_vote,
 }
 
-ORACLES = {
-    "emb_cosine_topk": COSINE_TOPK_SQL,
-    "emb_near_dup_pairs": EMB_NEAR_DUP_SQL,
-    # ann_lsh_topk: hyperplane signatures not expressible in DuckDB ->
-    # rows-only; recall vs brute force asserted in pytest.
-    "emb_knn_label_vote": KNN_VOTE_SQL,
-}
+def oracles() -> dict[str, str]:
+    from .. import seq_oracles
+    return {
+        "emb_cosine_topk": COSINE_TOPK_SQL,
+        "emb_near_dup_pairs": EMB_NEAR_DUP_SQL,
+        # ANN variants: hyperplane/centroid arithmetic recomputed
+        # sequentially (numpy candidates + exact Spark-fold cosine) and
+        # inlined as VALUES — full cross-engine hash checks
+        "emb_ann_lsh_topk": seq_oracles.ann_lsh_values_sql(),
+        "emb_ann_ivf_topk": seq_oracles.ann_ivf_values_sql(),
+        "emb_knn_label_vote": KNN_VOTE_SQL,
+    }

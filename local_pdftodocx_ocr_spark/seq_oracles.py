@@ -1,0 +1,284 @@
+"""Sequential (driver-side, Spark-free) oracles for the queries whose
+semantics are not directly SQL-expressible in DuckDB.
+
+Each function recomputes a query's expected output with plain Python /
+numpy over the same parquet input the driver registers (read via
+DuckDB), then serializes it as an inline ``VALUES`` table — the same
+trick operators/extraction.py uses for the golden pipeline. The
+driver's hash compare then becomes a genuine distributed-vs-sequential
+equality check for minhash/LSH candidates, simhash, both ANN variants
+and the full extraction pipeline over the documents table.
+
+The driver runs correctness at sf0.01; ``ORACLE_SF_DIR`` pins the same
+tables (override with $SPARK_GRAFT_ORACLE_SF_DIR if the harness ever
+moves). All functions are deterministic and cached per process.
+
+Float discipline: Spark-side cosine is a strict left fold of doubles
+(``F.aggregate(zip_with(...), 0.0, acc+v)``); the oracles reproduce the
+identical fold order in pure Python (IEEE doubles both sides), and
+``spark_round`` mirrors ``F.round``'s HALF_UP-on-shortest-decimal
+semantics, so equality is exact, not approximate.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+from decimal import ROUND_HALF_UP, Decimal
+from functools import lru_cache
+
+ORACLE_SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR",
+                               "/root/testdata/sf0.01")
+
+
+def _sql_quote(s: str) -> str:
+    return "'" + str(s).replace("'", "''") + "'"
+
+
+def values_sql(rows: list[tuple], cols: list[tuple[str, str]]) -> str:
+    """Inline VALUES table with per-column casts.
+
+    cols: list of (name, duckdb_type) where type ∈ {BIGINT, INTEGER,
+    DOUBLE, VARCHAR}. Numeric cells are emitted as literals, strings
+    quoted. Empty rows -> a typed WHERE-1=0 shell (valid, zero rows).
+    """
+    names = [c[0] for c in cols]
+    if not rows:
+        sel = ", ".join(f'CAST(NULL AS {t}) AS "{n}"' for n, t in cols)
+        return f"SELECT {sel} WHERE 1=0"
+
+    def lit(v, typ):
+        if typ == "VARCHAR":
+            return _sql_quote(v)
+        if typ == "DOUBLE":
+            return repr(float(v))
+        return str(int(v))
+
+    body = ",\n".join(
+        "(" + ", ".join(lit(v, t) for v, (_, t) in zip(row, cols)) + ")"
+        for row in rows)
+    col_list = ", ".join(f'"{n}"' for n in names)
+    casts = ", ".join(f'CAST("{n}" AS {t}) AS "{n}"' for n, t in cols)
+    return f"SELECT {casts} FROM (VALUES\n{body}\n) AS t({col_list})"
+
+
+def spark_round(x: float, scale: int) -> float:
+    """F.round semantics on DOUBLE: HALF_UP over the shortest decimal
+    representation (java BigDecimal.valueOf + setScale(HALF_UP))."""
+    if x != x or math.isinf(x):
+        return x
+    q = Decimal(1).scaleb(-scale)
+    return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
+
+
+@lru_cache(maxsize=4)
+def _documents(sf_dir: str) -> tuple[tuple[int, str], ...]:
+    import duckdb
+    rows = duckdb.connect().execute(
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet') "
+        "ORDER BY doc_id").fetchall()
+    return tuple((int(d), t) for d, t in rows)
+
+
+@lru_cache(maxsize=4)
+def _embeddings(sf_dir: str) -> tuple[tuple[int, tuple[float, ...], int], ...]:
+    import duckdb
+    rows = duckdb.connect().execute(
+        f"SELECT vec_id, embedding, label FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet') ORDER BY vec_id").fetchall()
+    return tuple((int(v), tuple(float(x) for x in e), int(lb))
+                 for v, e, lb in rows)
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH candidate pairs (mirrors operators/dedup.py exactly)
+# ---------------------------------------------------------------------------
+
+
+def _doc_shingles(text: str) -> set[str]:
+    toks = (text or "").split(" ")          # F.split(col, " ") semantics
+    if len(toks) < 3:
+        return set()
+    return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+
+def _capped_shingle_index(docs, cap: int) -> dict[int, set[str]]:
+    per_doc = {d: _doc_shingles(t) for d, t in docs}
+    df: dict[str, int] = {}
+    for sh in per_doc.values():
+        for s in sh:
+            df[s] = df.get(s, 0) + 1
+    hot = {s for s, n in df.items() if n > cap}
+    return {d: sh - hot for d, sh in per_doc.items() if sh - hot}
+
+
+def seq_minhash_candidates(sf_dir: str = ORACLE_SF_DIR) -> list[tuple[int, int]]:
+    from .operators.dedup import (
+        LSH_BANDS,
+        LSH_ROWS,
+        MINHASH_COEFFS,
+        MINHASH_PERMS,
+        MINHASH_PRIME,
+        SHINGLE_DF_CAP,
+    )
+    index = _capped_shingle_index(_documents(sf_dir), SHINGLE_DF_CAP)
+    hcache: dict[str, int] = {}
+    sigs: dict[int, list[int]] = {}
+    for d, shingles in index.items():
+        sig = [None] * MINHASH_PERMS
+        for s in shingles:
+            h = hcache.get(s)
+            if h is None:
+                hx = hashlib.md5(s.encode("utf-8")).hexdigest()
+                h = hcache[s] = int(hx[:8], 16) % MINHASH_PRIME
+            for i, (a, b) in enumerate(MINHASH_COEFFS):
+                v = (a * h + b) % MINHASH_PRIME
+                if sig[i] is None or v < sig[i]:
+                    sig[i] = v
+        sigs[d] = sig
+    buckets: dict[tuple, list[int]] = {}
+    for d, sig in sigs.items():
+        for b in range(LSH_BANDS):
+            key = (b, tuple(sig[b * LSH_ROWS: (b + 1) * LSH_ROWS]))
+            buckets.setdefault(key, []).append(d)
+    pairs: set[tuple[int, int]] = set()
+    for members in buckets.values():
+        members.sort()
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                pairs.add((members[i], members[j]))
+    return sorted(pairs)
+
+
+def minhash_candidates_values_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
+    return values_sql(seq_minhash_candidates(sf_dir),
+                      [("doc1", "BIGINT"), ("doc2", "BIGINT")])
+
+
+# ---------------------------------------------------------------------------
+# SimHash64 (sequential form lives in operators/dedup.py: simhash_of_text)
+# ---------------------------------------------------------------------------
+
+
+def simhash_values_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
+    from .operators.dedup import simhash_of_text
+    rows = [(d, simhash_of_text(t)) for d, t in _documents(sf_dir)]
+    return values_sql(rows, [("doc_id", "BIGINT"), ("simhash", "BIGINT")])
+
+
+# ---------------------------------------------------------------------------
+# ANN (LSH + IVF): candidate generation in numpy (identical arithmetic),
+# scoring with the exact Spark fold order in pure Python
+# ---------------------------------------------------------------------------
+
+
+def _fold_cosine(a: tuple[float, ...], b: tuple[float, ...]) -> float:
+    """Bit-exact mirror of operators/similarity.py::_cosine — a strict
+    left fold of IEEE doubles in array order on both engines."""
+    dot = 0.0
+    for x, y in zip(a, b):
+        dot = dot + x * y
+    na = 0.0
+    for x in a:
+        na = na + x * x
+    nb = 0.0
+    for y in b:
+        nb = nb + y * y
+    return dot / (math.sqrt(na) * math.sqrt(nb))
+
+
+def _topk_rows(cand_ids: dict[int, set[int]], emb: dict[int, tuple[float, ...]],
+               top_k: int) -> list[tuple[int, int, float, int]]:
+    rows = []
+    for qid in sorted(cand_ids):
+        scored = [(-_fold_cosine(emb[qid], emb[v]), v) for v in cand_ids[qid]]
+        scored.sort()
+        for rk, (neg, v) in enumerate(scored[:top_k], start=1):
+            rows.append((qid, v, spark_round(-neg, 3), rk))
+    return rows
+
+
+def seq_ann_lsh_topk(sf_dir: str = ORACLE_SF_DIR) -> list[tuple[int, int, float, int]]:
+    import numpy as np
+
+    from .operators import similarity as sim
+    data = _embeddings(sf_dir)
+    emb = {v: e for v, e, _ in data}
+    ids = np.array([v for v, _, _ in data], dtype=np.int64)
+    v = np.array([e for _, e, _ in data], dtype=np.float64)
+    planes = sim._hyperplanes().reshape(sim.LSH_TABLES * sim.LSH_BITS, -1)
+    bits = (v @ planes.T) >= 0
+    bits = bits.reshape(len(v), sim.LSH_TABLES, sim.LSH_BITS)
+    weights = (1 << np.arange(sim.LSH_BITS)).astype(np.int64)
+    buckets = (bits * weights).sum(axis=2)          # (n, tables)
+    cand: dict[int, set[int]] = {int(q): set() for q in ids if q < sim.N_QUERIES}
+    by_tb: dict[tuple[int, int], list[int]] = {}
+    for row, vid in enumerate(ids):
+        for t in range(sim.LSH_TABLES):
+            by_tb.setdefault((t, int(buckets[row, t])), []).append(int(vid))
+    for (t, b), members in by_tb.items():
+        qs = [m for m in members if m < sim.N_QUERIES]
+        for q in qs:
+            for m in members:
+                if m != q:
+                    cand[q].add(m)
+    return _topk_rows(cand, emb, sim.TOP_K)
+
+
+def seq_ann_ivf_topk(sf_dir: str = ORACLE_SF_DIR) -> list[tuple[int, int, float, int]]:
+    import numpy as np
+
+    from .operators import similarity as sim
+    data = _embeddings(sf_dir)
+    emb = {v: e for v, e, _ in data}
+    ids = np.array([v for v, _, _ in data], dtype=np.int64)
+    v = np.array([e for _, e, _ in data], dtype=np.float64)
+    cent = np.stack([np.asarray(emb[i], dtype=np.float64)
+                     for i in range(sim._IVF_CENTROID_BASE,
+                                    sim._IVF_CENTROID_BASE + sim.IVF_CELLS)])
+    cn = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+    vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+    sims = vn @ cn.T
+    corpus_cell = np.argsort(-sims, axis=1, kind="stable")[:, 0]
+    cells: dict[int, list[int]] = {}
+    for row, vid in enumerate(ids):
+        cells.setdefault(int(corpus_cell[row]), []).append(int(vid))
+    cand: dict[int, set[int]] = {}
+    for row, vid in enumerate(ids):
+        if vid >= sim.N_QUERIES:
+            continue
+        probe = np.argsort(-sims[row], kind="stable")[: sim.IVF_NPROBE]
+        members = {m for c in probe for m in cells.get(int(c), ()) if m != vid}
+        cand[int(vid)] = members
+    return _topk_rows(cand, emb, sim.TOP_K)
+
+
+def _ann_values_sql(rows) -> str:
+    return values_sql(rows, [("qid", "BIGINT"), ("neighbor", "BIGINT"),
+                             ("cos", "DOUBLE"), ("rk", "INTEGER")])
+
+
+def ann_lsh_values_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
+    return _ann_values_sql(seq_ann_lsh_topk(sf_dir))
+
+
+def ann_ivf_values_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
+    return _ann_values_sql(seq_ann_ivf_topk(sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Full extraction pipeline over the documents table (sequential kernels)
+# ---------------------------------------------------------------------------
+
+
+def extract_from_documents_values_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
+    from . import kernels, synth
+    rows: list[tuple] = []
+    for d, t in _documents(sf_dir):
+        spans = synth.spans_from_flat_doc(d, t)
+        for kind, text, ref, off in kernels.extract_document(f"doc-{d:08d}", spans):
+            rows.append((f"doc-{d:08d}", kind, text, ref, off))
+    return values_sql(rows, [("doc_id", "VARCHAR"), ("kind", "VARCHAR"),
+                             ("text", "VARCHAR"), ("media_ref", "VARCHAR"),
+                             ("offset", "INTEGER")])

@@ -185,9 +185,99 @@ def _table_doc(rng: random.Random) -> list[dict]:
     ]
 
 
+def _grid_table_doc(rng: random.Random) -> list[dict]:
+    """M8/M9 grid-table fixtures: spanned header, rowspan, a garble cell
+    (must drop), an uncovered slot filled from the media backup, and a
+    3-column grid with duplicated leading columns (must collapse 3->2)."""
+    g1 = "\n".join([
+        "grid:3,3",
+        "0,0,1,3|Inventory summary",          # colspan-3 header
+        "1,0,3,1|หมวด",                        # rowspan-2 label
+        "1,1|Printer",
+        "1,2|12",
+        "2,1|XKQJWPTRZ BNMKL",                # OCR soup -> dropped
+        # (2,2) left uncovered -> media fill offers "7"
+    ])
+    fill1 = kernels.encode_media("2,2|7")
+    g2 = "\n".join([                           # duplicate leading cols
+        "grid:2,3",
+        "0,0|item", "0,1|item", "0,2|qty",
+        "1,0|disk", "1,1|disk", "1,2|4",
+    ])
+    g3 = "\n".join([                           # implausible fill rejected
+        "grid:1,2",
+        "0,0|Total",
+    ])
+    fill3 = kernels.encode_media("0,1|~~~~")
+    # gridless table: loose positioned items clustered into rows (W5)
+    loose = kernels.encode_media_segments([
+        (300.0, 100.0, 120.0, "qty"),
+        (40.0, 102.0, 118.0, "name"),
+        (40.0, 200.0, 220.0, "bolt"),
+        (300.0, 198.0, 222.0, "12"),
+        (40.0, 260.0, 280.0, "nut"),           # short row -> padded
+    ])
+    return [
+        _span("text", 0, 80, 40, _sentence(rng, 8), "", 0),
+        _span("table", 0, 200, 40, g1, fill1, 1, w=500, h=200),
+        _span("table", 0, 500, 40, g2, "", 2, w=500, h=100),
+        _span("table", 1, 200, 40, g3, fill3, 3, w=300, h=60),
+        _span("table", 1, 500, 40, "", loose, 4, w=400, h=200),
+        _span("boiler", 0, 960, 420, "Page 1 of 2", "", 5),
+    ]
+
+
+def _segments_doc(rng: random.Random) -> list[dict]:
+    """W3 fixtures: a multi-segment recognize payload whose segments
+    arrive out of order — two lines, the first with a Thai join pair and
+    an x-sorted pair, the second a single segment."""
+    segs = [
+        (400.0, 102.0, 118.0, "ไท"),           # line 1, right part (Thai join)
+        (300.0, 100.0, 120.0, "ภาษา"),         # line 1, mid (Thai->Thai no space)
+        (40.0, 104.0, 117.0, "heading"),       # line 1, leftmost
+        (40.0, 160.0, 180.0, "second visual line"),
+        (500.0, 163.0, 181.0, "tail"),         # same line 2 by y-center
+    ]
+    return [
+        _span("image", 0, 100, 40, "", kernels.encode_media_segments(segs), 0),
+        _span("text", 0, 400, 40, _sentence(rng, 9), "", 1),
+    ]
+
+
+def _band_doc(rng: random.Random) -> list[dict]:
+    """M11 fixtures: duty list with 5) missing from the text layer; a
+    recovery band supplies it. A band for the present 4) must be
+    dropped (additive-only), and a thin band fails the substance gate."""
+    spans = []
+    off = 0
+    for i, m in enumerate(("3)", "4)", "6)")):
+        spans.append(_span("text", 0, 200 + 60 * i, 60,
+                           f"{m} {_sentence(rng, 6)}", "", off)); off += 1
+    spans.append(_span("band", 0, 260, 58, "",
+                       kernels.encode_media(f"5) {_sentence(rng, 7)}"), off)); off += 1
+    spans.append(_span("band", 0, 230, 58, "",
+                       kernels.encode_media(f"4) {_sentence(rng, 7)}"), off)); off += 1
+    spans.append(_span("band", 0, 290, 58, "",
+                       kernels.encode_media("9) ok"), off)); off += 1
+    return spans
+
+
+def _weak_primary_doc(rng: random.Random) -> list[dict]:
+    """J2 fixtures: a weak embedded-text primary whose bbox contains a
+    much richer OCR secondary -> the secondary's text replaces it; an
+    equally-sized secondary elsewhere stays a separate block."""
+    rich = _sentence(rng, 12)
+    return [
+        _span("text", 0, 100, 40, "brief note", "", 0, w=600, h=40),
+        _span("image", 0, 110, 60, "", kernels.encode_media(rich), 1, w=300, h=20),
+        _span("text", 0, 300, 40, _sentence(rng, 10), "", 2, w=600, h=40),
+    ]
+
+
 _DOC_BUILDERS = (
     _demo_doc, _general_doc, _html_doc, _image_doc, _thai_doc,
     _unreliable_doc, _two_column_doc, None, _neardup_doc, _table_doc,
+    _grid_table_doc, _segments_doc, _band_doc, _weak_primary_doc,
 )
 
 
@@ -195,15 +285,17 @@ def gen_doc(i: int, seed: int = 42) -> tuple[str, list[dict]]:
     """One deterministic document; stable regardless of corpus size."""
     doc_id = f"doc-{i:06d}"
     rng = random.Random(seed * 1_000_003 + i)
-    builder = _DOC_BUILDERS[i % 10]
+    builder = _DOC_BUILDERS[i % len(_DOC_BUILDERS)]
     if builder is None:
         # edge docs: mostly small mixed, occasionally empty / media-only
+        # (moduli chosen so each variant appears among the i%14==7 slots
+        # of the 48-doc golden corpus: 7 empty, 21 media-only, 35 wrapped)
         if i % 50 == 7:
             return doc_id, []
-        if i % 30 == 17:
+        if i % 30 == 21:
             return doc_id, [_span("figure", 0, 400, 100, "",
                                   kernels.encode_media("lonely"), 0)]
-        if i % 30 == 27:
+        if i % 30 == 5:
             # wrapped lines: small gaps + line heights -> W4 paragraph merge
             return doc_id, [
                 _span("text", 0, 100, 40, _sentence(rng, 8), "", 0, w=600, h=30),
@@ -218,6 +310,22 @@ def gen_doc(i: int, seed: int = 42) -> tuple[str, list[dict]]:
             _span("text", 0, 400, 40, _sentence(rng, 7), "", 1),
         ]
     return doc_id, builder(rng)
+
+
+_KIND_BUILDERS = {
+    "grid": _grid_table_doc,
+    "segments": _segments_doc,
+    "band": _band_doc,
+    "weak": _weak_primary_doc,
+}
+
+
+def gen_kind_corpus(name: str, n_docs: int = 6, seed: int = 77) -> list[tuple[str, list[dict]]]:
+    """Focused corpus of one fixture family (operator-specific driver
+    queries); deterministic per (name, seed, index)."""
+    builder = _KIND_BUILDERS[name]
+    return [(f"{name}-{k:03d}", builder(random.Random(seed * 10_007 + k)))
+            for k in range(n_docs)]
 
 
 def gen_corpus(n_docs: int = 200, seed: int = 42, skew: bool = False) -> list[tuple[str, list[dict]]]:
@@ -274,6 +382,21 @@ def spans_from_flat_doc(doc_id: int, text: str) -> list[dict]:
             half = max(1, len(ws) // 2)
             grid = "\t".join(ws[:half]) + "\n" + "\t".join(ws[half:] or ["-"])
             spans.append(_span("table", page, y, 60, grid, "", off))
+        elif doc_id % 11 == 4 and idx == 4:
+            # grid-table span with a spanned header + media slot fill
+            ws = chunk.split()
+            half = max(1, len(ws) // 2)
+            grid = ("grid:2,2\n0,0,1,2|" + " ".join(ws[:half])
+                    + "\n1,0|" + " ".join(ws[half:] or ["-"]))
+            fill = kernels.encode_media(f"1,1|{doc_id % 97}")
+            spans.append(_span("table", page, y, 60, grid, fill, off))
+        elif doc_id % 13 == 6 and idx == 5:
+            # multi-segment recognize payload (one visual line per word pair)
+            ws = chunk.split()[:6] or ["-"]
+            segs = [(40.0 + 30.0 * k, 100.0 + 40.0 * (k // 2),
+                     118.0 + 40.0 * (k // 2), w) for k, w in enumerate(ws)]
+            spans.append(_span("image", page, y, 60, "",
+                               kernels.encode_media_segments(segs), off))
         else:
             spans.append(_span("noisy_text" if (doc_id + idx) % 7 == 3 else "text",
                                page, y, 60, chunk, "", off))

@@ -129,10 +129,11 @@ def test_anti_leak_general_docs(spark):
     """FIXTURES.md §4 anti-leak analog (reference _check_general_pdf):
     general docs must carry their own sentinels verbatim and must NOT
     contain demo-doc phrases (no cross-document contamination)."""
-    corpus = synth.gen_corpus(40)
+    cycle = len(synth._DOC_BUILDERS)
+    corpus = synth.gen_corpus(3 * cycle)
     ex = oracle.extract_corpus(corpus)
     demo_only = {"Confidential", "internal draft"}
-    for i in range(1, 40, 10):  # general-like docs
+    for i in range(1, 3 * cycle, cycle):  # general-like docs
         texts = " ".join(t for (_, t, _, _) in ex[f"doc-{i:06d}"])
         assert "UNIQUE_TOKEN_ALPHA_7788" in texts
         assert not any(p in texts for p in demo_only)

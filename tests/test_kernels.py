@@ -226,8 +226,8 @@ class TestExtractDocument:
         assert any(t.startswith("6)") for t in texts)
 
     def test_wrapped_lines_merge(self):
-        # edge doc i=27: first three lines merge, big gap starts a new para
-        _, spans = synth.gen_doc(27)
+        # edge doc i=35: first three lines merge, big gap starts a new para
+        _, spans = synth.gen_doc(35)
         out = extract_document("d", spans)
         assert len(out) == 2
         assert all(k == "text" for (k, _, _, _) in out)
@@ -235,6 +235,177 @@ class TestExtractDocument:
     def test_thai_join(self):
         assert kernels.join_text_blocks("ไทย", "ต่อ") == "ไทยต่อ"
         assert kernels.join_text_blocks("abc", "def") == "abc def"
+
+
+class TestCellPredicates:
+    def test_plausible_cells(self):
+        assert kernels.plausible_table_cell("12,500")
+        assert kernels.plausible_table_cell("ภาษาไทย")
+        assert kernels.plausible_table_cell("Printer model")
+        assert kernels.plausible_table_cell("pc-01")
+        assert not kernels.plausible_table_cell("")
+        assert not kernels.plausible_table_cell("----")
+        assert not kernels.plausible_table_cell("กากากา")
+        assert not kernels.plausible_table_cell("XKQJWPTRZ BNMKL")  # caps soup
+
+    def test_garbled_for_thai(self):
+        assert kernels.looks_garbled_for_thai("XKQJWPTRZ BNMKL")  # no vowels
+        assert not kernels.looks_garbled_for_thai("WARNING DO NOT ENTER")
+        assert not kernels.looks_garbled_for_thai("ภาษาไทยจริง")
+        assert not kernels.looks_garbled_for_thai("normal english text")
+        assert not kernels.looks_garbled_for_thai("")
+
+
+class TestGridTable:
+    def _text(self, body, fill=""):
+        g = kernels.parse_grid_table(body)
+        assert g is not None
+        return kernels.grid_table_text(*g, fill_payload=fill)
+
+    def test_not_a_grid(self):
+        assert kernels.parse_grid_table("a\tb\nc\td") is None
+
+    def test_spanned_flatten(self):
+        body = "grid:2,3\n0,0,1,3|Head\n1,0|ab\n1,1|qty\n1,2|3"
+        assert self._text(body) == "Head\nab\tqty\t3"
+
+    def test_single_letter_cell_rejected(self):
+        # P6 faithful: a lone Latin letter is blank-crop residue
+        assert self._text("grid:1,2\n0,0|a\n0,1|42") == "\t42"
+
+    def test_rowspan_and_uncovered_slot(self):
+        body = "grid:2,2\n0,0,2,1|label\n0,1|5"
+        # (1,1) uncovered -> empty cell; trailing empties trimmed
+        assert self._text(body) == "label\t5"
+
+    def test_garble_cell_dropped_digit_seed_kept(self):
+        body = "grid:1,2\n0,0|XKQJWPTRZ BNMKL\n0,1|42"
+        assert self._text(body) == "\t42"
+
+    def test_fill_accepted_only_when_substantial(self):
+        body = "grid:1,3\n0,0|Item"
+        fill = kernels.encode_media("0,1|7\n0,2|~~~~")
+        out = self._text(body, kernels.recognize_one(fill))
+        assert out == "Item\t7"
+
+    def test_fill_never_overwrites_covered(self):
+        body = "grid:1,2\n0,0|Item\n0,1|9"
+        out = self._text(body, "0,1|777")
+        assert out == "Item\t9"
+
+    def test_duplicate_leading_cols_collapse(self):
+        body = "grid:2,3\n0,0|item\n0,1|item\n0,2|qty\n1,0|disk\n1,1|disk\n1,2|4"
+        assert self._text(body) == "item\tqty\ndisk\t4"
+
+    def test_no_collapse_when_cols_differ(self):
+        body = "grid:1,3\n0,0|aa\n0,1|bb\n0,2|cc"
+        assert self._text(body) == "aa\tbb\tcc"
+
+    def test_size_guard(self):
+        assert kernels.grid_table_text(101, 2, [[0, 0, 1, 1, "x"]]) == ""
+
+    def test_span_clamped(self):
+        body = "grid:2,2\n0,0,9,9|xy"         # clamps to the grid
+        assert self._text(body) == "xy"
+
+
+class TestGridlessTable:
+    def test_rows_clustered_and_padded(self):
+        segs = [
+            (300.0, 100.0, 120.0, "qty"),
+            (40.0, 102.0, 118.0, "name"),
+            (40.0, 200.0, 220.0, "bolt"),
+            (300.0, 198.0, 222.0, "12"),
+            (40.0, 260.0, 280.0, "nut"),
+        ]
+        assert kernels.items_to_table(segs) == "name\tqty\nbolt\t12\nnut\t"
+
+    def test_empty(self):
+        assert kernels.items_to_table([]) == ""
+
+
+class TestSegmentsToLines:
+    def test_clustering_and_thai_join(self):
+        segs = [
+            (400.0, 102.0, 118.0, "ไท"),
+            (300.0, 100.0, 120.0, "ภาษา"),
+            (40.0, 104.0, 117.0, "heading"),
+            (40.0, 160.0, 180.0, "below"),
+        ]
+        assert kernels.segments_to_lines(segs) == ["heading ภาษาไท", "below"]
+
+    def test_tolerance_is_height_relative(self):
+        # 0.6 x height tolerance: centers 10 apart, heights 20 -> same line
+        same = kernels.segments_to_lines([(0, 0, 20, "a"), (10, 10, 30, "b")])
+        assert same == ["a b"]
+        # centers 40 apart, heights 20 -> separate lines
+        sep = kernels.segments_to_lines([(0, 0, 20, "a"), (10, 40, 60, "b")])
+        assert sep == ["a", "b"]
+
+    def test_payload_roundtrip(self):
+        ref = kernels.encode_media_segments([(1.0, 2.0, 3.0, "x|y"), (4.0, 5.0, 6.0, "ไทย")])
+        segs = kernels.parse_segments_payload(kernels.recognize_one(ref))
+        assert [s[3] for s in segs] == ["x|y", "ไทย"]
+
+    def test_plain_payload_is_not_segments(self):
+        assert kernels.parse_segments_payload("plain text") is None
+
+
+class TestBandRecovery:
+    def _run(self, spans):
+        return [t for (_, t, _, _) in extract_document("d", spans)]
+
+    def test_missing_marker_recovered_present_dropped(self):
+        _, spans = synth.gen_doc(12)  # band doc
+        texts = self._run(spans)
+        fives = [t for t in texts if t.startswith("5)")]
+        fours = [t for t in texts if t.startswith("4)")]
+        assert len(fives) == 1          # missing 5) recovered from the band
+        assert len(fours) == 1          # present 4) NOT duplicated (additive)
+        assert not any(t.startswith("9)") for t in texts)  # substance gate
+
+    def test_band_without_marker_dropped(self):
+        spans = [synth._span("band", 0, 100, 40, "",
+                             kernels.encode_media("no marker here at all"), 0)]
+        assert extract_document("d", spans) == []
+
+
+class TestWeakPrimaryReplacement:
+    def test_rich_secondary_replaces_weak_primary(self):
+        _, spans = synth.gen_doc(13)  # weak-primary doc
+        out = extract_document("d", spans)
+        texts = [t for (_, t, _, _) in out]
+        assert not any(t == "brief note" for t in texts)
+        assert len(out) == 2            # secondary absorbed, not duplicated
+
+    def test_equal_blocks_not_replaced(self):
+        spans = [
+            synth._span("text", 0, 100, 40, "alpha beta gamma delta", "", 0, w=600, h=40),
+            synth._span("image", 0, 110, 60, "",
+                        kernels.encode_media("alpha beta gamma delta"), 1, w=300, h=20),
+        ]
+        out = extract_document("d", spans)
+        assert len(out) == 1            # exact dup -> dedup keeps one
+
+
+class TestAreaFilterT4:
+    def test_sliver_dropped_even_under_topk(self):
+        spans = [
+            synth._span("figure", 0, 100, 40, "", kernels.encode_media("big"), 0, w=400, h=200),
+            synth._span("figure", 0, 400, 40, "", kernels.encode_media("tiny"), 1, w=20, h=10),
+        ]
+        out = extract_document("d", spans)
+        figs = [m for (k, _, m, _) in out if k == "figure"]
+        # 200 < 0.08 * 80000: the sliver dies despite max_figs=2
+        assert figs == [kernels.encode_media("big")]
+
+    def test_above_threshold_kept(self):
+        spans = [
+            synth._span("figure", 0, 100, 40, "", kernels.encode_media("big"), 0, w=400, h=200),
+            synth._span("figure", 0, 400, 40, "", kernels.encode_media("ok"), 1, w=100, h=80),
+        ]
+        out = extract_document("d", spans)
+        assert len([1 for (k, _, _, _) in out if k == "figure"]) == 2
 
 
 class TestChecksums:
