@@ -38,10 +38,13 @@ HEADLINE = {
     "topk_orders_per_customer": relational.topk_orders_per_customer,
     "sessionize_events": relational.sessionize_events,
     "events_hourly": relational.events_hourly,
+    "q18_large_orders": relational.q18_large_orders,
     "docs_dedup_exact": dedup.dedup_exact,
     "docs_dedup_jaccard_pairs": dedup.dedup_jaccard_pairs,
     "docs_dedup_minhash_candidates": dedup.dedup_minhash_candidates,
+    "docs_dedup_simhash_candidates": dedup.dedup_simhash_candidates,
     "docs_simhash64": dedup.simhash64,
+    "docs_tfidf_top_terms": textstats.tfidf_top_terms,
     "docs_fingerprint": textstats.fingerprint,
     "docs_quality_score": textstats.quality_score,
     "emb_cosine_topk": similarity.cosine_topk_bruteforce,

@@ -306,6 +306,44 @@ def simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", _simhash(F.col("text")).alias("simhash"))
 
 
+SIMHASH_BANDS = 4          # 4 x 16-bit bands
+HAMMING_MAX = 3            # pigeonhole: <=3 differing bits -> >=1 band equal
+
+
+def dedup_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup tier: band the 64-bit signature into 4 x 16-bit
+    buckets (an EXACT pigeonhole guarantee: any pair within hamming
+    distance 3 shares at least one band verbatim), bucket-join for
+    candidates, then verify hamming <= 3 with JVM bit ops. No O(n^2):
+    the only join is the band equi-join."""
+    sigs = simhash64(spark, sf_dir)
+    bands = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftrightunsigned(F.col("simhash"), 16 * b)
+            .bitwiseAND(F.lit(0xFFFF)).alias("bv"),
+        )
+        for b in range(SIMHASH_BANDS)
+    ])
+    buck = (sigs.select("doc_id", "simhash", F.explode(bands).alias("bk"))
+            .select("doc_id", "simhash",
+                    F.col("bk.band").alias("band"), F.col("bk.bv").alias("bv")))
+    b1 = buck.alias("b1")
+    b2 = buck.alias("b2")
+    pairs = (
+        b1.join(b2, (F.col("b1.band") == F.col("b2.band"))
+                & (F.col("b1.bv") == F.col("b2.bv"))
+                & (F.col("b1.doc_id") < F.col("b2.doc_id")))
+        .select(F.col("b1.doc_id").alias("doc1"), F.col("b2.doc_id").alias("doc2"),
+                F.col("b1.simhash").alias("s1"), F.col("b2.simhash").alias("s2"))
+        .distinct()
+    )
+    ham = F.bit_count(F.col("s1").bitwiseXOR(F.col("s2")))
+    return (pairs.withColumn("hamming", ham.cast("int"))
+            .filter(F.col("hamming") <= HAMMING_MAX)
+            .select("doc1", "doc2", "hamming"))
+
+
 def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The materialized dedup decision: documents surviving near-dup
     removal (greedy: a doc is dropped iff it appears as the larger
@@ -362,6 +400,7 @@ QUERIES = {
     "docs_dedup_keep_list": dedup_keep_list,
     "docs_dedup_jaccard_pairs": dedup_jaccard_pairs,
     "docs_dedup_minhash_candidates": dedup_minhash_candidates,
+    "docs_dedup_simhash_candidates": dedup_simhash_candidates,
     "docs_simhash64": simhash64,
 }
 
@@ -378,5 +417,6 @@ def oracles() -> dict[str, str]:
         # minhash/simhash: recomputed sequentially (hashlib md5/blake2b)
         # and inlined as VALUES — full cross-engine hash checks
         "docs_dedup_minhash_candidates": seq_oracles.minhash_candidates_values_sql(),
+        "docs_dedup_simhash_candidates": seq_oracles.simhash_candidates_values_sql(),
         "docs_simhash64": seq_oracles.simhash_values_sql(),
     }

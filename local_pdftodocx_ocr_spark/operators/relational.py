@@ -554,8 +554,250 @@ FROM events GROUP BY user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Round-2 breadth: more TPC-H patterns adapted to the available columns
+# (no partsupp/commitdate/phone in the driver's tables). All joins on
+# SF-scaling tables are AQE-decided; nation stays a hinted broadcast.
+# ---------------------------------------------------------------------------
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 pattern: two-nation trade volume by year (double nation
+    join with a symmetric pair predicate, year extraction)."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    pair = (((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")))
+    return (
+        l.filter((F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+                 & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz")))
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.round(_dec_sum(rev).cast("double"), 4).alias("revenue"))
+    )
+
+
+Q7_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS l_year,
+       ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,8))) AS DOUBLE),4) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY 1, 2, 3
+"""
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 pattern: top-20 customers by returned-item revenue."""
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .filter((F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+                & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp_ntz")))
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.round(_dec_sum(rev).cast("double"), 4).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,8))) AS DOUBLE),4) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+GROUP BY 1, 2, 3, 4
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 pattern: LEFT OUTER join + two-level aggregation
+    (orders per customer, then customers per order-count)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (c.join(o, c.c_custkey == o.o_custkey, "left")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count("*").alias("custdist")))
+
+
+Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+def q16_supplier_part_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 pattern (partsupp replaced by lineitem supply facts):
+    distinct-supplier counts per (brand, type) with NOT-filters."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 3, 9, 14, 19, 23, 36, 45))
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+  AND p_size IN (1, 3, 9, 14, 19, 23, 36, 45)
+GROUP BY 1, 2
+"""
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 pattern: groupBy-HAVING on the fact table, join back to
+    orders + customer, top-20. The HAVING aggregate is computed once and
+    reused as the join input (no correlated re-scan)."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (l.groupBy("l_orderkey")
+           .agg(_dec_sum(F.col("l_quantity"), 4).cast("double").alias("sum_qty"))
+           .filter(F.col("sum_qty") > 180))
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_name", "c_custkey", "l_orderkey",
+                F.col("o_orderdate").cast("string").alias("o_orderdate"),
+                "o_totalprice", "sum_qty")
+        .orderBy(F.desc("sum_qty"), F.asc("l_orderkey"))
+        .limit(20)
+    )
+
+
+Q18_SQL = """
+SELECT c_name, c_custkey, l_orderkey,
+       CAST(o_orderdate AS VARCHAR) AS o_orderdate, o_totalprice, sum_qty
+FROM (
+  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(24,4))) AS DOUBLE) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(24,4))) AS DOUBLE) > 180
+)
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY sum_qty DESC, l_orderkey ASC
+LIMIT 20
+"""
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 pattern: disjunction of three conjunct groups across
+    the join — Catalyst pushes the common join key and per-side
+    constraints through the OR."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return (l.join(p, l.l_partkey == p.p_partkey)
+            .filter(cond)
+            .agg(F.round(_dec_sum(rev).cast("double"), 4).alias("revenue"),
+                 F.count("*").alias("n")))
+
+
+Q19_SQL = """
+SELECT ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,8))) AS DOUBLE),4) AS revenue,
+       COUNT(*) AS n
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 pattern: scalar-subquery threshold (avg positive
+    balance) + anti join against recent orders, grouped by nation."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp_ntz"))
+    # the threshold is ONE value: computed distributed, joined as a
+    # 1-row broadcast (never a driver-side collect in the plan)
+    thresh = (c.filter(F.col("c_acctbal") > 0)
+              .agg(F.avg(F.col("c_acctbal").cast("decimal(24,8)"))
+                   .cast("double").alias("thresh")))
+    return (
+        c.crossJoin(F.broadcast(thresh))
+        .filter(F.col("c_acctbal") > F.col("thresh"))
+        .join(o.select(F.col("o_custkey").alias("c_custkey")).distinct(),
+              "c_custkey", "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("numcust"),
+             F.round(_dec_sum(F.col("c_acctbal")).cast("double"), 4).alias("totacctbal"))
+    )
+
+
+Q22_SQL = """
+SELECT c_nationkey, COUNT(*) AS numcust,
+       ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(24,8))) AS DOUBLE),4) AS totacctbal
+FROM customer
+WHERE c_acctbal > (
+    SELECT CAST(AVG(CAST(c_acctbal AS DECIMAL(24,8))) AS DOUBLE)
+    FROM customer WHERE c_acctbal > 0)
+  AND c_custkey NOT IN (
+    SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01')
+GROUP BY c_nationkey
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
+    "q7_volume_shipping": q7_volume_shipping,
+    "q10_returned_items": q10_returned_items,
+    "q13_customer_order_distribution": q13_customer_order_distribution,
+    "q16_supplier_part_types": q16_supplier_part_types,
+    "q18_large_orders": q18_large_orders,
+    "q19_disjunctive_revenue": q19_disjunctive_revenue,
+    "q22_idle_rich_customers": q22_idle_rich_customers,
     "events_pivot_by_user": events_pivot_by_user,
     "semi_join_active_customers": semi_join_active_customers,
     "anti_join_idle_customers": anti_join_idle_customers,
@@ -580,6 +822,13 @@ QUERIES = {
 
 ORACLES = {
     "q1_pricing_summary": Q1_SQL,
+    "q7_volume_shipping": Q7_SQL,
+    "q10_returned_items": Q10_SQL,
+    "q13_customer_order_distribution": Q13_SQL,
+    "q16_supplier_part_types": Q16_SQL,
+    "q18_large_orders": Q18_SQL,
+    "q19_disjunctive_revenue": Q19_SQL,
+    "q22_idle_rich_customers": Q22_SQL,
     "events_pivot_by_user": EVENTS_PIVOT_SQL,
     "semi_join_active_customers": SEMI_JOIN_SQL,
     "anti_join_idle_customers": ANTI_JOIN_SQL,

@@ -181,8 +181,53 @@ FROM g WHERE len_ok AND stop_ok AND tok_ok
 """
 
 
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document. The idf is kept in exact
+    integer arithmetic (tf * N / df as one double division — identical
+    IEEE ops on both engines) so the cross-engine hash matches without
+    transcendental-function drift. N arrives as a 1-row broadcast, not
+    a driver collect."""
+    from pyspark.sql import Window as W
+
+    d = _docs(spark, sf_dir)
+    tok = (d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term"))
+           .filter(F.col("term") != ""))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = d.agg(F.count("*").alias("n"))
+    scored = (tf.join(dfq, "term")
+              .crossJoin(F.broadcast(n))
+              .withColumn("score", F.round(
+                  F.col("tf").cast("double") * F.col("n") / F.col("df"), 4)))
+    w = W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 3)
+            .select("doc_id", "term", "score", F.col("rk").cast("int").alias("rk")))
+
+
+TFIDF_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok WHERE term <> '' GROUP BY 1, 2),
+dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n FROM documents),
+scored AS (
+  SELECT doc_id, term, ROUND(CAST(tf AS DOUBLE) * n.n / df, 4) AS score
+  FROM tf JOIN dfq USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rk
+  FROM scored
+)
+SELECT doc_id, term, score, CAST(rk AS INTEGER) AS rk FROM ranked WHERE rk <= 3
+"""
+
+
 QUERIES = {
     "docs_token_count": token_count,
+    "docs_tfidf_top_terms": tfidf_top_terms,
     "docs_quality_filter_chain": quality_filter_chain,
     "docs_lang_id": lang_id,
     "docs_quality_score": quality_score,
@@ -191,6 +236,7 @@ QUERIES = {
 
 ORACLES = {
     "docs_token_count": TOKEN_COUNT_SQL,
+    "docs_tfidf_top_terms": TFIDF_SQL,
     "docs_quality_filter_chain": QUALITY_FILTER_SQL,
     "docs_lang_id": LANG_ID_SQL,
     "docs_quality_score": QUALITY_SQL,

@@ -167,6 +167,38 @@ def simhash_values_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
     return values_sql(rows, [("doc_id", "BIGINT"), ("simhash", "BIGINT")])
 
 
+def seq_simhash_candidates(sf_dir: str = ORACLE_SF_DIR) -> list[tuple[int, int, int]]:
+    from .operators.dedup import (
+        HAMMING_MAX,
+        SIMHASH_BANDS,
+        simhash_of_text,
+    )
+    m64 = (1 << 64) - 1
+    sigs = {d: simhash_of_text(t) & m64 for d, t in _documents(sf_dir)}
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for d, s in sigs.items():
+        for b in range(SIMHASH_BANDS):
+            buckets.setdefault((b, (s >> (16 * b)) & 0xFFFF), []).append(d)
+    pairs: set[tuple[int, int]] = set()
+    for members in buckets.values():
+        members.sort()
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                pairs.add((members[i], members[j]))
+    out = []
+    for d1, d2 in sorted(pairs):
+        ham = bin(sigs[d1] ^ sigs[d2]).count("1")
+        if ham <= HAMMING_MAX:
+            out.append((d1, d2, ham))
+    return out
+
+
+def simhash_candidates_values_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
+    return values_sql(seq_simhash_candidates(sf_dir),
+                      [("doc1", "BIGINT"), ("doc2", "BIGINT"),
+                       ("hamming", "INTEGER")])
+
+
 # ---------------------------------------------------------------------------
 # ANN (LSH + IVF): candidate generation in numpy (identical arithmetic),
 # scoring with the exact Spark fold order in pure Python

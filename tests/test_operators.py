@@ -56,6 +56,21 @@ class TestSimhash:
         assert hamming(out[1], out[3]) >= 20
 
 
+class TestSimhashCandidates:
+    def test_banding_is_complete_for_hamming_3(self, spark):
+        """4 x 16-bit bands give an EXACT pigeonhole guarantee: every
+        pair within hamming distance 3 must be found (not just w.h.p.)."""
+        sigs = {r["doc_id"]: r["simhash"] & ((1 << 64) - 1)
+                for r in dedup.simhash64(spark, SF_DIR).collect()}
+        ids = sorted(sigs)
+        truth = {(a, b)
+                 for i, a in enumerate(ids) for b in ids[i + 1:]
+                 if bin(sigs[a] ^ sigs[b]).count("1") <= dedup.HAMMING_MAX}
+        got = {(r["doc1"], r["doc2"])
+               for r in dedup.dedup_simhash_candidates(spark, SF_DIR).collect()}
+        assert got == truth
+
+
 class TestANN:
     def test_recall_vs_bruteforce(self, spark):
         exact = {(r["qid"], r["neighbor"])
@@ -88,6 +103,13 @@ class TestPhysicalPlans:
         unified = job.extract_spans(docs, num_partitions=4)
         plans.assert_max_exchanges(unified, 1)
         assert plans.count_exchanges(unified) == 1
+
+    def test_q18_scans_lineitem_once(self, spark):
+        """The HAVING aggregate is computed once and joined back — the
+        decorrelated plan must not re-scan the fact table."""
+        from local_pdftodocx_ocr_spark.operators.relational import q18_large_orders
+        plan = plans.executed_plan(q18_large_orders(spark, SF_DIR))
+        assert plan.count("lineitem.parquet") == 1, plan
 
     def test_resume_antijoin_reads_doc_id_only(self, spark, tmp_path):
         from local_pdftodocx_ocr_spark import job, synth
