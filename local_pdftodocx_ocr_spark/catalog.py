@@ -111,6 +111,18 @@ class SnapshotTable:
             return None
         return spark.read.parquet(*paths)
 
+    def read_at(self, spark: SparkSession, snapshot_id: str) -> DataFrame:
+        """Time travel: the table AS OF `snapshot_id` — the union of all
+        snapshots committed up to and including it (Iceberg's
+        VERSION AS OF). Raises KeyError for unknown ids (e.g. an id
+        whose commit never happened after a crash)."""
+        paths = []
+        for s in self.snapshots():
+            paths.append(s["path"])
+            if s["id"] == snapshot_id:
+                return spark.read.parquet(*paths)
+        raise KeyError(f"unknown snapshot {snapshot_id!r}")
+
     def committed_doc_ids(self, spark: SparkSession) -> DataFrame | None:
         """doc_id column only (parquet column pruning) from committed
         snapshots — the left side of the resume anti-join."""

@@ -60,6 +60,12 @@ CONTAINMENT_FRAC = 0.55       # containment gate (src/pipeline.py:479-484; ref m
 RELIABLE_MIN_LETTER_RATIO = 0.25
 RELIABLE_MAX_REPLACEMENT_RATIO = 0.05
 
+# Figure validity minimums (reference image-extraction gates,
+# src/exporter.py:186-190 min 40x40/2000px²; graphic-recovery floor
+# src/layout_detector.py:459-460) in the 1000x1000 fixture space.
+FIG_MIN_SIDE = 40.0
+FIG_MIN_AREA = 2000.0
+
 # Boilerplate scorer thresholds (jusText/Boilerpipe-style, SURVEY.md §2.10;
 # published heuristics: Kohlschütter WSDM'10, Pomikálek 2011).
 BOILER_MIN_TEXT_LEN = 25
@@ -143,6 +149,22 @@ def is_reliable_text(s: str) -> bool:
     if repl > RELIABLE_MAX_REPLACEMENT_RATIO:
         return False
     return letter_ratio(s) >= RELIABLE_MIN_LETTER_RATIO
+
+
+def looks_weak_text(s: str) -> bool:
+    """P4 weak-text predicate (simplified from `_looks_weak_thai`,
+    src/pipeline.py:632-647, letter-generalized): empty/tiny text, a
+    bare section stub, or a text whose letter content is thin relative
+    to its length. Gates the media-backup re-recognize branch — a weak
+    text layer WITH a backup gets re-recognized even when it passes the
+    basic reliability gate."""
+    t = (s or "").strip()
+    if len(t) < 8:
+        return True
+    if _SECTION_STUB_RE.match(t):
+        return True
+    letters = sum(1 for c in t if c.isalpha())
+    return letters < max(4, len(t) // 5)
 
 
 # --------------------------------------------------------------------------
@@ -767,6 +789,14 @@ def _route_span(kind: str, body: str, media_ref: str, page: int, y: float, x: fl
                 from_ocr = True
             else:
                 return None
+        elif media_ref and looks_weak_text(body):
+            # P4: reliable-but-weak text (tiny/stub/letter-thin) with a
+            # media backup -> re-recognize; keep the original if the
+            # backup comes back empty (src/pipeline.py:632-647)
+            rec = _recognize(media_ref)
+            if rec.strip():
+                body = rec
+                from_ocr = True
         t = clean_text(body)
         if not t:
             return None
@@ -820,6 +850,13 @@ def _route_span(kind: str, body: str, media_ref: str, page: int, y: float, x: fl
             best = join_text_blocks(best, ln)
         return Block("text", page, y, x, best, media_ref, src_offset, "band", w=w, h=h)
     if kind == "figure":
+        # P9 figure-validity gates (reference min side/area thresholds,
+        # src/exporter.py:186-196, src/layout_detector.py:459-462):
+        # a bbox-carrying figure below the minimums is stray noise.
+        # Point-positioned figures (no bbox) bypass — nothing to gate on.
+        if (w > 0 or h > 0) and (w < FIG_MIN_SIDE or h < FIG_MIN_SIDE
+                                 or w * h < FIG_MIN_AREA):
+            return None
         return Block("figure", page, y, x, "", media_ref, src_offset, "figure", w=w, h=h)
     if kind == "table":
         grid = parse_grid_table(body)
@@ -1106,19 +1143,26 @@ def _recover_missing_markers(blocks: list[Block]) -> list[Block]:
     joined = "\n".join(b.text for b in blocks
                        if b.kind == "text" and b.src_kind != "band")
     out = [b for b in blocks if b.src_kind != "band"]
-    for b in sorted(bands, key=lambda b: (b.page, b.y, b.x, b.src_offset)):
+    # T3 early-exit: the set of still-missing markers is computed once;
+    # scanning stops the moment it drains (reference band-scan loop,
+    # src/pipeline.py:882-900: `if not still: break`)
+    still: set[str] = set()
+    for b in bands:
         m = _MARKER_NUM_RE.match(b.text)
-        if m is None:
-            continue
-        num = m.group(1)
-        if re.search(rf"(?:^|\n)\s*{num}\s*\)", joined):
+        if m is not None and not re.search(rf"(?:^|\n)\s*{m.group(1)}\s*\)", joined):
+            still.add(m.group(1))
+    for b in sorted(bands, key=lambda b: (b.page, b.y, b.x, b.src_offset)):
+        if not still:
+            break             # every missing marker recovered -> stop
+        m = _MARKER_NUM_RE.match(b.text)
+        if m is None or m.group(1) not in still:
             continue          # marker already present -> additive only
         content = b.text[m.end():].strip()
         letters = sum(1 for ch in content if ch.isalpha())
         if letters < 12 and not re.search(r"[A-Za-z]{4,}", content):
             continue          # substance gate
         out.append(b)
-        joined += "\n" + b.text
+        still.discard(m.group(1))
     return out
 
 

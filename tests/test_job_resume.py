@@ -149,6 +149,28 @@ def test_streaming_incremental_extraction(spark, tmp_path):
     assert _final_table(spark, out) == _final_table(spark, batch_out)
 
 
+def test_snapshot_time_travel(spark, tmp_path):
+    """read_at(snapshot_id) returns the table AS OF that commit —
+    Iceberg VERSION AS OF semantics on the parquet-manifest fallback."""
+    import pytest
+
+    from local_pdftodocx_ocr_spark.catalog import SnapshotTable
+
+    corpus = synth.gen_corpus(30)
+    out = str(tmp_path / "tt")
+    job.run_job(spark, job.docs_df_from_corpus(spark, corpus[:10]), out)
+    job.run_job(spark, job.docs_df_from_corpus(spark, corpus), out)
+    table = SnapshotTable(out)
+    first, second = [s["id"] for s in table.snapshots()]
+    n_docs = lambda df: df.filter(df.row_type == "doc").count()
+    at_first = n_docs(table.read_at(spark, first))
+    at_second = n_docs(table.read_at(spark, second))
+    assert at_first < at_second
+    assert at_second == n_docs(table.read(spark))
+    with pytest.raises(KeyError):
+        table.read_at(spark, "snap-bogus")
+
+
 def test_snapshot_compaction(spark, tmp_path):
     """compact() folds all snapshots into one with identical content;
     resume stays a no-op afterwards."""

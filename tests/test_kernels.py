@@ -392,11 +392,13 @@ class TestAreaFilterT4:
     def test_sliver_dropped_even_under_topk(self):
         spans = [
             synth._span("figure", 0, 100, 40, "", kernels.encode_media("big"), 0, w=400, h=200),
-            synth._span("figure", 0, 400, 40, "", kernels.encode_media("tiny"), 1, w=20, h=10),
+            # passes the P9 absolute minimums (sides>=40, area>=2000)
+            # but sits under 8% of the page max figure area
+            synth._span("figure", 0, 400, 40, "", kernels.encode_media("tiny"), 1, w=50, h=60),
         ]
         out = extract_document("d", spans)
         figs = [m for (k, _, m, _) in out if k == "figure"]
-        # 200 < 0.08 * 80000: the sliver dies despite max_figs=2
+        # 3000 < 0.08 * 80000 = 6400: the sliver dies despite max_figs=2
         assert figs == [kernels.encode_media("big")]
 
     def test_above_threshold_kept(self):
@@ -406,6 +408,47 @@ class TestAreaFilterT4:
         ]
         out = extract_document("d", spans)
         assert len([1 for (k, _, _, _) in out if k == "figure"]) == 2
+
+
+class TestFigureValidityP9:
+    def test_below_min_side_or_area_dropped(self):
+        spans = [
+            synth._span("figure", 0, 100, 40, "", kernels.encode_media("thin"), 0, w=300, h=10),
+            synth._span("figure", 0, 200, 40, "", kernels.encode_media("small"), 1, w=41, h=41),
+            synth._span("figure", 0, 300, 40, "", kernels.encode_media("fine"), 2, w=100, h=100),
+        ]
+        out = extract_document("d", spans)
+        figs = [m for (k, _, m, _) in out if k == "figure"]
+        # h=10 < 40 dies; 41x41=1681 < 2000 dies; 100x100 survives
+        assert figs == [kernels.encode_media("fine")]
+
+    def test_point_positioned_bypasses(self):
+        spans = [synth._span("figure", 0, 100, 40, "",
+                             kernels.encode_media("nobbox"), 0)]
+        out = extract_document("d", spans)
+        assert len(out) == 1
+
+
+class TestWeakTextRescueP4:
+    def test_weak_text_with_backup_rerecognized(self):
+        rich = "recovered full sentence from the media backup layer"
+        spans = [synth._span("text", 0, 100, 40, "2.1",
+                             kernels.encode_media(rich), 0)]
+        out = extract_document("d", spans)
+        assert [t for (_, t, _, _) in out] == [rich]
+
+    def test_weak_text_without_backup_kept(self):
+        # weak but reliable, no media: the text layer stands
+        spans = [synth._span("text", 0, 100, 40, "tiny", "", 0)]
+        out = extract_document("d", spans)
+        assert [t for (_, t, _, _) in out] == ["tiny"]
+
+    def test_strong_text_not_rerecognized(self):
+        strong = "a perfectly healthy embedded text layer sentence"
+        spans = [synth._span("text", 0, 100, 40, strong,
+                             kernels.encode_media("should not be used"), 0)]
+        out = extract_document("d", spans)
+        assert [t for (_, t, _, _) in out] == [strong]
 
 
 class TestChecksums:
