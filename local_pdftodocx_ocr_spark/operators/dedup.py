@@ -368,6 +368,70 @@ WHERE doc_id NOT IN (SELECT doc_id FROM drops)
 """
 
 
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-dup pair graph — the cluster
+    formation step real dedup pipelines run after pair generation
+    (greedy doc2-dropping under-merges transitive chains A~B~C).
+
+    Distributed shape: iterative min-label propagation to fixpoint —
+    each round, every node takes the min label among itself and its
+    neighbors; converges in <= diameter rounds (near-dup clusters are
+    tiny, so 2-4 rounds in practice; at 10^12 docs the same loop runs
+    with the large-star/small-star optimization halving rounds). The
+    driver-side loop is the documented Spark pattern for iterative
+    algorithms: each iteration is a bulk join+agg, only the 1-row
+    convergence check (a monotone label sum) touches the driver."""
+    d = _docs(spark, sf_dir).select("doc_id")
+    pairs = dedup_jaccard_pairs(spark, sf_dir).select("doc1", "doc2")
+    sym = pairs.union(
+        pairs.select(F.col("doc2").alias("doc1"), F.col("doc1").alias("doc2"))
+    ).persist()
+    labels = d.select("doc_id", F.col("doc_id").alias("label")).persist()
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+    for _ in range(32):          # hard bound >> any real diameter
+        nbr = (sym.join(labels, sym.doc2 == labels.doc_id)
+               .groupBy(F.col("doc1").alias("doc_id"))
+               .agg(F.min("label").alias("nlabel")))
+        new_labels = (labels.join(nbr, "doc_id", "left")
+                      .select("doc_id",
+                              F.least(F.col("label"),
+                                      F.coalesce("nlabel", F.col("label")))
+                              .alias("label"))
+                      .persist())
+        cur_sum = new_labels.agg(F.sum("label")).first()[0]
+        labels.unpersist()
+        labels = new_labels
+        if cur_sum == prev_sum:   # labels only decrease -> fixpoint
+            break
+        prev_sum = cur_sum
+    sym.unpersist()
+    return labels.select("doc_id", F.col("label").alias("component"))
+
+
+DEDUP_COMPONENTS_SQL = f"""
+WITH RECURSIVE {_SH_CTES},
+pairs AS (
+  SELECT doc1, doc2
+  FROM inter
+  JOIN sizes s1 ON s1.doc_id = doc1
+  JOIN sizes s2 ON s2.doc_id = doc2
+  WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= {JACCARD_THRESHOLD}
+),
+edges AS (
+  SELECT doc1 AS a, doc2 AS b FROM pairs
+  UNION SELECT doc2, doc1 FROM pairs
+),
+walk(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT w.a, e.b FROM walk w JOIN edges e ON w.b = e.a
+),
+lbl AS (SELECT a AS doc_id, MIN(b) AS m FROM walk GROUP BY a)
+SELECT d.doc_id, LEAST(d.doc_id, COALESCE(lbl.m, d.doc_id)) AS component
+FROM documents d LEFT JOIN lbl ON d.doc_id = lbl.doc_id
+"""
+
+
 def dedup_pipeline_at_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed 100 TB dedup path: MinHash-LSH candidates (no O(n²))
     -> exact shingle-Jaccard verify ON CANDIDATES ONLY -> survivors.
@@ -401,6 +465,7 @@ QUERIES = {
     "docs_dedup_jaccard_pairs": dedup_jaccard_pairs,
     "docs_dedup_minhash_candidates": dedup_minhash_candidates,
     "docs_dedup_simhash_candidates": dedup_simhash_candidates,
+    "docs_dedup_components": dedup_components,
     "docs_simhash64": simhash64,
 }
 
@@ -418,5 +483,6 @@ def oracles() -> dict[str, str]:
         # and inlined as VALUES — full cross-engine hash checks
         "docs_dedup_minhash_candidates": seq_oracles.minhash_candidates_values_sql(),
         "docs_dedup_simhash_candidates": seq_oracles.simhash_candidates_values_sql(),
+        "docs_dedup_components": DEDUP_COMPONENTS_SQL,
         "docs_simhash64": seq_oracles.simhash_values_sql(),
     }

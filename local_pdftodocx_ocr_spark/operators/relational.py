@@ -789,8 +789,87 @@ GROUP BY c_nationkey
 """
 
 
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: signup -> first click strictly after the signup
+    -> first purchase strictly after that click, counted per stage.
+    Each stage is one groupBy over the prior stage's (tiny) user set —
+    no window over the full event log."""
+    e = _t(spark, sf_dir, "events")
+    s = (e.filter(F.col("event_type") == "signup")
+         .groupBy("user_id").agg(F.min(_epoch(F.col("ts"))).alias("t0")))
+    c = (e.filter(F.col("event_type") == "click")
+         .join(s, "user_id")
+         .filter(_epoch(F.col("ts")) > F.col("t0"))
+         .groupBy("user_id").agg(F.min(_epoch(F.col("ts"))).alias("t1")))
+    p = (e.filter(F.col("event_type") == "purchase")
+         .join(c, "user_id")
+         .filter(_epoch(F.col("ts")) > F.col("t1"))
+         .groupBy("user_id").agg(F.min(_epoch(F.col("ts"))).alias("t2")))
+    rows = [s.agg(F.lit("1_signup").alias("stage"), F.count("*").alias("users")),
+            c.agg(F.lit("2_click").alias("stage"), F.count("*").alias("users")),
+            p.agg(F.lit("3_purchase").alias("stage"), F.count("*").alias("users"))]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+EVENTS_FUNNEL_SQL = """
+WITH s AS (
+  SELECT user_id, MIN(epoch(ts)) AS t0 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(epoch(e.ts)) AS t1
+  FROM events e JOIN s ON e.user_id = s.user_id
+  WHERE e.event_type = 'click' AND epoch(e.ts) > s.t0
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(epoch(e.ts)) AS t2
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND epoch(e.ts) > c.t1
+  GROUP BY e.user_id
+)
+SELECT '1_signup' AS stage, COUNT(*) AS users FROM s
+UNION ALL SELECT '2_click', COUNT(*) FROM c
+UNION ALL SELECT '3_purchase', COUNT(*) FROM p
+"""
+
+
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention matrix: users grouped by first-seen day (cohort),
+    distinct active users per (cohort, day-offset). Two aggregations,
+    both partial-aggregated map-side; the cohort side joins back on
+    user_id (co-partitioned with the activity grouping)."""
+    e = _t(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    firsts = (e.groupBy("user_id")
+              .agg(F.min(day).alias("cohort_day")))
+    return (e.select("user_id", day.alias("d"))
+            .join(firsts, "user_id")
+            .groupBy(F.col("cohort_day").cast("date").cast("string").alias("cohort"),
+                     F.datediff(F.col("d"), F.col("cohort_day")).alias("day_offset"))
+            .agg(F.countDistinct("user_id").alias("active_users")))
+
+
+EVENTS_RETENTION_SQL = """
+WITH firsts AS (
+  SELECT user_id, MIN(date_trunc('day', ts)) AS cohort_day
+  FROM events GROUP BY user_id
+)
+SELECT CAST(f.cohort_day AS VARCHAR) AS cohort,
+       CAST(date_diff('day', f.cohort_day, date_trunc('day', e.ts)) AS INTEGER) AS day_offset,
+       COUNT(DISTINCT e.user_id) AS active_users
+FROM events e JOIN firsts f ON e.user_id = f.user_id
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
+    "events_funnel": events_funnel,
+    "events_retention_cohorts": events_retention_cohorts,
     "q7_volume_shipping": q7_volume_shipping,
     "q10_returned_items": q10_returned_items,
     "q13_customer_order_distribution": q13_customer_order_distribution,
@@ -822,6 +901,8 @@ QUERIES = {
 
 ORACLES = {
     "q1_pricing_summary": Q1_SQL,
+    "events_funnel": EVENTS_FUNNEL_SQL,
+    "events_retention_cohorts": EVENTS_RETENTION_SQL,
     "q7_volume_shipping": Q7_SQL,
     "q10_returned_items": Q10_SQL,
     "q13_customer_order_distribution": Q13_SQL,

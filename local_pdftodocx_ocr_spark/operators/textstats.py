@@ -225,9 +225,74 @@ SELECT doc_id, term, score, CAST(rk AS INTEGER) AS rk FROM ranked WHERE rk <= 3
 """
 
 
+def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/valid/test assignment by hashed
+    doc_id (the split every training-data pipeline needs): stable under
+    re-runs, insertions, and repartitioning — a pure projection, no
+    shuffle, no RNG."""
+    d = _docs(spark, sf_dir)
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long"), F.lit(100))
+    split = (F.when(bucket < 80, "train")
+             .when(bucket < 90, "valid")
+             .otherwise("test"))
+    return d.select("doc_id", split.alias("split"))
+
+
+SPLIT_SQL = """
+SELECT doc_id,
+       CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid' ELSE 'test' END AS split
+FROM (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 100 AS b
+  FROM documents
+)
+"""
+
+
+# Benchmark 3-grams a decontamination pass screens for (stand-in for an
+# eval-set shingle list; fixed and tiny, so it broadcasts at any scale).
+BENCHMARK_GRAMS = ("key agg row", "batch window spark", "small fast slow")
+
+
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination screen: documents sharing any word-3-gram with
+    the benchmark list, with the hit count. The benchmark side is a
+    constant IN-list (a broadcast at scale) applied right after the
+    shingle explode — no join, one map-side-combinable groupBy."""
+    from .dedup import _shingle_array
+
+    d = _docs(spark, sf_dir)
+    sh = (d.filter(F.size(F.split(F.col("text"), " ")) >= 3)
+          .select("doc_id", F.explode(_shingle_array(F.col("text"))).alias("s")))
+    return (sh.filter(F.col("s").isin(*BENCHMARK_GRAMS))
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_contaminated_grams")))
+
+
+CONTAMINATION_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    range(1, GREATEST(len(string_split(text, ' ')) - 2, 0) + 1),
+    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+         || ' ' || string_split(text, ' ')[i+2]
+  ))) AS s
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+)
+SELECT doc_id, COUNT(*) AS n_contaminated_grams
+FROM sh
+WHERE s IN ({", ".join("'" + g + "'" for g in BENCHMARK_GRAMS)})
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "docs_token_count": token_count,
     "docs_tfidf_top_terms": tfidf_top_terms,
+    "docs_train_test_split": train_test_split,
+    "docs_benchmark_contamination": benchmark_contamination,
     "docs_quality_filter_chain": quality_filter_chain,
     "docs_lang_id": lang_id,
     "docs_quality_score": quality_score,
@@ -237,6 +302,8 @@ QUERIES = {
 ORACLES = {
     "docs_token_count": TOKEN_COUNT_SQL,
     "docs_tfidf_top_terms": TFIDF_SQL,
+    "docs_train_test_split": SPLIT_SQL,
+    "docs_benchmark_contamination": CONTAMINATION_SQL,
     "docs_quality_filter_chain": QUALITY_FILTER_SQL,
     "docs_lang_id": LANG_ID_SQL,
     "docs_quality_score": QUALITY_SQL,

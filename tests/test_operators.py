@@ -275,6 +275,34 @@ class TestStatefulStreaming:
         assert len(ids) == len(set(ids)) == 20
 
 
+class TestDedupComponents:
+    def test_transitive_chain_merges(self, spark):
+        """A~B and B~C must land in ONE component even when A~C is not
+        itself a qualifying pair (the case greedy doc2-dropping splits)."""
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        rows = [
+            (1, base + " one extra word"),
+            (2, base + " one extra"),        # ~1 and ~3
+            (3, base + " one"),
+            (4, "totally different content about spark adaptive execution"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        df.createOrReplaceTempView("_cc_docs")
+        import local_pdftodocx_ocr_spark.operators.dedup as dd
+        orig = dd._docs
+        try:
+            dd._docs = lambda spark, sf: spark.table("_cc_docs")
+            comp = {r["doc_id"]: r["component"]
+                    for r in dd.dedup_components(spark, "x").collect()}
+            pairs = {(r["doc1"], r["doc2"])
+                     for r in dd.dedup_jaccard_pairs(spark, "x").collect()}
+        finally:
+            dd._docs = orig
+        assert (1, 2) in pairs and (2, 3) in pairs
+        assert comp[1] == comp[2] == comp[3] == 1
+        assert comp[4] == 4
+
+
 class TestDedupPipeline:
     def test_scale_pipeline_equals_exact_keep_list(self, spark):
         """candidates(LSH) -> verify(exact Jaccard on candidates) must
