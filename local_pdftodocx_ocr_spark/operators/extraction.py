@@ -337,8 +337,37 @@ def extract_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return explode_spans(job.split_unified(unified)[0])
 
 
+def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE composed training-data pipeline, end to end: interleave ->
+    distributed extraction -> render text -> token gate (>=30) -> exact
+    dedup (min doc_id per rendered text) -> deterministic 80/10/10
+    split. Every stage is integer/string logic, so the sequential
+    kernel oracle mirrors it bit-for-bit (seq_oracles)."""
+    flat = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = job.interleaved_docs_from_flat(flat)
+    spans = job.split_unified(job.extract_spans(docs))[0]
+    ordered = F.array_sort(
+        F.transform(F.col("spans"),
+                    lambda s: F.struct(s["offset"].alias("o"), s["text"].alias("t"))))
+    txt = F.array_join(F.transform(ordered, lambda s: s["t"]), "\n")
+    toks = F.size(F.filter(F.split(txt, "[ \n]"), lambda x: x != F.lit("")))
+    base = (spans.select("doc_id", txt.alias("txt"), toks.alias("n_tokens"))
+            .filter(F.col("n_tokens") >= 30))
+    keep = (base.groupBy("txt")
+            .agg(F.min("doc_id").alias("doc_id"),
+                 F.min("n_tokens").alias("n_tokens")))
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id")), 1, 8), 16, 10).cast("long"),
+        F.lit(100))
+    split = (F.when(bucket < 80, "train")
+             .when(bucket < 90, "valid")
+             .otherwise("test"))
+    return keep.select("doc_id", "n_tokens", split.alias("split"))
+
+
 QUERIES = {
     "extract_spans_golden": extract_spans_golden,
+    "pipeline_training_corpus": pipeline_training_corpus,
     "extract_table_grid": extract_table_grid,
     "extract_segments_to_lines": extract_segments_to_lines,
     "extract_marker_recovery": extract_marker_recovery,
@@ -357,6 +386,7 @@ QUERIES = {
 def oracles() -> dict[str, str]:
     return {
         "extract_spans_golden": extract_spans_golden_oracle_sql(),
+        "pipeline_training_corpus": _seq.training_corpus_values_sql(),
         "extract_table_grid": _kind_oracle_sql("grid"),
         "extract_segments_to_lines": _kind_oracle_sql("segments"),
         "extract_marker_recovery": _kind_oracle_sql("band"),

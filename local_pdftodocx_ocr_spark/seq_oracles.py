@@ -304,6 +304,32 @@ def ann_ivf_values_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
 # ---------------------------------------------------------------------------
 
 
+def training_corpus_values_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
+    """Sequential mirror of operators/extraction.pipeline_training_corpus:
+    extract -> render -> token gate -> exact dedup -> md5-bucket split."""
+    from . import kernels, synth
+    by_txt: dict[str, tuple[str, int]] = {}
+    for d, t in _documents(sf_dir):
+        doc_id = f"doc-{d:08d}"
+        tuples = kernels.extract_document(doc_id, synth.spans_from_flat_doc(d, t))
+        if not tuples:
+            continue
+        txt = "\n".join(tt for (_, tt, _, _) in tuples)
+        n_tokens = sum(1 for w in txt.replace("\n", " ").split(" ") if w)
+        if n_tokens < 30:
+            continue
+        cur = by_txt.get(txt)
+        if cur is None or doc_id < cur[0]:
+            by_txt[txt] = (doc_id, n_tokens)
+    rows = []
+    for doc_id, n_tokens in sorted(by_txt.values()):
+        b = int(hashlib.md5(doc_id.encode()).hexdigest()[:8], 16) % 100
+        split = "train" if b < 80 else ("valid" if b < 90 else "test")
+        rows.append((doc_id, n_tokens, split))
+    return values_sql(rows, [("doc_id", "VARCHAR"), ("n_tokens", "INTEGER"),
+                             ("split", "VARCHAR")])
+
+
 def extract_from_documents_values_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
     from . import kernels, synth
     rows: list[tuple] = []

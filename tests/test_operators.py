@@ -201,6 +201,52 @@ class TestStreaming:
         assert spark.sql("SELECT count(*) AS n FROM sess_out").first()["n"] >= 0
 
 
+class TestAQESkewJoin:
+    def test_skewed_join_is_split_at_runtime(self, spark, tmp_path):
+        """AQE's skew-join handling — the runtime complement to our
+        salted repartition: one hot key on the build side must get its
+        partition split (plan shows the skew marker), with row counts
+        unchanged. This is the mechanism that absorbs residual key skew
+        in the relational queries at 100 TB."""
+        left = str(tmp_path / "skew_l")
+        right = str(tmp_path / "skew_r")
+        # 200k rows on ONE key + a uniform tail vs a small dim
+        (spark.range(200_000).select(F.lit(1).alias("k"), F.col("id").alias("v"))
+         .union(spark.range(2_000).select((F.col("id") % 100 + 2).alias("k"),
+                                          F.col("id").alias("v")))
+         .write.mode("overwrite").parquet(left))
+        (spark.range(102).select(F.col("id").alias("k"),
+                                 F.lit("dim").alias("name"))
+         .write.mode("overwrite").parquet(right))
+        confs = {
+            "spark.sql.adaptive.skewJoin.enabled": "true",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize": "16KB",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+        }
+        old = {k: spark.conf.get(k, None) for k in confs}
+        try:
+            for k, v in confs.items():
+                spark.conf.set(k, v)
+            j = (spark.read.parquet(left)
+                 .join(spark.read.parquet(right), "k"))
+            # collect() finalizes THIS DataFrame's adaptive plan
+            # (count() would execute a separate QueryExecution)
+            n = len(j.collect())
+            assert n == 200_000 + 2_000
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "isFinalPlan=true" in plan
+            assert "skew=true" in plan, plan[:2000]
+        finally:
+            for k, v in old.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+
+
 class TestBucketedJoin:
     def test_bucketed_join_has_no_join_exchange(self, spark, tmp_path):
         """Bucketing both sides on the join key co-locates partitions:
