@@ -9,7 +9,7 @@ from hypothesis import given, settings, strategies as st
 from local_pdftodocx_ocr_spark import kernels
 
 KINDS = ["text", "noisy_text", "boiler", "html", "image", "figure", "table",
-         "junk_kind", ""]
+         "band", "junk_kind", ""]
 
 _text = st.text(
     alphabet=st.characters(blacklist_categories=("Cs",)),  # any non-surrogate
@@ -118,6 +118,57 @@ class TestCodecProperties:
     def test_recognize_never_crashes_on_garbage(self, s):
         kernels.recognize_one("mem:" + s)
         kernels.recognize_one(s)
+
+
+class TestGridSegmentsProperties:
+    @given(_text)
+    @settings(max_examples=150, deadline=None)
+    def test_grid_parse_never_crashes(self, s):
+        g = kernels.parse_grid_table(s)
+        if g is not None:
+            out = kernels.grid_table_text(*g, fill_payload=s)
+            assert isinstance(out, str)
+
+    @given(st.integers(0, 4), st.integers(0, 4),
+           st.lists(st.tuples(st.integers(-2, 6), st.integers(-2, 6),
+                              st.integers(-2, 8), st.integers(-2, 8), _text),
+                    max_size=12))
+    @settings(max_examples=150, deadline=None)
+    def test_grid_text_total_on_any_entries(self, nr, nc, entries):
+        out = kernels.grid_table_text(nr, nc, [list(e) for e in entries])
+        assert isinstance(out, str)
+
+    @given(_text)
+    @settings(max_examples=150, deadline=None)
+    def test_segments_payload_parse_total(self, s):
+        segs = kernels.parse_segments_payload(s)
+        if segs is not None:
+            lines = kernels.segments_to_lines(segs)
+            assert all(isinstance(ln, str) and ln for ln in lines)
+
+    @given(st.lists(st.tuples(st.floats(-1e3, 1e3, allow_nan=False),
+                              st.floats(-1e3, 1e3, allow_nan=False),
+                              st.floats(-1e3, 1e3, allow_nan=False), _text),
+                    max_size=15))
+    @settings(max_examples=150, deadline=None)
+    def test_segments_to_lines_deterministic(self, segs):
+        a = kernels.segments_to_lines(list(segs))
+        b = kernels.segments_to_lines(list(segs))
+        assert a == b
+        assert kernels.items_to_table(list(segs)) == kernels.items_to_table(list(segs))
+
+    @given(st.lists(st.tuples(st.floats(0, 999, allow_nan=False),
+                              st.floats(0, 999, allow_nan=False),
+                              st.floats(0, 999, allow_nan=False),
+                              st.text(alphabet=st.characters(
+                                  blacklist_categories=("Cs",),
+                                  blacklist_characters="\n|,"), max_size=30)),
+                    max_size=10))
+    @settings(max_examples=100, deadline=None)
+    def test_segments_codec_roundtrip(self, segs):
+        ref = kernels.encode_media_segments(list(segs))
+        parsed = kernels.parse_segments_payload(kernels.recognize_one(ref))
+        assert [s[3] for s in parsed] == [s[3] for s in segs]
 
 
 class TestChecksumProperties:
