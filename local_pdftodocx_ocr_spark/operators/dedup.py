@@ -41,7 +41,13 @@ SHINGLE_DF_CAP = 1000
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # local small-file reality: one parquet file = one scan partition,
+    # which would serialize the CPU-heavy shingle derivation onto one
+    # core. One cheap row-level repartition spreads it; at corpus scale
+    # the scan has thousands of row groups and parallelizes natively.
+    spark_parallelism = spark.sparkContext.defaultParallelism
+    return (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .repartition(spark_parallelism))
 
 
 # ---------------------------------------------------------------------------
@@ -71,22 +77,27 @@ GROUP BY 1
 # ---------------------------------------------------------------------------
 
 def _shingle_array(col):
-    """Distinct word-3-gram shingles, pure JVM expressions (1-based
-    element_at, mirrored exactly by the DuckDB list formulation)."""
-    toks = F.split(col, " ")
-    n_sh = F.greatest(F.size(toks) - 2, F.lit(0))
+    """Distinct word-3-gram shingles from a pre-split TOKEN ARRAY
+    column, pure JVM expressions (1-based element_at, mirrored exactly
+    by the DuckDB list formulation). Takes the array, not the string:
+    splitting inside the transform would re-split the whole document
+    once per element (O(words²) per doc — measured 6 s of the minhash
+    wall at sf0.1 before this was hoisted)."""
+    n_sh = F.greatest(F.size(col) - 2, F.lit(0))
     shingles = F.transform(
         F.sequence(F.lit(1), n_sh),
-        lambda i: F.concat_ws(" ", F.element_at(toks, i),
-                              F.element_at(toks, i + 1),
-                              F.element_at(toks, i + 2)),
+        lambda i: F.concat_ws(" ", F.element_at(col, i),
+                              F.element_at(col, i + 1),
+                              F.element_at(col, i + 2)),
     )
     return F.array_distinct(shingles)
 
 
 def _distinct_shingles(d: DataFrame) -> DataFrame:
-    return (d.filter(F.size(F.split(F.col("text"), " ")) >= 3)
-            .select("doc_id", F.explode(_shingle_array(F.col("text"))).alias("s")))
+    toks = (d.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+            .filter(F.size("toks") >= 3))
+    return toks.select(
+        "doc_id", F.explode(_shingle_array(F.col("toks"))).alias("s"))
 
 
 def _capped_shingles(d: DataFrame, cap: int = SHINGLE_DF_CAP) -> DataFrame:
@@ -102,6 +113,25 @@ def _capped_shingles(d: DataFrame, cap: int = SHINGLE_DF_CAP) -> DataFrame:
     return sh.join(ok, "s")
 
 
+def _hashed_capped_shingles(d: DataFrame, cap: int = SHINGLE_DF_CAP) -> DataFrame:
+    """(doc_id, k) where k = the first 60 bits of md5(shingle) — the
+    shingle index every dedup tier joins/aggregates on. Hashing BEFORE
+    the shuffles moves 8-byte longs instead of ~25-byte strings (the
+    self-join is the engine's heaviest query; its shuffle volume is the
+    cost that scales with the corpus). md5 keeps it reproducible in
+    DuckDB (('0x'||substr(md5(s),1,15))::UBIGINT) and hashlib, so the
+    identical (negligible, 60-bit) collisions happen on every engine
+    and cross-engine equality is exact. df cap applied on k."""
+    sh = _distinct_shingles(d).select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.col("s")), 1, 15), 16, 10)
+        .cast("long").alias("k"))
+    ok = (sh.groupBy("k").agg(F.count("*").alias("df"))
+          .filter(F.col("df") <= cap)
+          .select("k"))
+    return sh.join(ok, "k")
+
+
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All doc pairs with word-3-gram-shingle Jaccard >= 0.6 (doc1 < doc2).
 
@@ -112,12 +142,12 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the self-join is pre-filtered by the LSH candidates below;
     here it doubles as the exact oracle."""
     d = _docs(spark, sf_dir)
-    toks = _capped_shingles(d)
+    toks = _hashed_capped_shingles(d)
     sizes = toks.groupBy("doc_id").agg(F.count("*").alias("sz"))
     t1 = toks.alias("t1")
     t2 = toks.alias("t2")
     inter = (
-        t1.join(t2, (F.col("t1.s") == F.col("t2.s"))
+        t1.join(t2, (F.col("t1.k") == F.col("t2.k"))
                 & (F.col("t1.doc_id") < F.col("t2.doc_id")))
         .groupBy(F.col("t1.doc_id").alias("doc1"), F.col("t2.doc_id").alias("doc2"))
         .agg(F.count("*").alias("inter"))
@@ -136,10 +166,11 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Shared CTE prefix: shingle index with the df cap mirrored exactly
-# (sh0 = raw distinct shingles, ok = shingles under the cap).
+# Shared CTE prefix: the hashed shingle index with the df cap mirrored
+# exactly (sh0 = raw distinct shingles hashed to 60-bit md5 keys, ok =
+# keys under the cap) — byte-for-byte the Spark formulation.
 _SH_CTES = f"""
-sh0 AS (
+shraw AS (
   SELECT doc_id, unnest(list_distinct(list_transform(
     range(1, GREATEST(len(string_split(text, ' ')) - 2, 0) + 1),
     i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
@@ -148,12 +179,17 @@ sh0 AS (
   FROM documents
   WHERE len(string_split(text, ' ')) >= 3
 ),
-ok AS (SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= {SHINGLE_DF_CAP}),
-sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN ok USING (s)),
+sh0 AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS k
+  FROM shraw
+),
+ok AS (SELECT k FROM sh0 GROUP BY k HAVING COUNT(*) <= {SHINGLE_DF_CAP}),
+sh AS (SELECT sh0.doc_id, sh0.k FROM sh0 JOIN ok USING (k)),
 sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS inter
-  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  FROM sh a JOIN sh b ON a.k = b.k AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )"""
 
@@ -173,11 +209,12 @@ WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= {JACCARD_THRESHOLD}
 # ---------------------------------------------------------------------------
 
 # The textbook pairwise-independent permutation family over the prime
-# field p = 2^31-1: perm_i(s) = (a_i * h(s) + b_i) mod p, h = the first
-# 32 bits of md5(s) reduced mod p. All intermediates stay < 2^62 (ANSI-
-# safe long arithmetic), md5 keeps the signature *sequentially
-# reproducible* (hashlib mirror -> VALUES oracle). Seeded coefficients;
-# no wall clock, no global hash seed.
+# field p = 2^31-1: perm_i(s) = (a_i * h(s) + b_i) mod p, h = the
+# 60-bit md5 shingle key reduced mod p (the same key the whole dedup
+# ladder joins on — one digest per shingle row). All intermediates stay
+# < 2^62 (ANSI-safe long arithmetic), md5 keeps the signature
+# *sequentially reproducible* (hashlib mirror -> VALUES oracle). Seeded
+# coefficients; no wall clock, no global hash seed.
 MINHASH_PRIME = (1 << 31) - 1
 _coeff_rng = __import__("random").Random(0xA11CE)
 MINHASH_COEFFS = [(1 + _coeff_rng.randrange(MINHASH_PRIME - 1),
@@ -195,12 +232,9 @@ def minhash_signatures(d: DataFrame) -> DataFrame:
     # array) blows up codegen and runs ~50x slower. Same df-capped
     # shingle base as the exact tier, so LSH recall vs capped Jaccard
     # keeps its guarantee.
-    sh = _capped_shingles(d)
-    hx = F.md5(F.col("s"))
+    sh = _hashed_capped_shingles(d)
     hashed = sh.select(
-        "doc_id",
-        F.pmod(F.conv(F.substring(hx, 1, 8), 16, 10).cast("long"),
-               F.lit(MINHASH_PRIME)).alias("h"))
+        "doc_id", F.pmod(F.col("k"), F.lit(MINHASH_PRIME)).alias("h"))
     aggs = [F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b),
                          F.lit(MINHASH_PRIME))).alias(f"m{i}")
             for i, (a, b) in enumerate(MINHASH_COEFFS)]
@@ -440,14 +474,14 @@ def dedup_pipeline_at_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     cand = dedup_minhash_candidates(spark, sf_dir)
 
-    sh = _capped_shingles(d)
+    sh = _hashed_capped_shingles(d)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     # verify join restricted to candidate pairs
-    s1 = sh.select(F.col("doc_id").alias("doc1"), F.col("s").alias("s1"))
-    s2 = sh.select(F.col("doc_id").alias("_d2"), F.col("s").alias("s2"))
+    s1 = sh.select(F.col("doc_id").alias("doc1"), F.col("k").alias("k1"))
+    s2 = sh.select(F.col("doc_id").alias("_d2"), F.col("k").alias("k2"))
     inter = (cand.join(s1, "doc1")
              .join(s2, (F.col("doc2") == F.col("_d2"))
-                   & (F.col("s1") == F.col("s2")))
+                   & (F.col("k1") == F.col("k2")))
              .groupBy("doc1", "doc2").agg(F.count("*").alias("inter")))
     z1 = sizes.select(F.col("doc_id").alias("doc1"), F.col("sz").alias("sz1"))
     z2 = sizes.select(F.col("doc_id").alias("doc2"), F.col("sz").alias("sz2"))

@@ -27,7 +27,11 @@ _SEED = 7
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # spread the single-file local scan so the batched numpy signature/
+    # scoring UDFs run on all cores (multi-row-group scans parallelize
+    # natively at corpus scale)
+    return (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            .repartition(spark.sparkContext.defaultParallelism))
 
 
 def _cosine(a, b):

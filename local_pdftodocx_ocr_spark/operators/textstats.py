@@ -15,7 +15,11 @@ _STOPWORDS = ("the", "a", "an", "of", "and", "to", "in", "is", "for", "with")
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # spread the single-file local scan before the CPU-heavy per-row
+    # expressions (tokenize/shingle); a native multi-row-group scan
+    # parallelizes by itself at corpus scale
+    return (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .repartition(spark.sparkContext.defaultParallelism))
 
 
 # ---------------------------------------------------------------------------
@@ -261,11 +265,9 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     the benchmark list, with the hit count. The benchmark side is a
     constant IN-list (a broadcast at scale) applied right after the
     shingle explode — no join, one map-side-combinable groupBy."""
-    from .dedup import _shingle_array
+    from .dedup import _distinct_shingles
 
-    d = _docs(spark, sf_dir)
-    sh = (d.filter(F.size(F.split(F.col("text"), " ")) >= 3)
-          .select("doc_id", F.explode(_shingle_array(F.col("text"))).alias("s")))
+    sh = _distinct_shingles(_docs(spark, sf_dir))
     return (sh.filter(F.col("s").isin(*BENCHMARK_GRAMS))
             .groupBy("doc_id")
             .agg(F.count("*").alias("n_contaminated_grams")))

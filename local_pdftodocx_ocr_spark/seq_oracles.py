@@ -103,14 +103,21 @@ def _doc_shingles(text: str) -> set[str]:
     return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
 
 
-def _capped_shingle_index(docs, cap: int) -> dict[int, set[str]]:
-    per_doc = {d: _doc_shingles(t) for d, t in docs}
-    df: dict[str, int] = {}
-    for sh in per_doc.values():
-        for s in sh:
-            df[s] = df.get(s, 0) + 1
-    hot = {s for s, n in df.items() if n > cap}
-    return {d: sh - hot for d, sh in per_doc.items() if sh - hot}
+def _shingle_key(s: str) -> int:
+    """60-bit md5 shingle key — mirror of dedup._hashed_capped_shingles."""
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
+def _capped_shingle_index(docs, cap: int) -> dict[int, set[int]]:
+    """doc -> set of 60-bit shingle KEYS surviving the df cap (identical
+    hashing, hence identical collisions, on every engine)."""
+    per_doc = {d: {_shingle_key(s) for s in _doc_shingles(t)} for d, t in docs}
+    df: dict[int, int] = {}
+    for keys in per_doc.values():
+        for k in keys:
+            df[k] = df.get(k, 0) + 1
+    hot = {k for k, n in df.items() if n > cap}
+    return {d: keys - hot for d, keys in per_doc.items() if keys - hot}
 
 
 def seq_minhash_candidates(sf_dir: str = ORACLE_SF_DIR) -> list[tuple[int, int]]:
@@ -123,15 +130,11 @@ def seq_minhash_candidates(sf_dir: str = ORACLE_SF_DIR) -> list[tuple[int, int]]
         SHINGLE_DF_CAP,
     )
     index = _capped_shingle_index(_documents(sf_dir), SHINGLE_DF_CAP)
-    hcache: dict[str, int] = {}
     sigs: dict[int, list[int]] = {}
-    for d, shingles in index.items():
+    for d, keys in index.items():
         sig = [None] * MINHASH_PERMS
-        for s in shingles:
-            h = hcache.get(s)
-            if h is None:
-                hx = hashlib.md5(s.encode("utf-8")).hexdigest()
-                h = hcache[s] = int(hx[:8], 16) % MINHASH_PRIME
+        for k in keys:
+            h = k % MINHASH_PRIME
             for i, (a, b) in enumerate(MINHASH_COEFFS):
                 v = (a * h + b) % MINHASH_PRIME
                 if sig[i] is None or v < sig[i]:
