@@ -384,6 +384,12 @@ def looks_garbled_for_thai(text: str) -> bool:
     if letters < 6:
         return False
     if thai == 0:
+        # a single unbroken ALLCAPS alpha run of >=16 chars is OCR soup
+        # regardless of vowel content (no real acronym is that long;
+        # stands in for the reference's garbage-token blacklist)
+        for tok in t.split():
+            if len(tok) >= 16 and tok.isalpha() and tok.isupper():
+                return True
         upper = sum(1 for ch in t if "A" <= ch <= "Z")
         vowels = sum(1 for ch in t if ch.lower() in "aeiou")
         if upper >= letters * 0.75 and vowels <= max(1, letters // 6):

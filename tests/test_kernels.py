@@ -248,6 +248,27 @@ class TestCellPredicates:
         assert not kernels.plausible_table_cell("กากากา")
         assert not kernels.plausible_table_cell("XKQJWPTRZ BNMKL")  # caps soup
 
+    def test_reference_parity_cases(self):
+        # ported from the reference's tests/test_docling_adapter.py
+        # (test_plausible_keeps_latin_product_names, test_garbled_latin_detected,
+        # test_section_marker_rejects_chart_decimals)
+        assert kernels.looks_like_healthy_latin("Microsoft Windows")
+        assert kernels.looks_like_healthy_latin("ESET")
+        assert kernels.plausible_table_cell("Microsoft Windows")
+        assert kernels.plausible_table_cell("Next Generation Firewall")
+        assert kernels.looks_garbled_for_thai(
+            "COMMSSUBLMACLUNGMUNEUSLUOBLUMLABEMUI ENUCSH")
+        assert not kernels.looks_garbled_for_thai("Hello English only")
+        assert not kernels.looks_garbled_for_thai("Microsoft Windows Server")
+        assert not kernels.looks_garbled_for_thai(
+            "วิเคราะห์และตรวจสอบมาตรฐานการผลิต")
+        from local_pdftodocx_ocr_spark.kernels import is_valid_section_marker
+        assert is_valid_section_marker("2.1")
+        assert is_valid_section_marker("11)")
+        assert not is_valid_section_marker("0.78")
+        assert not is_valid_section_marker("0.5")
+        assert not is_valid_section_marker("99.99")
+
     def test_garbled_for_thai(self):
         assert kernels.looks_garbled_for_thai("XKQJWPTRZ BNMKL")  # no vowels
         assert not kernels.looks_garbled_for_thai("WARNING DO NOT ENTER")
