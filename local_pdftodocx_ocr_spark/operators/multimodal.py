@@ -112,7 +112,51 @@ FROM (
 """
 
 
+RESIZE_MAX_UNITS = 256     # the stub's "downsample" budget
+RESIZE_W, RESIZE_H = 64, 48
+
+
+def resize_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing: payload -> fixed-target thumbnail payload. The
+    'resize kernel' is the deterministic stub (truncate the payload to
+    RESIZE_MAX_UNITS units — where ``PIL.Image.resize((64, 48))`` slots
+    in); the Spark side is the real batched transformation: Arrow in,
+    Arrow out, one Python crossing per batch, thumbnail digested so the
+    oracle can verify the bytes end-to-end."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            thumbs = [(t or "")[:RESIZE_MAX_UNITS].encode("utf-8")
+                      for t in pdf["text"]]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].values,
+                "target_w": pd.array([RESIZE_W] * len(pdf), dtype="Int32"),
+                "target_h": pd.array([RESIZE_H] * len(pdf), dtype="Int32"),
+                "thumb_len": pd.array([len(t) for t in thumbs], dtype="Int32"),
+                "thumb_sha": pd.Series(
+                    [hashlib.sha256(t).hexdigest() for t in thumbs],
+                    dtype="object"),
+            })
+
+    return d.select("doc_id", "text").mapInPandas(resize, schema=(
+        "doc_id long, target_w int, target_h int, thumb_len int, "
+        "thumb_sha string"))
+
+
+RESIZE_SQL = f"""
+SELECT doc_id,
+       CAST({RESIZE_W} AS INTEGER) AS target_w,
+       CAST({RESIZE_H} AS INTEGER) AS target_h,
+       CAST(octet_length(encode(substring(text, 1, {RESIZE_MAX_UNITS}))) AS INTEGER) AS thumb_len,
+       sha256(substring(text, 1, {RESIZE_MAX_UNITS})) AS thumb_sha
+FROM documents
+"""
+
+
 QUERIES = {"multimodal_features": multimodal_features,
-           "multimodal_frame_samples": frame_samples}
+           "multimodal_frame_samples": frame_samples,
+           "multimodal_resize": resize_media}
 ORACLES = {"multimodal_features": MULTIMODAL_SQL,
-           "multimodal_frame_samples": FRAMES_SQL}
+           "multimodal_frame_samples": FRAMES_SQL,
+           "multimodal_resize": RESIZE_SQL}
