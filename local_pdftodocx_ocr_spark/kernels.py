@@ -627,29 +627,36 @@ def parse_segments_payload(raw: str):
     return segs
 
 
-def segments_to_lines(segs: list[tuple[float, float, float, str]]) -> list[str]:
+def _cluster_lines(segs: list[tuple[float, float, float, str]]) -> list[dict]:
     """Cluster segments into visual lines: sort by (y-center, x), grow a
     cluster while |cy - first.cy| <= 0.6 x max(line heights), then join
-    each line left-to-right with the Thai-aware join and clean it."""
+    each line left-to-right with the Thai-aware join and clean it.
+    Returns line dicts with the union bbox (the reference's line shape,
+    src/pipeline.py:165-191)."""
     entries = []
     for x, y0, y1, t in segs:
         t = (t or "").strip()
         if not t:
             continue
-        entries.append(((y0 + y1) / 2.0, x, y1 - y0, t))
+        entries.append(((y0 + y1) / 2.0, x, y1 - y0, y0, y1, t))
     if not entries:
         return []
     entries.sort(key=lambda e: (e[0], e[1]))
-    lines: list[str] = []
+    lines: list[dict] = []
 
     def _flush(items) -> None:
         items.sort(key=lambda e: e[1])
         joined = ""
-        for _, _, _, t in items:
-            joined = join_text_blocks(joined, t)
+        for it in items:
+            joined = join_text_blocks(joined, it[5])
         t = clean_text(joined)
         if t:
-            lines.append(t)
+            lines.append({
+                "text": t,
+                "x0": min(it[1] for it in items),
+                "y0": min(it[3] for it in items),
+                "y1": max(it[4] for it in items),
+            })
 
     cluster = [entries[0]]
     for e in entries[1:]:
@@ -662,6 +669,57 @@ def segments_to_lines(segs: list[tuple[float, float, float, str]]) -> list[str]:
             cluster = [e]
     _flush(cluster)
     return lines
+
+
+def segments_to_lines(segs: list[tuple[float, float, float, str]]) -> list[str]:
+    return [ln["text"] for ln in _cluster_lines(segs)]
+
+
+# Page segmentation (M1/M3 analog): a full-page recognize payload is
+# segmented into text BLOCKS — lines first (W3), then consecutive lines
+# group into a block while the vertical gap stays under
+# BLOCK_GAP_FACTOR x the median line height (the structural analog of
+# the reference's dilate-and-contour text-region detection,
+# `_detect_opencv_fallback`, src/layout_detector.py:350-396; no raster
+# in the sandbox, so geometry stands in for ink).
+BLOCK_GAP_FACTOR = 1.5
+
+
+def segment_page_blocks(segs) -> list[tuple[float, float, str]]:
+    """Loose full-page segments -> [(y, x, block_text)] in reading
+    order. Deterministic: median = lower-middle of the sorted heights."""
+    lines = _cluster_lines(segs)
+    if not lines:
+        return []
+    heights = sorted(ln["y1"] - ln["y0"] for ln in lines)
+    med_h = max(heights[len(heights) // 2], 1.0)
+    blocks: list[tuple[float, float, str]] = []
+    cur = [lines[0]]
+    for ln in lines[1:]:
+        if ln["y0"] - cur[-1]["y1"] > BLOCK_GAP_FACTOR * med_h:
+            blocks.append((min(c["y0"] for c in cur), min(c["x0"] for c in cur),
+                           "\n".join(c["text"] for c in cur)))
+            cur = [ln]
+        else:
+            cur.append(ln)
+    blocks.append((min(c["y0"] for c in cur), min(c["x0"] for c in cur),
+                   "\n".join(c["text"] for c in cur)))
+    return blocks
+
+
+def reclassify_figure_segments(segs) -> str:
+    """M4 figure->table reclassify, structural form (rebuilt from
+    `_reclassify_figures_as_tables`, src/layout_detector.py:290-346:
+    grid/h-rule density tests on the raster; here: does the recognized
+    content actually FORM a grid — >=2 rows and a row with >=2 aligned
+    columns). Returns the table text when it does, else ''."""
+    grid = items_to_table(segs)
+    if not grid:
+        return ""
+    rows = grid.split("\n")
+    if len(rows) >= 2 and any(len(r.split("\t")) >= 2 for r in rows):
+        return grid
+    return ""
 
 
 # --------------------------------------------------------------------------
@@ -863,7 +921,35 @@ def _route_span(kind: str, body: str, media_ref: str, page: int, y: float, x: fl
         if (w > 0 or h > 0) and (w < FIG_MIN_SIDE or h < FIG_MIN_SIDE
                                  or w * h < FIG_MIN_AREA):
             return None
+        # M4: a "figure" whose recognized content forms a real grid is a
+        # misclassified table (src/layout_detector.py:290-346)
+        if media_ref:
+            segs = parse_segments_payload(_recognize(media_ref))
+            if segs is not None:
+                grid = reclassify_figure_segments(segs)
+                if grid:
+                    return Block("table", page, y, x, grid, media_ref,
+                                 src_offset, "figure", w=w, h=h)
         return Block("figure", page, y, x, "", media_ref, src_offset, "figure", w=w, h=h)
+    if kind == "page_image":
+        # M1/M3 analog: one full-page recognize payload -> SEGMENTED
+        # text blocks, each with its own geometry (page segmentation of
+        # the north star). Non-segmented payloads fall back to a single
+        # text block (whole-page OCR).
+        raw = _recognize(media_ref)
+        segs = parse_segments_payload(raw)
+        if segs is None:
+            t = clean_text(raw)
+            if not t or looks_garbled_for_thai(t):
+                return None
+            return Block("text", page, y, x, t, media_ref, src_offset, "page_image", w=w, h=h)
+        out = []
+        for by, bx, btext in segment_page_blocks(segs):
+            if looks_garbled_for_thai(btext):
+                continue
+            out.append(Block("text", page, by, bx, btext, media_ref,
+                             src_offset, "page_image"))
+        return out or None
     if kind == "table":
         grid = parse_grid_table(body)
         if grid is not None:
@@ -1363,9 +1449,14 @@ def route_spans(spans: list[dict],
         src_offset = int(s.get("offset") or 0)
         page, y, x, w, h, body = parse_pos_header(raw)
         b = _route_span(kind, body, media_ref, page, y, x, w, h, src_offset, media_text)
-        if b is not None:
-            b.seq = base_seq + i
-            blocks.append(b)
+        if b is None:
+            continue
+        # a page_image span segments into MULTIPLE blocks; all carry the
+        # span's seq (stable sorts keep their within-span order on the
+        # chunked path — one span never straddles a chunk boundary)
+        for blk in (b if isinstance(b, list) else (b,)):
+            blk.seq = base_seq + i
+            blocks.append(blk)
     return blocks
 
 

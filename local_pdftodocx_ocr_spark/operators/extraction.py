@@ -323,6 +323,7 @@ extract_table_grid = _kind_query("grid")
 extract_segments_to_lines = _kind_query("segments")
 extract_marker_recovery = _kind_query("band")
 extract_complementary_merge = _kind_query("weak")
+extract_page_segmentation = _kind_query("page")
 
 
 # ---------------------------------------------------------------------------
@@ -372,6 +373,7 @@ QUERIES = {
     "extract_segments_to_lines": extract_segments_to_lines,
     "extract_marker_recovery": extract_marker_recovery,
     "extract_complementary_merge": extract_complementary_merge,
+    "extract_page_segmentation": extract_page_segmentation,
     "extract_lineage_totals": extract_lineage_totals,
     "extract_clean_text": extract_clean_text,
     "extract_boilerplate_html": extract_boilerplate_html,
@@ -391,6 +393,7 @@ def oracles() -> dict[str, str]:
         "extract_segments_to_lines": _kind_oracle_sql("segments"),
         "extract_marker_recovery": _kind_oracle_sql("band"),
         "extract_complementary_merge": _kind_oracle_sql("weak"),
+        "extract_page_segmentation": _kind_oracle_sql("page"),
         "extract_lineage_totals": extract_lineage_totals_oracle_sql(),
         "extract_clean_text": extract_clean_text_oracle_sql(),
         "extract_boilerplate_html": extract_boilerplate_html_oracle_sql(),

@@ -274,10 +274,44 @@ def _weak_primary_doc(rng: random.Random) -> list[dict]:
     ]
 
 
+def _page_image_doc(rng: random.Random) -> list[dict]:
+    """M1/M3 fixtures: one full-page recognize payload segmented into
+    blocks by line-gap analysis, plus a 'figure' whose content forms a
+    grid (M4 reclassify -> table) and one that stays a real figure."""
+    page_segs = [
+        (40.0, 80.0, 100.0, "Document heading line"),
+        # paragraph block: three tight lines (gap < 1.5 x line height)
+        (40.0, 180.0, 200.0, "first paragraph line"),
+        (40.0, 205.0, 225.0, "second paragraph line"),
+        (40.0, 230.0, 250.0, "third paragraph line"),
+        # big gap -> a separate closing block
+        (40.0, 500.0, 520.0, _sentence(rng, 6)),
+    ]
+    grid_segs = [                  # 2x2 -> reclassified to table
+        (60.0, 100.0, 120.0, "qty"),
+        (260.0, 100.0, 120.0, "price"),
+        (60.0, 200.0, 220.0, "4"),
+        (260.0, 200.0, 220.0, "99"),
+    ]
+    column_segs = [                # single column -> stays a figure
+        (60.0, 100.0, 120.0, "legend"),
+        (60.0, 300.0, 320.0, "axis"),
+    ]
+    return [
+        _span("page_image", 0, 60, 30, "",
+              kernels.encode_media_segments(page_segs), 0),
+        _span("figure", 1, 200, 40, "",
+              kernels.encode_media_segments(grid_segs), 1, w=400, h=200),
+        _span("figure", 1, 600, 40, "",
+              kernels.encode_media_segments(column_segs), 2, w=300, h=260),
+    ]
+
+
 _DOC_BUILDERS = (
     _demo_doc, _general_doc, _html_doc, _image_doc, _thai_doc,
     _unreliable_doc, _two_column_doc, None, _neardup_doc, _table_doc,
     _grid_table_doc, _segments_doc, _band_doc, _weak_primary_doc,
+    _page_image_doc,
 )
 
 
@@ -288,14 +322,14 @@ def gen_doc(i: int, seed: int = 42) -> tuple[str, list[dict]]:
     builder = _DOC_BUILDERS[i % len(_DOC_BUILDERS)]
     if builder is None:
         # edge docs: mostly small mixed, occasionally empty / media-only
-        # (moduli chosen so each variant appears among the i%14==7 slots
-        # of the 48-doc golden corpus: 7 empty, 21 media-only, 35 wrapped)
+        # (moduli chosen so each variant appears among the i%15==7 slots
+        # of the 48-doc golden corpus: 7 empty, 22 media-only, 37 wrapped)
         if i % 50 == 7:
             return doc_id, []
-        if i % 30 == 21:
+        if i % 30 == 22:
             return doc_id, [_span("figure", 0, 400, 100, "",
                                   kernels.encode_media("lonely"), 0)]
-        if i % 30 == 5:
+        if i % 30 == 7:
             # wrapped lines: small gaps + line heights -> W4 paragraph merge
             return doc_id, [
                 _span("text", 0, 100, 40, _sentence(rng, 8), "", 0, w=600, h=30),
@@ -317,6 +351,7 @@ _KIND_BUILDERS = {
     "segments": _segments_doc,
     "band": _band_doc,
     "weak": _weak_primary_doc,
+    "page": _page_image_doc,
 }
 
 

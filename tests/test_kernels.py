@@ -226,8 +226,8 @@ class TestExtractDocument:
         assert any(t.startswith("6)") for t in texts)
 
     def test_wrapped_lines_merge(self):
-        # edge doc i=35: first three lines merge, big gap starts a new para
-        _, spans = synth.gen_doc(35)
+        # edge doc i=37: first three lines merge, big gap starts a new para
+        _, spans = synth.gen_doc(37)
         out = extract_document("d", spans)
         assert len(out) == 2
         assert all(k == "text" for (k, _, _, _) in out)
@@ -370,6 +370,51 @@ class TestSegmentsToLines:
 
     def test_plain_payload_is_not_segments(self):
         assert kernels.parse_segments_payload("plain text") is None
+
+
+class TestPageSegmentation:
+    def test_blocks_split_on_big_gaps(self):
+        segs = [
+            (40.0, 80.0, 100.0, "heading"),
+            (40.0, 180.0, 200.0, "para one"),
+            (40.0, 205.0, 225.0, "para two"),
+            (40.0, 500.0, 520.0, "closing"),
+        ]
+        blocks = kernels.segment_page_blocks(segs)
+        assert [t for (_, _, t) in blocks] == [
+            "heading", "para one\npara two", "closing"]
+        # block geometry comes from its first line
+        assert blocks[0][0] == 80.0 and blocks[1][0] == 180.0
+
+    def test_page_image_span_routes_to_multiple_blocks(self):
+        _, spans = synth.gen_doc(14)  # page-image doc
+        out = extract_document("d", spans)
+        texts = [t for (k, t, _, _) in out if k == "text"]
+        assert any(t.startswith("Document heading") for t in texts)
+        assert any("\n" in t and "paragraph" in t for t in texts)
+        assert len(texts) >= 3
+
+    def test_plain_payload_is_one_block(self):
+        spans = [synth._span("page_image", 0, 100, 40, "",
+                             kernels.encode_media("whole page text body"), 0)]
+        out = extract_document("d", spans)
+        assert [t for (_, t, _, _) in out] == ["whole page text body"]
+
+
+class TestFigureReclassifyM4:
+    def test_grid_content_becomes_table(self):
+        _, spans = synth.gen_doc(14)
+        out = extract_document("d", spans)
+        tables = [t for (k, t, _, _) in out if k == "table"]
+        figures = [m for (k, _, m, _) in out if k == "figure"]
+        assert tables == ["qty\tprice\n4\t99"]   # M4 reclassified
+        assert len(figures) == 1                  # the single-column one stays
+
+    def test_plain_media_figure_unchanged(self):
+        spans = [synth._span("figure", 0, 100, 40, "",
+                             kernels.encode_media("photo"), 0)]
+        out = extract_document("d", spans)
+        assert [k for (k, _, _, _) in out] == ["figure"]
 
 
 class TestBandRecovery:
