@@ -866,8 +866,67 @@ GROUP BY 1, 2
 """
 
 
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 pattern (partsupp-free): profit proxy by supplier
+    nation x year for parts of one type family."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    profit = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+              - F.col("l_quantity") * F.col("p_retailprice") * 0.8)
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(_dec_sum(profit).cast("double"), 4).alias("sum_profit"))
+    )
+
+
+Q9_SQL = """
+SELECT n_name AS nation,
+       CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+       ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           - l_quantity * p_retailprice * 0.8 AS DECIMAL(24,8))) AS DOUBLE),4) AS sum_profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_type = 'PROMO'
+GROUP BY 1, 2
+"""
+
+
+def customer_balance_ntiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE window coverage: quartile buckets of customer balances with
+    per-bucket aggregates (deterministic: ties broken by c_custkey)."""
+    c = _t(spark, sf_dir, "customer")
+    w = W.orderBy(F.col("c_acctbal"), F.col("c_custkey"))
+    return (c.withColumn("q", F.ntile(4).over(w))
+            .groupBy("q")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.avg(F.col("c_acctbal").cast("decimal(24,8)"))
+                         .cast("double"), 4).alias("avg_bal")))
+
+
+NTILE_SQL = """
+SELECT q, COUNT(*) AS n,
+       ROUND(CAST(AVG(CAST(c_acctbal AS DECIMAL(24,8))) AS DOUBLE),4) AS avg_bal
+FROM (SELECT c_acctbal, NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS q
+      FROM customer)
+GROUP BY q
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
+    "q9_product_profit": q9_product_profit,
+    "customer_balance_ntiles": customer_balance_ntiles,
     "events_funnel": events_funnel,
     "events_retention_cohorts": events_retention_cohorts,
     "q7_volume_shipping": q7_volume_shipping,
@@ -901,6 +960,8 @@ QUERIES = {
 
 ORACLES = {
     "q1_pricing_summary": Q1_SQL,
+    "q9_product_profit": Q9_SQL,
+    "customer_balance_ntiles": NTILE_SQL,
     "events_funnel": EVENTS_FUNNEL_SQL,
     "events_retention_cohorts": EVENTS_RETENTION_SQL,
     "q7_volume_shipping": Q7_SQL,

@@ -290,11 +290,38 @@ GROUP BY doc_id
 """
 
 
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-stratified deterministic sample: the 10 docs per lang
+    with the smallest md5(doc_id) — unbiased, reproducible, no RNG
+    (the balanced-subset op multilingual training mixes need)."""
+    from pyspark.sql import Window as W
+
+    d = _docs(spark, sf_dir)
+    w = W.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+    return (d.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 10)
+            .select("doc_id", "lang", F.col("rk").cast("int").alias("rk")))
+
+
+STRATIFIED_SQL = """
+SELECT doc_id, lang, CAST(rk AS INTEGER) AS rk
+FROM (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents
+)
+WHERE rk <= 10
+"""
+
+
 QUERIES = {
     "docs_token_count": token_count,
     "docs_tfidf_top_terms": tfidf_top_terms,
     "docs_train_test_split": train_test_split,
     "docs_benchmark_contamination": benchmark_contamination,
+    "docs_stratified_sample": stratified_sample,
     "docs_quality_filter_chain": quality_filter_chain,
     "docs_lang_id": lang_id,
     "docs_quality_score": quality_score,
@@ -306,6 +333,7 @@ ORACLES = {
     "docs_tfidf_top_terms": TFIDF_SQL,
     "docs_train_test_split": SPLIT_SQL,
     "docs_benchmark_contamination": CONTAMINATION_SQL,
+    "docs_stratified_sample": STRATIFIED_SQL,
     "docs_quality_filter_chain": QUALITY_FILTER_SQL,
     "docs_lang_id": LANG_ID_SQL,
     "docs_quality_score": QUALITY_SQL,

@@ -157,6 +157,23 @@ class TestGridSegmentsProperties:
         assert a == b
         assert kernels.items_to_table(list(segs)) == kernels.items_to_table(list(segs))
 
+    @given(st.lists(
+        st.tuples(st.floats(-1e3, 1e3, allow_nan=False),
+                  st.floats(-1e3, 1e3, allow_nan=False),
+                  st.floats(0, 100, allow_nan=False), _text)
+        .map(lambda t: (t[0], t[1], t[1] + t[2], t[3])),  # y1 >= y0
+        max_size=15))
+    @settings(max_examples=120, deadline=None)
+    def test_page_segmentation_total_and_deterministic(self, segs):
+        blocks = kernels.segment_page_blocks(list(segs))
+        assert blocks == kernels.segment_page_blocks(list(segs))
+        assert all(t for (_, _, t) in blocks)
+        # every line survives into exactly one block, in line order
+        assert "\n".join(t for (_, _, t) in blocks) == \
+            "\n".join(kernels.segments_to_lines(list(segs)))
+        # degenerate segments (y1 < y0) must still be total
+        kernels.segment_page_blocks([(0.0, 5.0, -5.0, "x"), (1.0, 0.0, 1.0, "y")])
+
     @given(st.lists(st.tuples(st.floats(0, 999, allow_nan=False),
                               st.floats(0, 999, allow_nan=False),
                               st.floats(0, 999, allow_nan=False),
