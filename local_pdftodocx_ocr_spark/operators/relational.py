@@ -923,9 +923,38 @@ GROUP BY q
 """
 
 
+def events_error_rate_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomaly screen: the 5 hours with the highest error-event ratio
+    (conditional aggregation + exact integer ratio, deterministic
+    tie-break by hour)."""
+    e = _t(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    errors = F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+    return (e.groupBy(hour.cast("string").alias("hour"))
+            .agg(errors.alias("n_errors"), F.count("*").alias("n_total"))
+            .withColumn("err_rate", F.round(
+                F.col("n_errors").cast("double") / F.col("n_total"), 4))
+            .orderBy(F.desc("err_rate"), F.asc("hour"))
+            .limit(5))
+
+
+ERROR_RATE_SQL = """
+SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour,
+       SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors,
+       COUNT(*) AS n_total,
+       ROUND(CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 4) AS err_rate
+FROM events
+GROUP BY 1
+ORDER BY err_rate DESC, hour ASC
+LIMIT 5
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q9_product_profit": q9_product_profit,
+    "events_error_rate_hours": events_error_rate_hours,
     "customer_balance_ntiles": customer_balance_ntiles,
     "events_funnel": events_funnel,
     "events_retention_cohorts": events_retention_cohorts,
@@ -961,6 +990,7 @@ QUERIES = {
 ORACLES = {
     "q1_pricing_summary": Q1_SQL,
     "q9_product_profit": Q9_SQL,
+    "events_error_rate_hours": ERROR_RATE_SQL,
     "customer_balance_ntiles": NTILE_SQL,
     "events_funnel": EVENTS_FUNNEL_SQL,
     "events_retention_cohorts": EVENTS_RETENTION_SQL,
