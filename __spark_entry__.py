@@ -38,16 +38,27 @@ def entry(spark: SparkSession) -> DataFrame:
     return extraction.extract_from_documents(spark, "/root/testdata/sf0.001")
 
 
+# Module order matters: the driver verifies queries() in iteration
+# order with a bounded window (r2 checked the first 50 of 73), so the
+# modules whose queries have never had a driver-grade hash check —
+# dedup/similarity/multimodal and the textstats tail — come FIRST;
+# extraction and relational (all triple-green in CORRECTNESS_r01/r02)
+# follow, with the one r2 red row (events_error_rate_hours, oracle
+# typing fix this round) leading the relational dict so it re-verifies
+# inside any plausible window.
+_MODULE_ORDER = (dedup, similarity, multimodal, textstats, extraction, relational)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for mod in (extraction, relational, textstats, dedup, similarity, multimodal):
+    for mod in _MODULE_ORDER:
         out.update(mod.QUERIES)
     return out
 
 
 def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
-    for mod in (extraction, relational, textstats, dedup, similarity, multimodal):
+    for mod in _MODULE_ORDER:
         fn = getattr(mod, "oracles", None)
         out.update(fn() if fn is not None else mod.ORACLES)
     return out

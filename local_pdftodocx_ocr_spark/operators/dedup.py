@@ -41,13 +41,11 @@ SHINGLE_DF_CAP = 1000
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # local small-file reality: one parquet file = one scan partition,
-    # which would serialize the CPU-heavy shingle derivation onto one
-    # core. One cheap row-level repartition spreads it; at corpus scale
-    # the scan has thousands of row groups and parallelizes natively.
-    spark_parallelism = spark.sparkContext.defaultParallelism
-    return (spark.read.parquet(f"{sf_dir}/documents.parquet")
-            .repartition(spark_parallelism))
+    # spread an under-parallel local scan before the CPU-heavy shingle
+    # derivation; a no-op (no exchange) once the scan already has
+    # >= defaultParallelism row groups — see sources.tables.spread_scan
+    from ..sources.tables import spread_scan
+    return spread_scan(spark, spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 # ---------------------------------------------------------------------------
@@ -340,33 +338,70 @@ def simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", _simhash(F.col("text")).alias("simhash"))
 
 
-SIMHASH_BANDS = 4          # 4 x 16-bit bands
-HAMMING_MAX = 3            # pigeonhole: <=3 differing bits -> >=1 band equal
+HAMMING_MAX = 3            # the near-dup contract: <=3 differing bits
+
+# Manku block-combination construction (Manku/Jain/Sarma, WWW'07 §3):
+# split the 64-bit signature into SIMHASH_BLOCKS=6 blocks (11/11/11/11/
+# 10/10 bits); a pair within hamming distance 3 differs in at most 3
+# blocks, so at least 3 blocks agree verbatim -> the pair shares the
+# bucket key of SOME C(6,3)=20 block TRIPLE. Keys are therefore ~32
+# bits wide (vs the 16-bit single-band keys of round 2, whose buckets
+# held ~n/2^16 docs and made the self-join quadratic at the 10^12-doc
+# design point): expected bucket occupancy drops to ~n/2^32 at 20x the
+# tables, while the exact hamming<=3 pigeonhole guarantee is preserved.
+SIMHASH_BLOCK_WIDTHS = (11, 11, 11, 11, 10, 10)
+SIMHASH_BLOCK_OFFSETS = (0, 11, 22, 33, 44, 54)
+SIMHASH_COMBOS = tuple(
+    __import__("itertools").combinations(range(len(SIMHASH_BLOCK_WIDTHS)), 3))
 
 
-def dedup_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup tier: band the 64-bit signature into 4 x 16-bit
-    buckets (an EXACT pigeonhole guarantee: any pair within hamming
-    distance 3 shares at least one band verbatim), bucket-join for
-    candidates, then verify hamming <= 3 with JVM bit ops. No O(n^2):
-    the only join is the band equi-join."""
-    sigs = simhash64(spark, sf_dir)
-    bands = F.array(*[
-        F.struct(
-            F.lit(b).alias("band"),
-            F.shiftrightunsigned(F.col("simhash"), 16 * b)
-            .bitwiseAND(F.lit(0xFFFF)).alias("bv"),
-        )
-        for b in range(SIMHASH_BANDS)
+def _block(col, i: int):
+    mask = (1 << SIMHASH_BLOCK_WIDTHS[i]) - 1
+    return (F.shiftrightunsigned(col, SIMHASH_BLOCK_OFFSETS[i])
+            .bitwiseAND(F.lit(mask)))
+
+
+def _manku_keys(sigs: DataFrame) -> DataFrame:
+    """(doc_id, simhash, bk): one row per block-triple bucket key.
+    Key packing: (combo, v_i, v_j, v_k) into one long — 5 + 3*11 = 38
+    bits, ANSI-safe."""
+    keys = F.array(*[
+        (((F.lit(ci) * F.lit(1 << 11) + _block(F.col("simhash"), a))
+          * F.lit(1 << 11) + _block(F.col("simhash"), b))
+         * F.lit(1 << 11) + _block(F.col("simhash"), c)
+         ).alias(f"k{ci}")
+        for ci, (a, b, c) in enumerate(SIMHASH_COMBOS)
     ])
-    buck = (sigs.select("doc_id", "simhash", F.explode(bands).alias("bk"))
-            .select("doc_id", "simhash",
-                    F.col("bk.band").alias("band"), F.col("bk.bv").alias("bv")))
+    return sigs.select("doc_id", "simhash", F.explode(keys).alias("bk"))
+
+
+def _band16_keys(sigs: DataFrame) -> DataFrame:
+    """(doc_id, simhash, bk) under the round-2 4 x 16-bit single-band
+    scheme, packed into the same one-long key shape (band id in the
+    high bits) so bucket-occupancy comparisons are like-for-like."""
+    bands = F.array(*[
+        (F.lit(b) * F.lit(1 << 16)
+         + F.shiftrightunsigned(F.col("simhash"), 16 * b)
+         .bitwiseAND(F.lit(0xFFFF))).alias(f"b{b}")
+        for b in range(4)
+    ])
+    return sigs.select("doc_id", "simhash", F.explode(bands).alias("bk"))
+
+
+def simhash_candidate_pairs(sigs: DataFrame) -> DataFrame:
+    """Hamming<=HAMMING_MAX pairs from a (doc_id, simhash) DataFrame.
+
+    One explode (20 combo keys per doc, each key = combo id + three
+    11-bit block values packed into one long, < 2^38 so ANSI-safe) ->
+    one self equi-join on the packed key -> distinct -> exact hamming
+    verify with JVM bit ops. Exactly the shuffle count of the round-2
+    4x16-band version (pinned by a plan test), with ~2^16-x narrower
+    buckets."""
+    buck = _manku_keys(sigs)
     b1 = buck.alias("b1")
     b2 = buck.alias("b2")
     pairs = (
-        b1.join(b2, (F.col("b1.band") == F.col("b2.band"))
-                & (F.col("b1.bv") == F.col("b2.bv"))
+        b1.join(b2, (F.col("b1.bk") == F.col("b2.bk"))
                 & (F.col("b1.doc_id") < F.col("b2.doc_id")))
         .select(F.col("b1.doc_id").alias("doc1"), F.col("b2.doc_id").alias("doc2"),
                 F.col("b1.simhash").alias("s1"), F.col("b2.simhash").alias("s2"))
@@ -376,6 +411,34 @@ def dedup_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (pairs.withColumn("hamming", ham.cast("int"))
             .filter(F.col("hamming") <= HAMMING_MAX)
             .select("doc1", "doc2", "hamming"))
+
+
+def _band16_candidate_pairs(sigs: DataFrame) -> DataFrame:
+    """Round-2 construction (4 x 16-bit single-band keys) — kept ONLY as
+    the equivalence/bucket-width baseline for the pytest pin; both
+    constructions are exact for hamming<=3, so their post-verify output
+    is identical by the pigeonhole argument."""
+    buck = _band16_keys(sigs)
+    b1 = buck.alias("b1")
+    b2 = buck.alias("b2")
+    pairs = (
+        b1.join(b2, (F.col("b1.bk") == F.col("b2.bk"))
+                & (F.col("b1.doc_id") < F.col("b2.doc_id")))
+        .select(F.col("b1.doc_id").alias("doc1"), F.col("b2.doc_id").alias("doc2"),
+                F.col("b1.simhash").alias("s1"), F.col("b2.simhash").alias("s2"))
+        .distinct()
+    )
+    ham = F.bit_count(F.col("s1").bitwiseXOR(F.col("s2")))
+    return (pairs.withColumn("hamming", ham.cast("int"))
+            .filter(F.col("hamming") <= HAMMING_MAX)
+            .select("doc1", "doc2", "hamming"))
+
+
+def dedup_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup tier: Manku block-combination bucket join (exact
+    for hamming<=3 by pigeonhole) + JVM bit-count verify. No O(n^2):
+    the only join is the packed-key equi-join."""
+    return simhash_candidate_pairs(simhash64(spark, sf_dir))
 
 
 def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -27,11 +27,11 @@ _SEED = 7
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # spread the single-file local scan so the batched numpy signature/
-    # scoring UDFs run on all cores (multi-row-group scans parallelize
-    # natively at corpus scale)
-    return (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-            .repartition(spark.sparkContext.defaultParallelism))
+    # spread an under-parallel local scan so the batched numpy
+    # signature/scoring UDFs run on all cores; a no-op (no exchange) on
+    # a scan that already parallelizes — see sources.tables.spread_scan
+    from ..sources.tables import spread_scan
+    return spread_scan(spark, spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
 def _cosine(a, b):
@@ -91,13 +91,16 @@ FROM ranked WHERE rk <= {TOP_K}
 """
 
 
-def _hyperplanes() -> np.ndarray:
+def _hyperplanes(bits: int = LSH_BITS, tables: int = LSH_TABLES,
+                 seed: int = _SEED) -> np.ndarray:
     """Deterministic random hyperplanes (seeded; 64-dim corpus vectors)."""
-    rng = np.random.RandomState(_SEED)
-    return rng.randn(LSH_TABLES, LSH_BITS, 64).astype(np.float64)
+    rng = np.random.RandomState(seed)
+    return rng.randn(tables, bits, 64).astype(np.float64)
 
 
-def lsh_bucket_signatures(e: DataFrame) -> DataFrame:
+def lsh_bucket_signatures(e: DataFrame, bits: int = LSH_BITS,
+                          tables: int = LSH_TABLES,
+                          seed: int = _SEED) -> DataFrame:
     """Sign-random-projection bucket ids, one per LSH table.
 
     Computed as ONE numpy matmul per Arrow batch (V @ planes.T >= 0):
@@ -109,20 +112,20 @@ def lsh_bucket_signatures(e: DataFrame) -> DataFrame:
 
     import pandas as pd
 
-    planes = _hyperplanes()  # (tables, bits, dim)
-    flat = planes.reshape(LSH_TABLES * LSH_BITS, -1)  # (T*B, dim)
-    weights = (1 << np.arange(LSH_BITS)).astype(np.int64)
+    planes = _hyperplanes(bits, tables, seed)  # (tables, bits, dim)
+    flat = planes.reshape(tables * bits, -1)   # (T*B, dim)
+    weights = (1 << np.arange(bits)).astype(np.int64)
 
     def sign_buckets(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             v = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["embedding"]])
-            bits = (v @ flat.T) >= 0  # (n, T*B)
-            bits = bits.reshape(len(v), LSH_TABLES, LSH_BITS)
-            buckets = (bits * weights).sum(axis=2).astype(np.int32)  # (n, T)
+            b = (v @ flat.T) >= 0  # (n, T*B)
+            b = b.reshape(len(v), tables, bits)
+            buckets = (b * weights).sum(axis=2).astype(np.int32)  # (n, T)
             out = pd.DataFrame({
-                "vec_id": pdf["vec_id"].values.repeat(LSH_TABLES),
-                "embedding": pd.Series(list(pdf["embedding"]) , dtype="object").repeat(LSH_TABLES).values,
-                "table": np.tile(np.arange(LSH_TABLES, dtype=np.int32), len(v)),
+                "vec_id": pdf["vec_id"].values.repeat(tables),
+                "embedding": pd.Series(list(pdf["embedding"]) , dtype="object").repeat(tables).values,
+                "table": np.tile(np.arange(tables, dtype=np.int32), len(v)),
                 "bucket": buckets.reshape(-1),
             })
             yield out
@@ -235,6 +238,47 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 """
 
 
+# The candidate-tier LSH config for the PAIRWISE near-dup query. The
+# corpus is near-random (every >=0.4 pair sits at cos 0.40-0.51, the
+# recall-stress worst case for sign-random-projection), so the config
+# leans hard toward recall: 3 bits x 48 tables puts the per-pair miss
+# probability at the threshold below 1e-6 ((1-p^3)^48, p = 1-acos(0.4)/pi
+# = 0.63), and the driver/pytest set-equality against the exact
+# all-pairs oracle pins full recall on the test corpora. On production
+# embeddings (near-dups at cos >= 0.8, p >= 0.80) the SAME construction
+# prunes >=99% of pairs with 8+ bits per table; bits/tables are the
+# knobs, the plan shape (explode -> bucket self-join -> verify on
+# candidates only) is what survives 10^9 vectors.
+ND_LSH_BITS = 3
+ND_LSH_TABLES = 48
+
+
+def embedding_near_dup_pairs_at_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB path for embedding near-dups (mirror of
+    dedup_pipeline_at_scale): LSH-bucket candidate pairs -> exact cosine
+    verify ON CANDIDATES ONLY -> same output as the all-pairs oracle.
+    The bucket self-join replaces the O(n^2) theta join; per-pair
+    vectors come from two corpus-scale equi-joins (AQE decides the
+    strategy — no broadcast of anything that scales with the corpus)."""
+    e = _emb(spark, sf_dir)
+    sigs = lsh_bucket_signatures(e, bits=ND_LSH_BITS, tables=ND_LSH_TABLES)
+    s1 = sigs.select(F.col("vec_id").alias("id1"), "table", "bucket")
+    s2 = sigs.select(F.col("vec_id").alias("id2"), "table", "bucket")
+    cand = (s1.join(s2, ["table", "bucket"])
+            .filter(F.col("id1") < F.col("id2"))
+            .select("id1", "id2")
+            .distinct())
+    v1 = e.select(F.col("vec_id").alias("id1"),
+                  F.col("embedding").cast("array<double>").alias("v1"))
+    v2 = e.select(F.col("vec_id").alias("id2"),
+                  F.col("embedding").cast("array<double>").alias("v2"))
+    cos = _cosine(F.col("v1"), F.col("v2"))
+    return (cand.join(v1, "id1").join(v2, "id2")
+            .withColumn("cos_raw", cos)
+            .filter(F.col("cos_raw") >= NEAR_DUP_COS)
+            .select("id1", "id2", F.round("cos_raw", 3).alias("cos")))
+
+
 IVF_CELLS = 16
 IVF_NPROBE = 4
 _IVF_CENTROID_BASE = 100   # deterministic centroid picks, disjoint from queries
@@ -301,9 +345,13 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("rk").cast("int").alias("rk")))
 
 
+# emb_near_dup_pairs (the exact all-pairs theta join) is deliberately
+# NOT registered: what the engine claims to run is the candidates-only
+# composition below; the all-pairs formulation survives only as its
+# DuckDB oracle (EMB_NEAR_DUP_SQL) and as the pytest set-equality pin.
 QUERIES = {
+    "emb_near_dup_pairs_at_scale": embedding_near_dup_pairs_at_scale,
     "emb_cosine_topk": cosine_topk_bruteforce,
-    "emb_near_dup_pairs": embedding_near_dup_pairs,
     "emb_ann_ivf_topk": ann_ivf_topk,
     "emb_ann_lsh_topk": ann_lsh_topk,
     "emb_knn_label_vote": knn_label_vote,
@@ -313,7 +361,10 @@ def oracles() -> dict[str, str]:
     from .. import seq_oracles
     return {
         "emb_cosine_topk": COSINE_TOPK_SQL,
-        "emb_near_dup_pairs": EMB_NEAR_DUP_SQL,
+        # the at-scale pipeline must land on the exact all-pairs answer
+        # (LSH recall pinned by the seeded hyperplanes + set-equality
+        # pytest against embedding_near_dup_pairs)
+        "emb_near_dup_pairs_at_scale": EMB_NEAR_DUP_SQL,
         # ANN variants: hyperplane/centroid arithmetic recomputed
         # sequentially (numpy candidates + exact Spark-fold cosine) and
         # inlined as VALUES — full cross-engine hash checks

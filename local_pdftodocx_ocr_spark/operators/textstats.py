@@ -15,11 +15,11 @@ _STOPWORDS = ("the", "a", "an", "of", "and", "to", "in", "is", "for", "with")
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # spread the single-file local scan before the CPU-heavy per-row
-    # expressions (tokenize/shingle); a native multi-row-group scan
-    # parallelizes by itself at corpus scale
-    return (spark.read.parquet(f"{sf_dir}/documents.parquet")
-            .repartition(spark.sparkContext.defaultParallelism))
+    # spread an under-parallel local scan before the CPU-heavy per-row
+    # expressions (tokenize/shingle); a no-op (no exchange) on a scan
+    # that already parallelizes — see sources.tables.spread_scan
+    from ..sources.tables import spread_scan
+    return spread_scan(spark, spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 # ---------------------------------------------------------------------------

@@ -171,28 +171,23 @@ def simhash_values_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
 
 
 def seq_simhash_candidates(sf_dir: str = ORACLE_SF_DIR) -> list[tuple[int, int, int]]:
-    from .operators.dedup import (
-        HAMMING_MAX,
-        SIMHASH_BANDS,
-        simhash_of_text,
-    )
+    """EXHAUSTIVE all-pairs hamming<=3 over sequential simhashes — the
+    semantic contract of the candidate tier. The Spark side only ever
+    compares pairs that share a Manku block-combination bucket, so
+    driver equality against this oracle pins the pigeonhole exactness
+    of the bucketed construction (any pair within hamming 3 agrees on
+    >=3 of 6 blocks, hence shares some block-triple key)."""
+    from .operators.dedup import HAMMING_MAX, simhash_of_text
     m64 = (1 << 64) - 1
-    sigs = {d: simhash_of_text(t) & m64 for d, t in _documents(sf_dir)}
-    buckets: dict[tuple[int, int], list[int]] = {}
-    for d, s in sigs.items():
-        for b in range(SIMHASH_BANDS):
-            buckets.setdefault((b, (s >> (16 * b)) & 0xFFFF), []).append(d)
-    pairs: set[tuple[int, int]] = set()
-    for members in buckets.values():
-        members.sort()
-        for i in range(len(members)):
-            for j in range(i + 1, len(members)):
-                pairs.add((members[i], members[j]))
+    sigs = sorted((d, simhash_of_text(t) & m64) for d, t in _documents(sf_dir))
     out = []
-    for d1, d2 in sorted(pairs):
-        ham = bin(sigs[d1] ^ sigs[d2]).count("1")
-        if ham <= HAMMING_MAX:
-            out.append((d1, d2, ham))
+    for i in range(len(sigs)):
+        d1, s1 = sigs[i]
+        for j in range(i + 1, len(sigs)):
+            d2, s2 = sigs[j]
+            ham = bin(s1 ^ s2).count("1")
+            if ham <= HAMMING_MAX:
+                out.append((d1, d2, ham))
     return out
 
 

@@ -20,6 +20,23 @@ TPCH_TABLES = ("region", "nation", "customer", "supplier", "part",
 AUX_TABLES = ("events", "documents", "embeddings")
 
 
+def spread_scan(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Repartition a scan ONLY when it is under-parallel.
+
+    Local small-file reality: a single-row-group parquet file scans as
+    ONE partition, which would serialize CPU-heavy downstream work
+    (tokenize/shingle/signature) onto one core. But an unconditional
+    repartition is a full shuffle of the raw corpus before map-only
+    work — at 100 TB that is a gratuitous exchange on a scan that
+    already has thousands of row groups. So: shuffle only when the scan
+    has fewer partitions than the cluster's parallelism (the plan test
+    pins that a pre-partitioned input produces no REPARTITION node)."""
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """One of the driver's benchmark tables by name."""
     if name not in TPCH_TABLES + AUX_TABLES:

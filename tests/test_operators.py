@@ -58,8 +58,10 @@ class TestSimhash:
 
 class TestSimhashCandidates:
     def test_banding_is_complete_for_hamming_3(self, spark):
-        """4 x 16-bit bands give an EXACT pigeonhole guarantee: every
-        pair within hamming distance 3 must be found (not just w.h.p.)."""
+        """The Manku block-combination keys give an EXACT pigeonhole
+        guarantee (hamming<=3 -> at most 3 of 6 blocks differ -> some
+        block TRIPLE agrees verbatim): every pair within hamming
+        distance 3 must be found (not just w.h.p.)."""
         sigs = {r["doc_id"]: r["simhash"] & ((1 << 64) - 1)
                 for r in dedup.simhash64(spark, SF_DIR).collect()}
         ids = sorted(sigs)
@@ -69,6 +71,87 @@ class TestSimhashCandidates:
         got = {(r["doc1"], r["doc2"])
                for r in dedup.dedup_simhash_candidates(spark, SF_DIR).collect()}
         assert got == truth
+
+
+class TestMankuBlockKeys:
+    """Round-3 widening of the simhash candidate keys: 16-bit single
+    bands -> ~32-bit Manku block-triples (6 blocks, C(6,3)=20 keys).
+    Same exact hamming<=3 guarantee, same shuffle count, vastly
+    narrower buckets."""
+
+    def _synthetic_sigs(self, spark, n=256):
+        """Adversarial signatures: all share bits 0..15 (the round-2
+        band-0 key -> ONE bucket of n docs), everything above bit 15
+        seeded-random (mutual hamming ~24 >> 3, so no true pairs)."""
+        import random
+        rng = random.Random(42)
+        rows = []
+        for i in range(n):
+            hi = rng.getrandbits(48) << 16
+            v = hi | 0xBEEF
+            rows.append((i, v - (1 << 64) if v >= (1 << 63) else v))
+        return spark.createDataFrame(rows, "doc_id long, simhash long")
+
+    def test_same_output_as_round2_banding(self, spark):
+        """Both constructions are exact for hamming<=3, so their
+        post-verify outputs must be identical on the real corpus."""
+        sigs = dedup.simhash64(spark, SF_DIR)
+        new = {tuple(r) for r in dedup.simhash_candidate_pairs(sigs).collect()}
+        old = {tuple(r) for r in dedup._band16_candidate_pairs(sigs).collect()}
+        assert new == old
+
+    def test_bucket_occupancy_shrinks(self, spark):
+        """On signatures engineered to collide under 16-bit bands, the
+        widened keys must break up the monster bucket: the round-2 max
+        bucket holds every doc, the Manku max bucket only a sliver."""
+        sigs = self._synthetic_sigs(spark)
+        n = sigs.count()
+        old_max = (dedup._band16_keys(sigs).groupBy("bk").count()
+                   .agg(F.max("count")).first()[0])
+        new_max = (dedup._manku_keys(sigs).groupBy("bk").count()
+                   .agg(F.max("count")).first()[0])
+        assert old_max == n, "fixture drift: shared low 16 bits should fill band 0"
+        assert new_max <= n // 8, \
+            f"Manku keys left a bucket of {new_max}/{n} docs"
+        # and the quadratic blow-up is gone: candidate PAIRS before the
+        # hamming verify shrink by >100x on this fixture
+        def pre_verify_pairs(keys):
+            a, b = keys.alias("a"), keys.alias("b")
+            return (a.join(b, (F.col("a.bk") == F.col("b.bk"))
+                           & (F.col("a.doc_id") < F.col("b.doc_id")))
+                    .select("a.doc_id", "b.doc_id").distinct().count())
+        old_pairs = pre_verify_pairs(dedup._band16_keys(sigs))
+        new_pairs = pre_verify_pairs(dedup._manku_keys(sigs))
+        assert old_pairs == n * (n - 1) // 2
+        assert new_pairs * 100 < old_pairs
+
+    def test_no_new_shuffle(self, spark):
+        sigs = dedup.simhash64(spark, SF_DIR)
+        new_ex = plans.count_exchanges(dedup.simhash_candidate_pairs(sigs))
+        old_ex = plans.count_exchanges(dedup._band16_candidate_pairs(sigs))
+        assert new_ex <= old_ex
+
+
+class TestSpreadScan:
+    """Readers repartition ONLY under-parallel scans: a single-file
+    local scan spreads to defaultParallelism; an input that already has
+    enough partitions must NOT pick up a repartition exchange (at
+    100 TB that would be a full shuffle of the raw corpus before
+    map-only work)."""
+
+    def test_single_file_scan_is_spread(self, spark):
+        d = dedup._docs(spark, SF_DIR)
+        assert d.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+
+    def test_prepartitioned_input_has_no_repartition(self, spark, tmp_path):
+        from local_pdftodocx_ocr_spark.sources.tables import spread_scan
+        p = spark.sparkContext.defaultParallelism
+        out = str(tmp_path / "docs")
+        (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+         .repartition(p * 2).write.parquet(out))
+        df = spread_scan(spark, spark.read.parquet(out))
+        assert plans.count_exchanges(df) == 0, plans.executed_plan(df)
+        assert df.rdd.getNumPartitions() >= p
 
 
 class TestANN:
