@@ -133,15 +133,124 @@ class SnapshotTable:
                 .select("doc_id").distinct())
 
 
+class IcebergTable:
+    """The same begin/commit/abort/read/read_at/committed_doc_ids
+    contract over a REAL Iceberg catalog table (requires the
+    iceberg-spark-runtime jar + a ``spark.sql.catalog.<name>`` conf;
+    tests/test_catalog_contract.py runs the identical sequence against
+    both backends and skips this one when the runtime is absent).
+
+    Mapping onto Iceberg:
+
+    * begin()   -> a parquet staging dir (keeps the job's two-phase
+                   write API); nothing Iceberg-visible happens.
+    * commit()  -> ONE atomic ``writeTo(...).append()`` of the staged
+                   rows, labeled via a ``snapshot-property.*`` write
+                   option so our snapshot ids survive in the Iceberg
+                   snapshot summary.
+    * read()    -> the current table state; read_at() -> time travel
+                   (``snapshot-id`` read option = VERSION AS OF), which
+                   for an append-only table IS the union of snapshots
+                   up to and including the labeled one — exactly
+                   SnapshotTable.read_at's semantics.
+    * committed_doc_ids() -> same pruned projection; Iceberg manifests
+                   give file-level pruning on top.
+    """
+
+    _LABEL = "spark-graft-label"
+
+    def __init__(self, spark: SparkSession, identifier: str,
+                 staging_root: str | None = None):
+        import tempfile
+        self.spark = spark
+        self.identifier = identifier
+        self._staging_root = staging_root or tempfile.mkdtemp(
+            prefix="iceberg_staging_")
+
+    # -- snapshot metadata --------------------------------------------------
+
+    def _table_exists(self) -> bool:
+        try:
+            self.spark.sql(f"DESCRIBE TABLE {self.identifier}")
+            return True
+        except Exception:
+            return False
+
+    def snapshots(self) -> list[dict]:
+        if not self._table_exists():
+            return []
+        rows = self.spark.sql(
+            f"SELECT snapshot_id, summary FROM {self.identifier}.snapshots "
+            "ORDER BY committed_at").collect()
+        return [{"id": (r["summary"] or {}).get(self._LABEL,
+                                                str(r["snapshot_id"])),
+                 "iceberg_snapshot_id": r["snapshot_id"],
+                 "meta": dict(r["summary"] or {})}
+                for r in rows]
+
+    # -- write path ---------------------------------------------------------
+
+    def begin(self) -> tuple[str, str]:
+        snap_id = f"snap-{len(self.snapshots()):06d}-{uuid.uuid4().hex[:8]}"
+        staging = os.path.join(self._staging_root, snap_id)
+        return snap_id, staging
+
+    def commit(self, snap_id: str, staging: str, meta: dict | None = None) -> None:
+        df = self.spark.read.parquet(staging)
+        writer = df.writeTo(self.identifier).option(
+            f"snapshot-property.{self._LABEL}", snap_id)
+        for k, v in (meta or {}).items():
+            writer = writer.option(f"snapshot-property.graft-{k}", str(v))
+        if self._table_exists():
+            writer.append()          # one atomic Iceberg snapshot commit
+        else:
+            writer.create()
+        shutil.rmtree(staging, ignore_errors=True)
+
+    def abort(self, staging: str) -> None:
+        shutil.rmtree(staging, ignore_errors=True)
+
+    def compact(self, spark: SparkSession) -> str | None:
+        """Iceberg-native compaction: rewrite_data_files + (optionally)
+        expire_snapshots via the catalog's system procedures."""
+        if len(self.snapshots()) <= 1:
+            return None
+        catalog = self.identifier.split(".", 1)[0]
+        self.spark.sql(
+            f"CALL {catalog}.system.rewrite_data_files(table => "
+            f"'{self.identifier}')")
+        return self.snapshots()[-1]["id"]
+
+    # -- read path ----------------------------------------------------------
+
+    def read(self, spark: SparkSession | None = None) -> DataFrame | None:
+        if not self.snapshots():
+            return None
+        return (spark or self.spark).table(self.identifier)
+
+    def read_at(self, spark: SparkSession, snapshot_id: str) -> DataFrame:
+        for s in self.snapshots():
+            if s["id"] == snapshot_id:
+                return ((spark or self.spark).read
+                        .option("snapshot-id", s["iceberg_snapshot_id"])
+                        .table(self.identifier))
+        raise KeyError(f"unknown snapshot {snapshot_id!r}")
+
+    def committed_doc_ids(self, spark: SparkSession) -> DataFrame | None:
+        df = self.read(spark)
+        if df is None:
+            return None
+        return (df.filter(F.col("row_type").isin("doc", "quarantine"))
+                .select("doc_id").distinct())
+
+
 def open_table(spark: SparkSession, root_or_identifier: str):
-    """Seam for real Iceberg: if an Iceberg catalog is configured, use it
-    (``catalog.db.table`` identifier); otherwise the parquet-snapshot
-    fallback rooted at a directory path."""
+    """Seam for real Iceberg: if an Iceberg catalog is configured AND
+    the argument is a table identifier (not a filesystem path), delegate
+    to :class:`IcebergTable`; otherwise the parquet-snapshot fallback
+    rooted at a directory path."""
     confs = {k for k, _ in spark.sparkContext.getConf().getAll()}
     has_iceberg = any(k.startswith("spark.sql.catalog.") for k in confs)
     if has_iceberg and not os.path.isabs(root_or_identifier):
-        raise NotImplementedError(
-            "Iceberg catalog detected; wire IcebergTable here (same API: "
-            "begin/commit/read/committed_doc_ids via snapshot IDs)."
-        )
+        return IcebergTable(spark, root_or_identifier)
     return SnapshotTable(root_or_identifier)

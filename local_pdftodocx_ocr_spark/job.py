@@ -402,6 +402,57 @@ def inject_manual_regions(docs: DataFrame, regions: DataFrame) -> DataFrame:
                     .otherwise(F.col("spans")).alias("spans")))
 
 
+DETECTION_OFFSET_BASE = 2_000_000   # distinct from manual regions' 1M block
+DETECTION_MIN_CONF = 0.5
+
+
+def inject_external_detections(docs: DataFrame, dets: DataFrame,
+                               min_conf: float = DETECTION_MIN_CONF) -> DataFrame:
+    """M1/M2 closure without weights: a neural layout detector runs as
+    a SEPARATE batch job (YOLO / Docling layout model; reference
+    src/layout_detector.py:228-288, src/docling_backend.py:65-187) and
+    lands its output in a detections side table
+    ``(doc_id, page, x, y, w, h, cls, conf, media_ref)`` — bbox, class
+    and confidence per region, plus the region-crop media ref its
+    re-OCR consumes. This operator merges that table into the span
+    stream, after which the UNCHANGED J1/J2/P9/M4 kernels decide
+    override-vs-merge exactly as they do for native structure:
+
+    * conf < min_conf          -> gated out (detector score threshold)
+    * cls=table/figure rect    -> suppresses text blocks whose center
+                                  falls inside it (J1), markers exempt
+    * undersized figure bbox   -> P9 validity drop
+    * crop segments form a grid-> M4 figure->table reclassify
+    * elsewhere                -> appended as a new structure block
+
+    Same broadcast-side-table shape as inject_manual_regions (the
+    detections table is ~rows-per-page, tiny next to the corpus);
+    offsets land in the 2M namespace ordered by (page, y, x), so
+    detection spans sort after every native span deterministically
+    (fixtures keep (page, y, x) unique per doc)."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy("page", "y", "x")
+    spans = dets.filter(F.col("conf") >= min_conf).select(
+        "doc_id",
+        F.struct(
+            F.col("cls").alias("kind"),
+            F.format_string("p=%d;y=%.1f;x=%.1f;w=%.1f;h=%.1f|",
+                            F.col("page"),
+                            F.col("y").cast("double"), F.col("x").cast("double"),
+                            F.col("w").cast("double"), F.col("h").cast("double"))
+            .alias("text"),
+            F.col("media_ref").alias("media_ref"),
+            (F.lit(DETECTION_OFFSET_BASE) + F.row_number().over(w)).alias("offset"),
+        ).alias("span"))
+    extra = spans.groupBy("doc_id").agg(F.collect_list("span").alias("extra"))
+    return (docs.join(F.broadcast(extra), "doc_id", "left")
+            .select("doc_id",
+                    F.when(F.col("extra").isNotNull(),
+                           F.concat(F.col("spans"), F.col("extra")))
+                    .otherwise(F.col("spans")).alias("spans")))
+
+
 def docs_df_from_corpus(spark: SparkSession, corpus: list[tuple[str, list[dict]]]) -> DataFrame:
     rows = [(doc_id, [
         {"kind": s["kind"], "text": s["text"], "media_ref": s["media_ref"],

@@ -326,6 +326,32 @@ extract_complementary_merge = _kind_query("weak")
 extract_page_segmentation = _kind_query("page")
 
 
+_DETS_SCHEMA = ("doc_id string, page int, x double, y double, w double, "
+                "h double, cls string, conf double, media_ref string")
+
+
+def extract_external_detections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1/M2 seam closure: merge an external layout-detections side
+    table (class + confidence + bbox + crop ref, the shape a YOLO/
+    Docling batch job emits) into the span stream via a broadcast join,
+    then run the UNCHANGED extraction kernels — J1 suppression under
+    high-conf structure (override), P9/confidence gating, M4 crop-grid
+    reclassify, plain append elsewhere (merge). Checked against the
+    sequential oracle with oracle-side injection."""
+    corpus, dets = synth.gen_detections_corpus()
+    docs = job.docs_df_from_corpus(spark, corpus)
+    dets_df = spark.createDataFrame(dets, _DETS_SCHEMA)
+    injected = job.inject_external_detections(docs, dets_df)
+    unified = job.extract_spans(injected, num_partitions=4)
+    return explode_spans(job.split_unified(unified)[0])
+
+
+def extract_external_detections_oracle_sql() -> str:
+    corpus, dets = synth.gen_detections_corpus()
+    rows = oracle.flat_rows(synth.apply_detections_seq(corpus, dets))
+    return _values_sql(rows, _FLAT_COLS, int_cols={"offset"})
+
+
 # ---------------------------------------------------------------------------
 # At-scale pipeline over the driver's documents table (VALUES oracle from
 # the sequential kernels; also the entry()/bench flagship)
@@ -374,6 +400,7 @@ QUERIES = {
     "extract_marker_recovery": extract_marker_recovery,
     "extract_complementary_merge": extract_complementary_merge,
     "extract_page_segmentation": extract_page_segmentation,
+    "extract_external_detections": extract_external_detections,
     "extract_lineage_totals": extract_lineage_totals,
     "extract_clean_text": extract_clean_text,
     "extract_boilerplate_html": extract_boilerplate_html,
@@ -394,6 +421,7 @@ def oracles() -> dict[str, str]:
         "extract_marker_recovery": _kind_oracle_sql("band"),
         "extract_complementary_merge": _kind_oracle_sql("weak"),
         "extract_page_segmentation": _kind_oracle_sql("page"),
+        "extract_external_detections": extract_external_detections_oracle_sql(),
         "extract_lineage_totals": extract_lineage_totals_oracle_sql(),
         "extract_clean_text": extract_clean_text_oracle_sql(),
         "extract_boilerplate_html": extract_boilerplate_html_oracle_sql(),

@@ -307,6 +307,92 @@ def _page_image_doc(rng: random.Random) -> list[dict]:
     ]
 
 
+def _detections_base_doc(rng: random.Random) -> list[dict]:
+    """Text-only base doc for the external-detections fixture: a body
+    paragraph, a stray caption + an exempt duty marker that fall inside
+    the incoming table detection's rect, and a page-1 paragraph."""
+    return [
+        _span("text", 0, 200, 50, _sentence(rng, 10), "", 0),
+        # stray caption: center (120, 420) inside the (40,400)+520x80
+        # table detection -> J1 suppression (override)
+        _span("text", 0, 420, 120, "stray caption inside detected table", "", 1),
+        # duty marker inside the same rect -> J1 exemption, kept
+        _span("text", 0, 410, 60, f"7) {_sentence(rng, 4)}", "", 2),
+        _span("text", 1, 300, 40, _sentence(rng, 9), "", 3),
+    ]
+
+
+def gen_detections_corpus(n_docs: int = 6, seed: int = 91):
+    """(corpus, detections) for the M1/M2 external-detections seam:
+    detection rows are ``(doc_id, page, x, y, w, h, cls, conf,
+    media_ref)`` — the shape a YOLO/Docling layout batch job emits.
+    Exercises every override-vs-merge branch: J1 text suppression under
+    a high-conf table, marker exemption, P9 undersized-figure drop,
+    confidence gating, M4 crop-grid reclassify, a no-detections doc,
+    and a detection aimed at a doc that is not in the corpus."""
+    corpus: list[tuple[str, list[dict]]] = []
+    dets: list[tuple] = []
+    for k in range(n_docs):
+        rng = random.Random(seed * 20_011 + k)
+        doc_id = f"det-{k:03d}"
+        corpus.append((doc_id, _detections_base_doc(rng)))
+        if k % 3 == 2:
+            continue                   # no detections: pure pass-through
+        table_items = kernels.encode_media_segments([
+            (300.0, 428.0, 448.0, f"n{10 + k}"),
+            (60.0, 430.0, 450.0, "part"),
+            (60.0, 470.0, 490.0, f"bolt{k}"),
+            (300.0, 468.0, 488.0, str(rng.randint(2, 9))),
+        ])
+        dets += [
+            # override: high-conf table covering the stray caption
+            (doc_id, 0, 40.0, 400.0, 520.0, 80.0, "table", 0.93, table_items),
+            # merge: a clean figure elsewhere on page 1
+            (doc_id, 1, 40.0, 600.0, 300.0, 120.0, "figure", 0.88,
+             kernels.encode_media(f"det-photo-{k}")),
+            # gated out: below the detector confidence threshold
+            (doc_id, 0, 600.0, 700.0, 200.0, 100.0, "figure", 0.31,
+             kernels.encode_media("low-conf")),
+            # P9 validity drop: bbox under the 40px side minimum
+            (doc_id, 1, 400.0, 600.0, 10.0, 8.0, "figure", 0.95, ""),
+        ]
+        if k % 2 == 0:
+            # M4: figure detection whose crop segments form a 2x2 grid
+            dets.append((doc_id, 1, 40.0, 100.0, 400.0, 200.0, "figure", 0.9,
+                         kernels.encode_media_segments([
+                             (60.0, 120.0, 140.0, "qty"),
+                             (260.0, 120.0, 140.0, "price"),
+                             (60.0, 220.0, 240.0, str(4 + k)),
+                             (260.0, 220.0, 240.0, str(90 + k)),
+                         ])))
+    # a detection for a doc that is not in the corpus -> ignored
+    dets.append(("det-missing-999", 0, 40.0, 100.0, 200.0, 100.0,
+                 "figure", 0.99, ""))
+    return corpus, dets
+
+
+def apply_detections_seq(corpus, dets, min_conf: float = 0.5):
+    """Sequential mirror of job.inject_external_detections: gate on
+    conf, sort per doc by (page, y, x), append as structure spans with
+    offsets in the 2M namespace. Uses the same _span formatting the
+    Spark side produces with format_string, so injected span text is
+    byte-identical across engines."""
+    by_doc: dict[str, list[tuple]] = {}
+    for (doc_id, page, x, y, w, h, cls, conf, media_ref) in dets:
+        if conf < min_conf:
+            continue
+        by_doc.setdefault(doc_id, []).append((page, y, x, w, h, cls, media_ref))
+    out = []
+    for doc_id, spans in corpus:
+        extra = [
+            _span(cls, page, y, x, "", media_ref, 2_000_000 + i + 1, w=w, h=h)
+            for i, (page, y, x, w, h, cls, media_ref)
+            in enumerate(sorted(by_doc.get(doc_id, [])))
+        ]
+        out.append((doc_id, list(spans) + extra))
+    return out
+
+
 _DOC_BUILDERS = (
     _demo_doc, _general_doc, _html_doc, _image_doc, _thai_doc,
     _unreliable_doc, _two_column_doc, None, _neardup_doc, _table_doc,

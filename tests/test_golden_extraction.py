@@ -148,3 +148,72 @@ def test_empty_input_job(spark, tmp_path):
     stats2 = job.run_job(spark, job.docs_df_from_corpus(spark, synth.gen_corpus(5)),
                          out, num_partitions=2)
     assert stats2["docs_in"] == 5
+
+
+class TestExternalDetections:
+    """M1/M2 seam closure: an external layout-detections side table
+    (class/conf/bbox/crop-ref) merges through the unchanged J1/P9/M4
+    kernels — every override-vs-merge branch asserted explicitly."""
+
+    @pytest.fixture(scope="class")
+    def det_extracted(self, spark):
+        corpus, dets = synth.gen_detections_corpus()
+        docs = job.docs_df_from_corpus(spark, corpus)
+        dets_df = spark.createDataFrame(
+            dets, "doc_id string, page int, x double, y double, w double, "
+                  "h double, cls string, conf double, media_ref string")
+        injected = job.inject_external_detections(docs, dets_df)
+        unified = job.extract_spans(injected, num_partitions=3)
+        rows = job.split_unified(unified)[0].collect()
+        return corpus, dets, {
+            r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["offset"])
+                          for s in r["spans"]] for r in rows}
+
+    def test_equals_sequential_injection(self, det_extracted):
+        corpus, dets, got = det_extracted
+        for doc_id, spans in synth.apply_detections_seq(corpus, dets):
+            expected = kernels.extract_document(doc_id, spans)
+            assert got.get(doc_id, []) == expected, doc_id
+
+    def test_override_suppresses_covered_text(self, det_extracted):
+        _, _, got = det_extracted
+        texts = [t for _, t, _, _ in got["det-000"]]
+        assert not any("stray caption" in t for t in texts)
+        # the duty-marker heading inside the same rect is exempt (J1)
+        assert any(t.startswith("7)") for t in texts)
+        # the no-detections doc keeps its stray caption (merge baseline)
+        assert any("stray caption" in t
+                   for _, t, _, _ in got["det-002"])
+
+    def test_merge_appends_structure(self, det_extracted):
+        _, _, got = det_extracted
+        kinds_ref = [(k, m) for k, _, m, _ in got["det-001"]]
+        # the high-conf figure detection landed as a figure block
+        assert any(k == "figure" and "cXJnLWN1YmdiLTE" in m
+                   for k, m in kinds_ref)
+        # the table detection landed with crop-derived content (W5)
+        assert any(k == "table" and "part" in t
+                   for k, t, _, _ in got["det-001"])
+
+    def test_confidence_and_validity_gates(self, det_extracted):
+        _, dets, got = det_extracted
+        low_conf_ref = kernels.encode_media("low-conf")
+        for spans in got.values():
+            refs = [m for _, _, m, _ in spans]
+            assert low_conf_ref not in refs          # conf 0.31 gated
+        # P9: the 10x8 figure bbox (the only ref-less detection) never
+        # produces a block — any survivor would be a figure with an
+        # empty media_ref in the detection offset namespace
+        for spans in got.values():
+            assert not any(kind == "figure" and m == "" and off >= 2_000_000
+                           for kind, _, m, off in spans)
+
+    def test_m4_reclassify_from_crop(self, det_extracted):
+        _, _, got = det_extracted
+        # det-000 (k even) carries the grid-crop figure -> table block
+        assert any(k == "table" and t.startswith("qty\tprice")
+                   for k, t, _, _ in got["det-000"]), got["det-000"]
+
+    def test_detection_for_unknown_doc_is_ignored(self, det_extracted):
+        _, _, got = det_extracted
+        assert "det-missing-999" not in got
