@@ -40,12 +40,16 @@ JACCARD_THRESHOLD = 0.6
 SHINGLE_DF_CAP = 1000
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _docs(spark: SparkSession, sf_dir: str, spread: bool = True) -> DataFrame:
     # spread an under-parallel local scan before the CPU-heavy shingle
     # derivation; a no-op (no exchange) once the scan already has
-    # >= defaultParallelism row groups — see sources.tables.spread_scan
+    # >= defaultParallelism row groups — see sources.tables.spread_scan.
+    # spread=False for queries whose first operation is itself a shuffle
+    # with cheap map-side work (e.g. one md5 + partial agg): there the
+    # repartition is a pure extra exchange at ANY scale.
     from ..sources.tables import spread_scan
-    return spread_scan(spark, spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return spread_scan(spark, df) if spread else df
 
 
 # ---------------------------------------------------------------------------
@@ -53,7 +57,7 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, spread=False)   # one cheap hash-agg shuffle
     key = F.md5(F.lower(F.col("text")))
     return (
         d.groupBy(key.alias("content_key"))

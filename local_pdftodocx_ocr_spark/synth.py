@@ -297,6 +297,18 @@ def _page_image_doc(rng: random.Random) -> list[dict]:
         (60.0, 100.0, 120.0, "legend"),
         (60.0, 300.0, 320.0, "axis"),
     ]
+    # TWO-COLUMN full-page payload (round-3 adversarial fixture): the
+    # columns occupy disjoint y-bands, so line clustering yields four
+    # separate blocks (two per column) and the XY-cut column split in
+    # sort_reading_order becomes load-bearing — final order must be
+    # left column top-to-bottom THEN right column, not global y-order.
+    twocol_segs = [
+        (40.0, 100.0, 120.0, "Lcol intro alpha"),
+        (40.0, 130.0, 150.0, "Lcol intro beta"),   # tight gap: same block
+        (700.0, 250.0, 270.0, "Rcol first block"),
+        (40.0, 400.0, 420.0, "Lcol second block"),
+        (700.0, 600.0, 620.0, "Rcol closing block"),
+    ]
     return [
         _span("page_image", 0, 60, 30, "",
               kernels.encode_media_segments(page_segs), 0),
@@ -304,6 +316,8 @@ def _page_image_doc(rng: random.Random) -> list[dict]:
               kernels.encode_media_segments(grid_segs), 1, w=400, h=200),
         _span("figure", 1, 600, 40, "",
               kernels.encode_media_segments(column_segs), 2, w=300, h=260),
+        _span("page_image", 2, 60, 30, "",
+              kernels.encode_media_segments(twocol_segs), 3),
     ]
 
 
@@ -464,6 +478,29 @@ def gen_corpus(n_docs: int = 200, seed: int = 42, skew: bool = False) -> list[tu
                 fat.append(_span("text", page, y, 40, _sentence(rng, 10), "", base + k))
             spans = fat
         docs.append((doc_id, spans))
+    return docs
+
+
+def gen_boilerplate_cluster_docs(n_hot: int = 1200, seed: int = 33
+                                 ) -> list[tuple[int, str]]:
+    """Flat (doc_id, text) rows where a boilerplate sentence is shared
+    by EVERY doc — its 3-gram shingles have df = n_hot, so with
+    n_hot > SHINGLE_DF_CAP the df cap genuinely binds (on the driver's
+    sf0.01 corpus it is a no-op, which a pytest pins). Docs 0 and 1 are
+    a true near-dup pair through their sub-cap unique shingles, proving
+    the cap drops ONLY the quadratic boilerplate bucket, not recall."""
+    rng = random.Random(seed)
+    boiler = "subscribe to our newsletter for updates and exclusive offers"
+    shared = _sentence(rng, 14)           # the near-dup pair's payload
+    docs = []
+    for i in range(n_hot):
+        if i == 0:
+            body = shared
+        elif i == 1:
+            body = shared + " trailing"
+        else:
+            body = f"story{i} item{i} body{i} text{i} tail{i}"
+        docs.append((i, f"{boiler} {body}"))
     return docs
 
 

@@ -400,6 +400,20 @@ class TestPageSegmentation:
         out = extract_document("d", spans)
         assert [t for (_, t, _, _) in out] == ["whole page text body"]
 
+    def test_two_column_page_image_gets_xy_cut_order(self):
+        """Round-3 adversarial fixture: the two-column full-page payload
+        must come out left-column-first (XY-cut), NOT in global y-order —
+        'Lcol second block' (y=400) precedes 'Rcol first block' (y=250)."""
+        _, spans = synth.gen_doc(14)
+        out = extract_document("d", spans)
+        page2 = [t for (k, t, _, _) in out if k == "text" and "col " in t]
+        assert page2 == [
+            "Lcol intro alpha\nLcol intro beta",
+            "Lcol second block",
+            "Rcol first block",
+            "Rcol closing block",
+        ], page2
+
 
 class TestFigureReclassifyM4:
     def test_grid_content_becomes_table(self):

@@ -257,6 +257,46 @@ class TestShingleDFCap:
         assert max_df <= dedup.SHINGLE_DF_CAP, \
             f"cap binds at sf0.01 (max df {max_df}) — raise SHINGLE_DF_CAP"
 
+    def test_cap_binds_on_boilerplate_cluster(self, spark, tmp_path):
+        """Round-3 adversarial corpus: 1200 docs sharing a boilerplate
+        sentence make the PRODUCTION cap (1000) bind for real — the hot
+        bucket is provably dropped, the Spark result still equals the
+        (identically capped) DuckDB oracle, and the one true near-dup
+        pair is still found through its sub-cap shingles."""
+        import duckdb
+
+        from local_pdftodocx_ocr_spark import synth
+
+        docs = synth.gen_boilerplate_cluster_docs()
+        assert len(docs) > dedup.SHINGLE_DF_CAP
+        sf_dir = str(tmp_path)
+        (spark.createDataFrame(docs, "doc_id long, text string")
+         .coalesce(4).write.parquet(f"{sf_dir}/documents.parquet"))
+
+        # (a) the cap binds: raw boilerplate shingles exceed it...
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        raw_max = (dedup._distinct_shingles(d).groupBy("s").count()
+                   .agg(F.max("count")).first()[0])
+        assert raw_max > dedup.SHINGLE_DF_CAP
+        # ...and the capped index provably dropped the hot bucket
+        capped_max = (dedup._hashed_capped_shingles(d).groupBy("k").count()
+                      .agg(F.max("count")).first()[0])
+        assert capped_max <= dedup.SHINGLE_DF_CAP
+
+        # (b) cross-engine equality holds WITH the cap binding
+        got = sorted(tuple(r) for r in
+                     dedup.dedup_jaccard_pairs(spark, sf_dir).collect())
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/documents.parquet/*.parquet')")
+        exp = sorted(tuple(r) for r in
+                     con.execute(dedup.DEDUP_JACCARD_SQL).fetchall())
+        assert [(a, b) for a, b, _ in got] == [(a, b) for a, b, _ in exp]
+        assert all(abs(g[2] - e[2]) < 1e-9 for g, e in zip(got, exp))
+
+        # (c) recall survives the cap: exactly the planted pair
+        assert [(a, b) for a, b, _ in got] == [(0, 1)]
+
 
 class TestStreaming:
     def test_windowed_counts_memory_sink(self, spark):
