@@ -247,13 +247,31 @@ def minhash_signatures(d: DataFrame) -> DataFrame:
 
 def dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH banding: docs sharing any (band_id, band-hash) bucket are
-    candidate near-dups. One groupBy shuffle on the bucket key; output
-    is the candidate pair set (doc1 < doc2), deduped across bands.
+    candidate near-dups; output is the candidate pair set (doc1 < doc2),
+    deduped across bands.
 
-    At 10^12 docs: buckets are the shuffle key (uniform by hash), the
-    exact-Jaccard verify join runs only on candidates."""
+    Same two-tier shape as the simhash candidate tier (and for the same
+    reason — real corpora carry exact-duplicate clusters, and a K-doc
+    cluster inside the band index costs LSH_BANDS x C(K,2) rows):
+    identical SIGNATURES pair via one equi-join on the full signature
+    string; banding runs on distinct signatures only, then close
+    signature pairs expand back to doc pairs. At 10^12 docs buckets
+    stay the shuffle key (uniform by hash) and the exact-Jaccard verify
+    join runs only on candidates."""
     d = _docs(spark, sf_dir)
-    sigs = minhash_signatures(d)
+    # one string key per signature (32 x ~10-digit values joined):
+    # equality-only uses below; cheaper to shuffle than array<long>
+    sig_key = F.concat_ws("_", *[F.col("sig")[i].cast("string")
+                                 for i in range(MINHASH_PERMS)])
+    sigs = (minhash_signatures(d)
+            .select("doc_id", sig_key.alias("sk"), "sig").persist())
+    s1, s2 = sigs.alias("s1"), sigs.alias("s2")
+    intra = (
+        s1.join(s2, (F.col("s1.sk") == F.col("s2.sk"))
+                & (F.col("s1.doc_id") < F.col("s2.doc_id")))
+        .select(F.col("s1.doc_id").alias("doc1"),
+                F.col("s2.doc_id").alias("doc2"))
+    )
     bands = F.array(*[
         F.struct(
             F.lit(b).alias("band"),
@@ -264,17 +282,24 @@ def dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for b in range(LSH_BANDS)
     ])
-    exploded = sigs.select("doc_id", F.explode(bands).alias("bk"))
-    buck = exploded.select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
-    b1 = buck.alias("b1")
-    b2 = buck.alias("b2")
-    return (
+    uniq = sigs.select("sk", "sig").distinct()
+    buck = (uniq.select("sk", F.explode(bands).alias("bk"))
+            .select("sk", F.col("bk.band").alias("band"),
+                    F.col("bk.bh").alias("bh")))
+    b1, b2 = buck.alias("b1"), buck.alias("b2")
+    close = (
         b1.join(b2, (F.col("b1.band") == F.col("b2.band"))
                 & (F.col("b1.bh") == F.col("b2.bh"))
-                & (F.col("b1.doc_id") < F.col("b2.doc_id")))
-        .select(F.col("b1.doc_id").alias("doc1"), F.col("b2.doc_id").alias("doc2"))
+                & (F.col("b1.sk") < F.col("b2.sk")))
+        .select(F.col("b1.sk").alias("ka"), F.col("b2.sk").alias("kb"))
         .distinct()
     )
+    d1 = sigs.select(F.col("sk").alias("ka"), F.col("doc_id").alias("da"))
+    d2 = sigs.select(F.col("sk").alias("kb"), F.col("doc_id").alias("db"))
+    inter = (close.join(d1, "ka").join(d2, "kb")
+             .select(F.least("da", "db").alias("doc1"),
+                     F.greatest("da", "db").alias("doc2")))
+    return intra.unionByName(inter)
 
 
 # ---------------------------------------------------------------------------
@@ -366,9 +391,10 @@ def _block(col, i: int):
 
 
 def _manku_keys(sigs: DataFrame) -> DataFrame:
-    """(doc_id, simhash, bk): one row per block-triple bucket key.
-    Key packing: (combo, v_i, v_j, v_k) into one long — 5 + 3*11 = 38
-    bits, ANSI-safe."""
+    """(simhash, bk): one row per block-triple bucket key, from any
+    DataFrame carrying a ``simhash`` column (candidate generation runs
+    on DISTINCT signatures). Key packing: (combo, v_i, v_j, v_k) into
+    one long — 5 + 3*11 = 38 bits, ANSI-safe."""
     keys = F.array(*[
         (((F.lit(ci) * F.lit(1 << 11) + _block(F.col("simhash"), a))
           * F.lit(1 << 11) + _block(F.col("simhash"), b))
@@ -376,7 +402,7 @@ def _manku_keys(sigs: DataFrame) -> DataFrame:
          ).alias(f"k{ci}")
         for ci, (a, b, c) in enumerate(SIMHASH_COMBOS)
     ])
-    return sigs.select("doc_id", "simhash", F.explode(keys).alias("bk"))
+    return sigs.select("simhash", F.explode(keys).alias("bk"))
 
 
 def _band16_keys(sigs: DataFrame) -> DataFrame:
@@ -395,26 +421,52 @@ def _band16_keys(sigs: DataFrame) -> DataFrame:
 def simhash_candidate_pairs(sigs: DataFrame) -> DataFrame:
     """Hamming<=HAMMING_MAX pairs from a (doc_id, simhash) DataFrame.
 
-    One explode (20 combo keys per doc, each key = combo id + three
-    11-bit block values packed into one long, < 2^38 so ANSI-safe) ->
-    one self equi-join on the packed key -> distinct -> exact hamming
-    verify with JVM bit ops. Exactly the shuffle count of the round-2
-    4x16-band version (pinned by a plan test), with ~2^16-x narrower
-    buckets."""
-    buck = _manku_keys(sigs)
-    b1 = buck.alias("b1")
-    b2 = buck.alias("b2")
-    pairs = (
-        b1.join(b2, (F.col("b1.bk") == F.col("b2.bk"))
-                & (F.col("b1.doc_id") < F.col("b2.doc_id")))
-        .select(F.col("b1.doc_id").alias("doc1"), F.col("b2.doc_id").alias("doc2"),
-                F.col("b1.simhash").alias("s1"), F.col("b2.simhash").alias("s2"))
-        .distinct()
+    Two tiers (Manku WWW'07 §4's duplicate-handling, which real web
+    corpora force: sf0.1 already contains a 250-doc identical-text
+    cluster, and a K-doc cluster would otherwise pay 20x its C(K,2)
+    output rows inside the band index):
+
+    1. *intra*: identical signatures pair directly — ONE equi-join on
+       the full 64-bit value, so a duplicate cluster costs exactly its
+       output size, never the 20x banded blowup.
+    2. *inter*: the Manku block-combination index runs on DISTINCT
+       signatures only (u << n under duplication; each key = combo id
+       + three 11-bit block values packed into one long, < 2^38 so
+       ANSI-safe) -> self equi-join -> distinct -> exact hamming verify
+       -> expand each close signature pair back to its doc pairs
+       (clusters are disjoint, so no post-expansion dedup is needed).
+
+    The signature table feeds five plan branches, so it is persisted —
+    at corpus scale signatures are checkpointed to a table anyway (one
+    64-bit column; the simhash UDF never runs twice over 100 TB)."""
+    sigs = sigs.select("doc_id", "simhash").persist()
+    s1, s2 = sigs.alias("s1"), sigs.alias("s2")
+    intra = (
+        s1.join(s2, (F.col("s1.simhash") == F.col("s2.simhash"))
+                & (F.col("s1.doc_id") < F.col("s2.doc_id")))
+        .select(F.col("s1.doc_id").alias("doc1"),
+                F.col("s2.doc_id").alias("doc2"),
+                F.lit(0).cast("int").alias("hamming"))
     )
-    ham = F.bit_count(F.col("s1").bitwiseXOR(F.col("s2")))
-    return (pairs.withColumn("hamming", ham.cast("int"))
-            .filter(F.col("hamming") <= HAMMING_MAX)
-            .select("doc1", "doc2", "hamming"))
+    uniq = sigs.select("simhash").distinct()
+    k1 = _manku_keys(uniq).alias("k1")
+    k2 = _manku_keys(uniq).alias("k2")
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("int")
+    close = (
+        k1.join(k2, (F.col("k1.bk") == F.col("k2.bk"))
+                & (F.col("k1.simhash") < F.col("k2.simhash")))
+        .select(F.col("k1.simhash").alias("sa"), F.col("k2.simhash").alias("sb"))
+        .distinct()
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= HAMMING_MAX)
+    )
+    d1 = sigs.select(F.col("simhash").alias("sa"), F.col("doc_id").alias("da"))
+    d2 = sigs.select(F.col("simhash").alias("sb"), F.col("doc_id").alias("db"))
+    inter = (close.join(d1, "sa").join(d2, "sb")
+             .select(F.least("da", "db").alias("doc1"),
+                     F.greatest("da", "db").alias("doc2"),
+                     "hamming"))
+    return intra.unionByName(inter)
 
 
 def _band16_candidate_pairs(sigs: DataFrame) -> DataFrame:

@@ -106,6 +106,7 @@ class TestMankuBlockKeys:
         bucket holds every doc, the Manku max bucket only a sliver."""
         sigs = self._synthetic_sigs(spark)
         n = sigs.count()
+        assert sigs.select("simhash").distinct().count() == n  # unique sigs
         old_max = (dedup._band16_keys(sigs).groupBy("bk").count()
                    .agg(F.max("count")).first()[0])
         new_max = (dedup._manku_keys(sigs).groupBy("bk").count()
@@ -115,21 +116,35 @@ class TestMankuBlockKeys:
             f"Manku keys left a bucket of {new_max}/{n} docs"
         # and the quadratic blow-up is gone: candidate PAIRS before the
         # hamming verify shrink by >100x on this fixture
-        def pre_verify_pairs(keys):
+        def pre_verify_pairs(keys, id_col):
             a, b = keys.alias("a"), keys.alias("b")
             return (a.join(b, (F.col("a.bk") == F.col("b.bk"))
-                           & (F.col("a.doc_id") < F.col("b.doc_id")))
-                    .select("a.doc_id", "b.doc_id").distinct().count())
-        old_pairs = pre_verify_pairs(dedup._band16_keys(sigs))
-        new_pairs = pre_verify_pairs(dedup._manku_keys(sigs))
+                           & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+                    .select(f"a.{id_col}", f"b.{id_col}").distinct().count())
+        old_pairs = pre_verify_pairs(dedup._band16_keys(sigs), "doc_id")
+        new_pairs = pre_verify_pairs(dedup._manku_keys(sigs), "simhash")
         assert old_pairs == n * (n - 1) // 2
         assert new_pairs * 100 < old_pairs
 
-    def test_no_new_shuffle(self, spark):
-        sigs = dedup.simhash64(spark, SF_DIR)
-        new_ex = plans.count_exchanges(dedup.simhash_candidate_pairs(sigs))
-        old_ex = plans.count_exchanges(dedup._band16_candidate_pairs(sigs))
-        assert new_ex <= old_ex
+    def test_duplicate_cluster_cost_is_linear(self, spark):
+        """Exact-duplicate clusters (sf0.1 ships a 250-doc one) must
+        never enter the band index: candidate generation runs on
+        DISTINCT signatures, so the banded row count is 20 x unique
+        sigs regardless of cluster size, and the cluster's pairs come
+        from the single full-signature equi-join instead of a 20x
+        banded blowup."""
+        import random
+        rng = random.Random(7)
+        uniq = [rng.getrandbits(63) for _ in range(50)]
+        rows = [(i, uniq[0]) for i in range(200)]          # 200-doc cluster
+        rows += [(200 + j, s) for j, s in enumerate(uniq[1:])]
+        sigs = spark.createDataFrame(rows, "doc_id long, simhash long")
+        banded_rows = dedup._manku_keys(
+            sigs.select("simhash").distinct()).count()
+        assert banded_rows == 50 * len(dedup.SIMHASH_COMBOS)
+        out = dedup.simhash_candidate_pairs(sigs)
+        n_cluster_pairs = out.filter(F.col("hamming") == 0).count()
+        assert n_cluster_pairs == 200 * 199 // 2
 
 
 class TestSpreadScan:
