@@ -169,6 +169,22 @@ class TestSpreadScan:
         assert df.rdd.getNumPartitions() >= p
 
 
+class TestNearDupAtScale:
+    def test_no_cartesian_product_in_plan(self, spark):
+        """The registered embedding near-dup query must be the
+        candidates-only composition: its physical plan contains NO
+        cartesian/nested-loop join, while the demoted all-pairs oracle
+        formulation does (that is exactly why it was demoted)."""
+        scaled_plan = plans.executed_plan(
+            similarity.embedding_near_dup_pairs_at_scale(spark, SF_DIR))
+        allpairs_plan = plans.executed_plan(
+            similarity.embedding_near_dup_pairs(spark, SF_DIR))
+        for node in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+            assert node not in scaled_plan, f"{node} in at-scale plan"
+        assert ("CartesianProduct" in allpairs_plan
+                or "BroadcastNestedLoopJoin" in allpairs_plan)
+
+
 class TestANN:
     def test_recall_vs_bruteforce(self, spark):
         exact = {(r["qid"], r["neighbor"])
