@@ -30,7 +30,10 @@ if __package__ in (None, ""):  # spark-submit runs this file as a script
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="local_pdftodocx_ocr_spark")
     ap.add_argument("--input", required=True,
-                    help="parquet path: (doc_id, spans) table or flat documents table")
+                    help="input path: interleaved (doc_id, spans) parquet, or a "
+                         "flat (doc_id, text) corpus in parquet/jsonl/csv")
+    ap.add_argument("--format", choices=("parquet", "jsonl", "csv"), default=None,
+                    help="input format (default: sniffed from the extension)")
     ap.add_argument("--output", required=True, help="snapshot table root directory")
     ap.add_argument("--partitions", type=int, default=0,
                     help="extraction partitions (default: defaultParallelism)")
@@ -51,7 +54,9 @@ def main(argv: list[str] | None = None) -> int:
         spark = SparkSession.builder.appName("pdf2spans").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    df = spark.read.parquet(args.input)
+    from local_pdftodocx_ocr_spark.sources.tables import read_corpus_input
+
+    df = read_corpus_input(spark, args.input, args.format)
     cols = set(df.columns)
     if "spans" not in cols:
         if not {"doc_id", "text"} <= cols:

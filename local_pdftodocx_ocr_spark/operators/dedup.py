@@ -541,24 +541,128 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).persist()
     labels = d.select("doc_id", F.col("doc_id").alias("label")).persist()
     prev_sum = labels.agg(F.sum("label")).first()[0]
-    for _ in range(32):          # hard bound >> any real diameter
+    converged = False
+    for _ in range(32):          # propagation bound (1 hop/round)
         nbr = (sym.join(labels, sym.doc2 == labels.doc_id)
                .groupBy(F.col("doc1").alias("doc_id"))
                .agg(F.min("label").alias("nlabel")))
+        # localCheckpoint, not persist: persist caches DATA but the
+        # logical plan still nests per round — by round ~20 the plan
+        # tree alone OOMs the driver. Checkpointing truncates lineage,
+        # the required shape for any iterative DataFrame algorithm.
         new_labels = (labels.join(nbr, "doc_id", "left")
                       .select("doc_id",
                               F.least(F.col("label"),
                                       F.coalesce("nlabel", F.col("label")))
                               .alias("label"))
-                      .persist())
+                      .localCheckpoint(eager=True))
         cur_sum = new_labels.agg(F.sum("label")).first()[0]
         labels.unpersist()
         labels = new_labels
         if cur_sum == prev_sum:   # labels only decrease -> fixpoint
+            converged = True
             break
         prev_sum = cur_sum
     sym.unpersist()
+    if not converged:
+        # fail LOUD: returning 31-hop labels on a >32-diameter graph
+        # would be silently wrong. Chains that long mean the corpus
+        # needs the star variant below (O(log^2) rounds).
+        raise RuntimeError(
+            "dedup_components: min-label propagation did not converge in "
+            "32 rounds (component diameter > 32) — use "
+            "dedup_components_at_scale (large-star/small-star)")
     return labels.select("doc_id", F.col("label").alias("component"))
+
+
+def _star_components(d: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Alternating large-star/small-star connected components (Kiveris
+    et al., "Connected Components in MapReduce and Beyond", SoCC'14) —
+    the 10^12-doc path: O(log^2 n) rounds regardless of component
+    diameter, vs min-label propagation's O(diameter) (which the
+    registered min-label loop bounds at 32 and fails loud past it).
+
+    Each round is two groupBy+join passes over the edge list:
+
+    * large-star(u): every neighbor v > u re-hangs onto
+      m = min(N(u) ∪ {u})
+    * small-star(u): every neighbor v < u (plus u itself) re-hangs
+      onto m = min(N<(u) ∪ {u})
+
+    Fixpoint: the edge multiset stops changing; edges then form stars
+    rooted at each component's minimum. The convergence probe is one
+    2-value aggregate (count + xxhash sum) per round — no driver-side
+    edge materialization."""
+    # localCheckpoint throughout this loop (not persist): each round's
+    # edges build on the previous round's, so without lineage
+    # truncation the logical plan doubles per iteration and the driver
+    # dies generating plan trees long before any executor works.
+    edges = (pairs.select(F.col("doc1").alias("a"), F.col("doc2").alias("b"))
+             .filter(F.col("a") != F.col("b"))
+             .select(F.least("a", "b").alias("lo"),
+                     F.greatest("a", "b").alias("hi"))
+             .distinct().localCheckpoint(eager=True))
+
+    def _sig(e: DataFrame) -> tuple:
+        # decimal sum: ANSI mode overflows a long sum of 2^63-range hashes
+        row = e.agg(F.count("*").alias("n"),
+                    F.sum(F.xxhash64("lo", "hi").cast("decimal(38,0)"))
+                    .alias("h")).first()
+        return row["n"], row["h"]
+
+    prev = _sig(edges)
+    converged = False
+    for _ in range(64):           # >> log^2 of any conceivable corpus
+        # -- large-star: group by u over BOTH directions ----------------
+        sym = (edges.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+               .union(edges.select(F.col("hi").alias("u"),
+                                   F.col("lo").alias("v"))))
+        m = (sym.groupBy("u")
+             .agg(F.least(F.min("v"), F.first("u")).alias("m")))
+        large = (sym.join(m, "u")
+                 .filter(F.col("v") > F.col("u"))
+                 .select(F.col("m").alias("lo"), F.col("v").alias("hi"))
+                 .filter(F.col("lo") != F.col("hi")))
+        e1 = large.distinct().localCheckpoint(eager=True)
+        # -- small-star: group by the larger endpoint -------------------
+        sm = (e1.groupBy("hi")
+              .agg(F.min("lo").alias("m")))
+        small = (e1.join(sm, "hi")
+                 .select(F.col("m"),
+                         F.col("lo").alias("v"), F.col("hi").alias("u")))
+        # each smaller neighbor v AND u itself re-hang onto m
+        new_edges = (small.select(F.col("m").alias("lo"), F.col("v").alias("hi"))
+                     .union(small.select(F.col("m").alias("lo"),
+                                         F.col("u").alias("hi")))
+                     .filter(F.col("lo") != F.col("hi"))
+                     .distinct().localCheckpoint(eager=True))
+        e1.unpersist()
+        cur = _sig(new_edges)
+        edges.unpersist()
+        edges = new_edges
+        if cur == prev:
+            converged = True
+            break
+        prev = cur
+    if not converged and prev[0] > 0:
+        raise RuntimeError("star components did not converge in 64 rounds")
+    roots = edges.select(F.col("hi").alias("doc_id"), F.col("lo").alias("component"))
+    out = (d.select("doc_id")
+           .join(roots, "doc_id", "left")
+           .select("doc_id",
+                   F.coalesce("component", F.col("doc_id")).alias("component")))
+    return out
+
+
+def dedup_components_at_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-dup graph via alternating
+    large-star/small-star — identical output contract (doc_id ->
+    component minimum) to dedup_components, same recursive-CTE oracle;
+    pytest pins equality between the two implementations and correct
+    labeling of a 100-node path the min-label loop cannot finish."""
+    d = _docs(spark, sf_dir, spread=False)
+    pairs = dedup_jaccard_pairs(spark, sf_dir)
+    return _star_components(d.select("doc_id"), pairs)
 
 
 DEDUP_COMPONENTS_SQL = f"""
@@ -614,6 +718,7 @@ def dedup_pipeline_at_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "docs_dedup_exact": dedup_exact,
     "docs_dedup_pipeline_at_scale": dedup_pipeline_at_scale,
+    "docs_dedup_components_at_scale": dedup_components_at_scale,
     "docs_dedup_keep_list": dedup_keep_list,
     "docs_dedup_jaccard_pairs": dedup_jaccard_pairs,
     "docs_dedup_minhash_candidates": dedup_minhash_candidates,
@@ -637,5 +742,8 @@ def oracles() -> dict[str, str]:
         "docs_dedup_minhash_candidates": seq_oracles.minhash_candidates_values_sql(),
         "docs_dedup_simhash_candidates": seq_oracles.simhash_candidates_values_sql(),
         "docs_dedup_components": DEDUP_COMPONENTS_SQL,
+        # star components share the contract (and hence the oracle):
+        # every doc labeled with its component's minimum doc_id
+        "docs_dedup_components_at_scale": DEDUP_COMPONENTS_SQL,
         "docs_simhash64": seq_oracles.simhash_values_sql(),
     }

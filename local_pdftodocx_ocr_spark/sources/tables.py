@@ -68,3 +68,39 @@ def load_interleaved_docs(spark: SparkSession, path: str) -> DataFrame:
 
 def empty_docs(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame([], DOCS_SCHEMA)
+
+
+_FLAT_SCHEMA = "doc_id long, text string"
+
+
+def read_corpus_input(spark: SparkSession, path: str,
+                      fmt: str | None = None) -> DataFrame:
+    """The extraction job's input in any supported format.
+
+    * parquet — the native path: either the interleaved (doc_id, spans)
+      table or the flat documents table.
+    * jsonl / csv — flat (doc_id, text) corpora as ingest feeds produce
+      them. Schemas are declared, never inferred: at 100 TB an
+      inference pass is a second full scan of the corpus.
+
+    ``fmt=None`` sniffs the extension (.jsonl/.ndjson/.json, .csv;
+    everything else reads as parquet)."""
+    if fmt is None:
+        low = path.lower().rstrip("/")
+        if low.endswith((".jsonl", ".ndjson", ".json")):
+            fmt = "jsonl"
+        elif low.endswith(".csv"):
+            fmt = "csv"
+        else:
+            fmt = "parquet"
+    if fmt == "parquet":
+        return spark.read.parquet(path)
+    if fmt == "jsonl":
+        return spark.read.schema(_FLAT_SCHEMA).json(path)
+    if fmt == "csv":
+        return (spark.read.option("header", True)
+                .option("multiLine", False)
+                .option("escape", '"')
+                .schema(_FLAT_SCHEMA).csv(path))
+    raise ValueError(f"unknown input format {fmt!r} "
+                     "(expected parquet | jsonl | csv)")

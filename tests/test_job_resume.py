@@ -188,3 +188,33 @@ def test_snapshot_compaction(spark, tmp_path):
     assert _final_table(spark, out) == before
     stats = job.run_job(spark, job.docs_df_from_corpus(spark, corpus), out)
     assert stats["docs_in"] == 0
+
+
+def test_corpus_input_formats_agree(spark, tmp_path):
+    """The same flat corpus fed as parquet, jsonl, and csv must produce
+    the identical extraction checksum — format is an ingest concern,
+    never a semantics one. Schemas are declared (no inference scan)."""
+    from local_pdftodocx_ocr_spark.sources.tables import read_corpus_input
+
+    flat = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+                .select("doc_id", "text").limit(60)
+    pq = str(tmp_path / "docs_pq")
+    js = str(tmp_path / "docs.jsonl")
+    cs = str(tmp_path / "docs.csv")
+    flat.coalesce(1).write.parquet(pq)
+    flat.coalesce(1).write.json(js)
+    (flat.coalesce(1).write.option("header", True).option("escape", '"')
+     .csv(cs))
+
+    checks = {}
+    for fmt, path in (("parquet", pq), ("jsonl", js), ("csv", cs)):
+        df = read_corpus_input(spark, path)          # extension-sniffed
+        assert df.schema.simpleString() == \
+            "struct<doc_id:bigint,text:string>", fmt
+        out = str(tmp_path / f"out_{fmt}")
+        stats = job.run_job(spark, job.interleaved_docs_from_flat(df), out,
+                            num_partitions=3)
+        checks[fmt] = (stats["docs_in"], stats["docs_out"], stats["checksum"])
+    assert checks["jsonl"] == checks["parquet"]
+    assert checks["csv"] == checks["parquet"]
+    assert checks["parquet"][0] == 60

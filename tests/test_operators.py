@@ -503,6 +503,45 @@ class TestDedupComponents:
         assert comp[4] == 4
 
 
+class TestStarComponents:
+    """Large-star/small-star CC (the 10^12-doc path, O(log^2) rounds)."""
+
+    def test_equals_min_label_components(self, spark):
+        a = {tuple(r) for r in dedup.dedup_components(spark, SF_DIR).collect()}
+        b = {tuple(r) for r in
+             dedup.dedup_components_at_scale(spark, SF_DIR).collect()}
+        assert a == b
+
+    def test_long_path_graph(self, spark):
+        """A 100-node path has diameter 99: min-label propagation (1 hop
+        per round, bounded at 32) must now fail LOUD, while the star
+        method labels the whole chain with its minimum in O(log) rounds."""
+        n = 100
+        d = spark.range(n).select(F.col("id").alias("doc_id"))
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(n - 1)], "doc1 long, doc2 long")
+        out = dedup._star_components(d, pairs)
+        labels = {r["doc_id"]: r["component"] for r in out.collect()}
+        assert labels == {i: 0 for i in range(n)}
+
+    def test_min_label_fails_loud_past_its_bound(self, spark, monkeypatch):
+        n = 40   # diameter 39 > 32 rounds
+        d = spark.range(n).select(F.col("id").alias("doc_id"))
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(n - 1)], "doc1 long, doc2 long")
+        monkeypatch.setattr(dedup, "_docs", lambda s, sf, spread=True: d)
+        monkeypatch.setattr(dedup, "dedup_jaccard_pairs", lambda s, sf: pairs)
+        with pytest.raises(RuntimeError, match="did not converge"):
+            dedup.dedup_components(spark, "ignored")
+
+    def test_star_handles_empty_graph(self, spark):
+        d = spark.range(5).select(F.col("id").alias("doc_id"))
+        pairs = spark.createDataFrame([], "doc1 long, doc2 long")
+        out = {r["doc_id"]: r["component"]
+               for r in dedup._star_components(d, pairs).collect()}
+        assert out == {i: i for i in range(5)}
+
+
 class TestDedupPipeline:
     def test_scale_pipeline_equals_exact_keep_list(self, spark):
         """candidates(LSH) -> verify(exact Jaccard on candidates) must

@@ -206,3 +206,66 @@ class TestChecksumProperties:
         partial = [int(kernels.combine_checksums(a), 16),
                    int(kernels.combine_checksums(b), 16)]
         assert kernels.combine_checksums(partial) == kernels.combine_checksums(vals)
+
+
+class TestMankuKeyProperties:
+    """Pure-Python mirror of dedup._manku_keys' packing arithmetic:
+    the pigeonhole (hamming<=3 -> some block-triple key shared) and
+    injectivity of the (combo, v_i, v_j, v_k) -> long packing."""
+
+    @staticmethod
+    def _keys(sig: int) -> set[int]:
+        from local_pdftodocx_ocr_spark.operators.dedup import (
+            SIMHASH_BLOCK_OFFSETS,
+            SIMHASH_BLOCK_WIDTHS,
+            SIMHASH_COMBOS,
+        )
+        sig &= (1 << 64) - 1
+        blocks = [(sig >> off) & ((1 << w) - 1)
+                  for off, w in zip(SIMHASH_BLOCK_OFFSETS, SIMHASH_BLOCK_WIDTHS)]
+        return {((ci * 2048 + blocks[a]) * 2048 + blocks[b]) * 2048 + blocks[c]
+                for ci, (a, b, c) in enumerate(SIMHASH_COMBOS)}
+
+    @given(sig=st.integers(0, (1 << 64) - 1),
+           flips=st.lists(st.integers(0, 63), min_size=0, max_size=3))
+    @settings(max_examples=300, deadline=None)
+    def test_hamming_le_3_always_shares_a_key(self, sig, flips):
+        other = sig
+        for b in flips:
+            other ^= 1 << b
+        assert self._keys(sig) & self._keys(other), \
+            f"pigeonhole violated: {sig:016x} vs {other:016x}"
+
+    @given(sig=st.integers(0, (1 << 64) - 1),
+           flips=st.sets(st.integers(0, 63), min_size=4, max_size=64))
+    @settings(max_examples=300, deadline=None)
+    def test_four_spread_flips_in_four_blocks_never_share(self, sig, flips):
+        """If the flipped bits touch >= 4 DISTINCT blocks, no triple of
+        agreeing blocks exists -> key sets must be disjoint (this is
+        what makes bucket occupancy ~n/2^32, not just correctness)."""
+        from local_pdftodocx_ocr_spark.operators.dedup import (
+            SIMHASH_BLOCK_OFFSETS,
+            SIMHASH_BLOCK_WIDTHS,
+        )
+
+        def block_of(bit):
+            for i, (off, w) in enumerate(zip(SIMHASH_BLOCK_OFFSETS,
+                                             SIMHASH_BLOCK_WIDTHS)):
+                if off <= bit < off + w:
+                    return i
+            raise AssertionError(bit)
+
+        touched = {block_of(b) for b in flips}
+        if len(touched) < 4:
+            return  # pigeonhole still possible; nothing to assert
+        other = sig
+        for b in flips:
+            other ^= 1 << b
+        assert not (self._keys(sig) & self._keys(other))
+
+    @given(sig=st.integers(0, (1 << 64) - 1))
+    @settings(max_examples=200, deadline=None)
+    def test_packing_is_injective_and_ansi_safe(self, sig):
+        keys = self._keys(sig)
+        assert len(keys) == 20          # no combo collides with another
+        assert all(0 <= k < (1 << 62) for k in keys)
