@@ -191,6 +191,16 @@ def test_emb_near_dup_at_scale_equals_all_pairs(spark):
             f"(missing={len(exact - scaled)}, extra={len(scaled - exact)})")
 
 
+def test_every_query_has_an_oracle():
+    """Driver-contract completeness: every queries() entry carries an
+    oracle (SQL or sequential VALUES) and no oracle is orphaned — a
+    query without an oracle silently downgrades to the weaker rows-only
+    driver check."""
+    qs = set(entrymod.queries())
+    os_ = set(entrymod.oracle_sql())
+    assert qs == os_, (sorted(qs - os_), sorted(os_ - qs))
+
+
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
