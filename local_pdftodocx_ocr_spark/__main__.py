@@ -44,6 +44,10 @@ def main(argv: list[str] | None = None) -> int:
                          "parallel route chunks (0 = off)")
     ap.add_argument("--local-cores", type=int, default=0,
                     help="build a local[N] session (omit under spark-submit on a cluster)")
+    ap.add_argument("--compact", action="store_true",
+                    help="instead of extracting, fold all committed snapshots "
+                         "under --output into one (Iceberg rewrite_data_files "
+                         "analog) and exit")
     args = ap.parse_args(argv)
 
     from local_pdftodocx_ocr_spark import job
@@ -53,6 +57,15 @@ def main(argv: list[str] | None = None) -> int:
     else:
         spark = SparkSession.builder.appName("pdf2spans").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+
+    if args.compact:
+        from local_pdftodocx_ocr_spark.catalog import SnapshotTable
+        table = SnapshotTable(args.output)
+        before = len(table.snapshots())
+        snap = table.compact(spark)
+        print(json.dumps({"compacted": snap, "snapshots_before": before,
+                          "snapshots_after": len(table.snapshots())}))
+        return 0
 
     from local_pdftodocx_ocr_spark.sources.tables import read_corpus_input
 

@@ -218,3 +218,28 @@ def test_corpus_input_formats_agree(spark, tmp_path):
     assert checks["jsonl"] == checks["parquet"]
     assert checks["csv"] == checks["parquet"]
     assert checks["parquet"][0] == 60
+
+
+def test_cli_compact_preserves_resume(spark, tmp_path, capsys):
+    """--compact folds snapshots and a subsequent resume run still sees
+    every committed doc (north-rule snapshot semantics via the CLI)."""
+    import json as _json
+
+    from local_pdftodocx_ocr_spark.__main__ import main
+    from local_pdftodocx_ocr_spark.catalog import SnapshotTable
+
+    out = str(tmp_path / "t")
+    corpus = synth.gen_corpus(12)
+    half = job.docs_df_from_corpus(spark, corpus[:6])
+    rest = job.docs_df_from_corpus(spark, corpus)
+    job.run_job(spark, half, out, num_partitions=2)
+    job.run_job(spark, rest, out, num_partitions=2)      # resumes: 6 new
+    assert len(SnapshotTable(out).snapshots()) == 2
+
+    rc = main(["--input", "unused", "--output", out, "--compact"])
+    assert rc == 0
+    line = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["snapshots_before"] == 2 and line["snapshots_after"] == 1
+
+    stats = job.run_job(spark, rest, out, num_partitions=2)
+    assert stats["docs_in"] == 0        # everything still committed
