@@ -59,8 +59,8 @@ def main(argv: list[str] | None = None) -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     if args.compact:
-        from local_pdftodocx_ocr_spark.catalog import SnapshotTable
-        table = SnapshotTable(args.output)
+        from local_pdftodocx_ocr_spark.catalog import open_table
+        table = open_table(spark, args.output)
         before = len(table.snapshots())
         snap = table.compact(spark)
         print(json.dumps({"compacted": snap, "snapshots_before": before,

@@ -132,6 +132,13 @@ class SnapshotTable:
         return (df.filter(F.col("row_type").isin("doc", "quarantine"))
                 .select("doc_id").distinct())
 
+    def read_snapshot(self, spark: SparkSession, snapshot_id: str) -> DataFrame:
+        """ONLY the rows committed by `snapshot_id`."""
+        for s in self.snapshots():
+            if s["id"] == snapshot_id:
+                return spark.read.parquet(s["path"])
+        raise KeyError(f"unknown snapshot {snapshot_id!r}")
+
 
 class IcebergTable:
     """The same begin/commit/abort/read/read_at/committed_doc_ids
@@ -181,7 +188,7 @@ class IcebergTable:
             return []
         rows = self.spark.sql(
             f"SELECT snapshot_id, summary FROM {self.identifier}.snapshots "
-            "ORDER BY committed_at").collect()
+            "ORDER BY committed_at, snapshot_id").collect()  # tie-stable
         return [{"id": (r["summary"] or {}).get(self._LABEL,
                                                 str(r["snapshot_id"])),
                  "iceberg_snapshot_id": r["snapshot_id"],
@@ -211,14 +218,27 @@ class IcebergTable:
         shutil.rmtree(staging, ignore_errors=True)
 
     def compact(self, spark: SparkSession) -> str | None:
-        """Iceberg-native compaction: rewrite_data_files + (optionally)
-        expire_snapshots via the catalog's system procedures."""
+        """Iceberg-native compaction with the SAME contract as
+        SnapshotTable.compact (pinned by the backend contract test):
+        afterwards exactly ONE snapshot remains, its content equals the
+        pre-compaction union, and read_at() on expired ids raises
+        KeyError. rewrite_data_files folds the data files;
+        expire_snapshots(retain_last=1, older_than=now) drops every
+        superseded snapshot's metadata."""
+        import datetime
+
         if len(self.snapshots()) <= 1:
             return None
         catalog = self.identifier.split(".", 1)[0]
         self.spark.sql(
             f"CALL {catalog}.system.rewrite_data_files(table => "
             f"'{self.identifier}')")
+        now = datetime.datetime.now(datetime.timezone.utc).strftime(
+            "%Y-%m-%d %H:%M:%S.%f")
+        self.spark.sql(
+            f"CALL {catalog}.system.expire_snapshots(table => "
+            f"'{self.identifier}', older_than => TIMESTAMP '{now}', "
+            "retain_last => 1)")
         return self.snapshots()[-1]["id"]
 
     # -- read path ----------------------------------------------------------
@@ -243,14 +263,45 @@ class IcebergTable:
         return (df.filter(F.col("row_type").isin("doc", "quarantine"))
                 .select("doc_id").distinct())
 
+    def read_snapshot(self, spark: SparkSession, snapshot_id: str) -> DataFrame:
+        """ONLY the rows committed by `snapshot_id` (Iceberg incremental
+        append scan between the previous snapshot and this one)."""
+        snaps = self.snapshots()
+        ids = [s["id"] for s in snaps]
+        if snapshot_id not in ids:
+            raise KeyError(f"unknown snapshot {snapshot_id!r}")
+        i = ids.index(snapshot_id)
+        if i == 0:
+            return self.read_at(spark, snapshot_id)
+        return ((spark or self.spark).read
+                .option("start-snapshot-id", snaps[i - 1]["iceberg_snapshot_id"])
+                .option("end-snapshot-id", snaps[i]["iceberg_snapshot_id"])
+                .table(self.identifier))
+
+
+def _looks_like_identifier(s: str) -> bool:
+    """``catalog.db.table`` (>= 2 dots, no path separators) — anything
+    else, including RELATIVE output dirs like ``out/tbl`` or ``out``,
+    is a filesystem root. Routing a path to Iceberg would fail only at
+    commit time (after all extraction work); routing an identifier to
+    the parquet fallback would silently os.makedirs() the identifier."""
+    return ("/" not in s and os.sep not in s
+            and not s.startswith(".") and s.count(".") >= 2)
+
 
 def open_table(spark: SparkSession, root_or_identifier: str):
-    """Seam for real Iceberg: if an Iceberg catalog is configured AND
-    the argument is a table identifier (not a filesystem path), delegate
-    to :class:`IcebergTable`; otherwise the parquet-snapshot fallback
-    rooted at a directory path."""
+    """Seam for real Iceberg: a table identifier with an Iceberg
+    catalog configured delegates to :class:`IcebergTable`; every
+    filesystem path (absolute OR relative) gets the parquet-snapshot
+    fallback. An identifier without a configured catalog fails loud
+    immediately instead of at first write."""
     confs = {k for k, _ in spark.sparkContext.getConf().getAll()}
     has_iceberg = any(k.startswith("spark.sql.catalog.") for k in confs)
-    if has_iceberg and not os.path.isabs(root_or_identifier):
+    if _looks_like_identifier(root_or_identifier):
+        if not has_iceberg:
+            raise ValueError(
+                f"{root_or_identifier!r} looks like a table identifier but "
+                "no spark.sql.catalog.* is configured — pass a directory "
+                "path for the parquet-snapshot fallback")
         return IcebergTable(spark, root_or_identifier)
     return SnapshotTable(root_or_identifier)

@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import kernels
-from .catalog import SnapshotTable
+from .catalog import open_table
 from .schema import DOCS_SCHEMA, UNIFIED_SCHEMA
 
 DEFAULT_SALT = 0x5CA1AB1E
@@ -294,8 +294,12 @@ def run_job(spark: SparkSession, docs: DataFrame, out_root: str,
     One full pass: the unified (docs + lineage) output is written to a
     staging dir and atomically committed; a rerun anti-joins the input
     against already-committed doc_ids, so a killed run resumes from the
-    last commit and converges to the identical table (FIXTURES.md §3)."""
-    table = SnapshotTable(out_root)
+    last commit and converges to the identical table (FIXTURES.md §3).
+
+    `out_root` may be a directory (parquet-snapshot fallback) or an
+    Iceberg ``catalog.db.table`` identifier — open_table routes; both
+    backends satisfy the same contract (tests/test_catalog_contract)."""
+    table = open_table(spark, out_root)
     if resume:
         done = table.committed_doc_ids(spark)
         if done is not None:
@@ -314,7 +318,7 @@ def run_job(spark: SparkSession, docs: DataFrame, out_root: str,
         raise
     table.commit(snap_id, staging, meta={"kind": "extract"})
 
-    lineage = (spark.read.parquet(os.path.join(table.root, "snapshots", snap_id))
+    lineage = (table.read_snapshot(spark, snap_id)
                .filter(F.col("row_type") == "lineage"))
     stats = (lineage.agg(F.sum("docs_in").alias("docs_in"),
                          F.sum("docs_out").alias("docs_out"),
@@ -332,7 +336,7 @@ def run_job(spark: SparkSession, docs: DataFrame, out_root: str,
 
 def read_extracted(spark: SparkSession, out_root: str) -> DataFrame:
     """All committed extracted spans (union of snapshots)."""
-    table = SnapshotTable(out_root)
+    table = open_table(spark, out_root)
     df = table.read(spark)
     if df is None:
         return spark.createDataFrame([], DOCS_SCHEMA)
@@ -340,7 +344,7 @@ def read_extracted(spark: SparkSession, out_root: str) -> DataFrame:
 
 
 def read_lineage(spark: SparkSession, out_root: str) -> DataFrame:
-    table = SnapshotTable(out_root)
+    table = open_table(spark, out_root)
     df = table.read(spark)
     if df is None:
         raise FileNotFoundError(f"no committed snapshots under {out_root}")
@@ -425,15 +429,22 @@ def inject_external_detections(docs: DataFrame, dets: DataFrame,
     * crop segments form a grid-> M4 figure->table reclassify
     * elsewhere                -> appended as a new structure block
 
-    Same broadcast-side-table shape as inject_manual_regions (the
-    detections table is ~rows-per-page, tiny next to the corpus);
-    offsets land in the 2M namespace ordered by (page, y, x), so
-    detection spans sort after every native span deterministically
-    (fixtures keep (page, y, x) unique per doc)."""
+    UNLIKE inject_manual_regions (a bounded human-corrections table,
+    the one legitimate broadcast in the system), the detections table
+    is ~rows-per-page and therefore SCALES WITH THE CORPUS — so this
+    join carries no broadcast hint: AQE broadcasts it at small SF and
+    falls back to a shuffle join at 10^12 docs (repo rule: no
+    F.broadcast on any table that scales with SF). Offsets land in the
+    2M namespace ordered by (page, y, x), so detection spans sort
+    after every native span deterministically (fixtures keep
+    (page, y, x) unique per doc). Zero-area detections (w or h <= 0)
+    are gated out with the confidence filter: a degenerate bbox has
+    nothing to suppress, reclassify, or validity-check."""
     from pyspark.sql import Window as W
 
     w = W.partitionBy("doc_id").orderBy("page", "y", "x")
-    spans = dets.filter(F.col("conf") >= min_conf).select(
+    spans = dets.filter((F.col("conf") >= min_conf)
+                        & (F.col("w") > 0) & (F.col("h") > 0)).select(
         "doc_id",
         F.struct(
             F.col("cls").alias("kind"),
@@ -446,7 +457,7 @@ def inject_external_detections(docs: DataFrame, dets: DataFrame,
             (F.lit(DETECTION_OFFSET_BASE) + F.row_number().over(w)).alias("offset"),
         ).alias("span"))
     extra = spans.groupBy("doc_id").agg(F.collect_list("span").alias("extra"))
-    return (docs.join(F.broadcast(extra), "doc_id", "left")
+    return (docs.join(extra, "doc_id", "left")   # AQE decides; see docstring
             .select("doc_id",
                     F.when(F.col("extra").isNotNull(),
                            F.concat(F.col("spans"), F.col("extra")))

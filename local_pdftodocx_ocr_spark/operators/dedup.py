@@ -438,7 +438,11 @@ def simhash_candidate_pairs(sigs: DataFrame) -> DataFrame:
 
     The signature table feeds five plan branches, so it is persisted —
     at corpus scale signatures are checkpointed to a table anyway (one
-    64-bit column; the simhash UDF never runs twice over 100 TB)."""
+    64-bit column; the simhash UDF never runs twice over 100 TB). No
+    explicit unpersist: the caller owns the returned lazy plan, and
+    Spark's ContextCleaner unpersists the cache once the DataFrame is
+    garbage-collected after collection (the per-call footprint is one
+    (doc_id, simhash) table)."""
     sigs = sigs.select("doc_id", "simhash").persist()
     s1, s2 = sigs.alias("s1"), sigs.alias("s2")
     intra = (

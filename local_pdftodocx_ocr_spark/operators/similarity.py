@@ -100,14 +100,19 @@ def _hyperplanes(bits: int = LSH_BITS, tables: int = LSH_TABLES,
 
 def lsh_bucket_signatures(e: DataFrame, bits: int = LSH_BITS,
                           tables: int = LSH_TABLES,
-                          seed: int = _SEED) -> DataFrame:
+                          seed: int = _SEED,
+                          with_vectors: bool = True) -> DataFrame:
     """Sign-random-projection bucket ids, one per LSH table.
 
     Computed as ONE numpy matmul per Arrow batch (V @ planes.T >= 0):
     64 sign-projections per vector as higher-order-function column
     expressions interpret per element and run ~10x slower — this is the
     textbook vectorized-UDF case (batch-level BLAS beats per-row
-    expressions). Deterministic: fixed-seed hyperplanes."""
+    expressions). Deterministic: fixed-seed hyperplanes.
+
+    ``with_vectors=False`` emits only (vec_id, table, bucket): callers
+    that re-join vectors later (the pairwise near-dup tier) must not
+    Arrow-serialize every embedding `tables` times just to drop it."""
     from collections.abc import Iterator
 
     import pandas as pd
@@ -122,17 +127,19 @@ def lsh_bucket_signatures(e: DataFrame, bits: int = LSH_BITS,
             b = (v @ flat.T) >= 0  # (n, T*B)
             b = b.reshape(len(v), tables, bits)
             buckets = (b * weights).sum(axis=2).astype(np.int32)  # (n, T)
-            out = pd.DataFrame({
+            cols = {
                 "vec_id": pdf["vec_id"].values.repeat(tables),
-                "embedding": pd.Series(list(pdf["embedding"]) , dtype="object").repeat(tables).values,
                 "table": np.tile(np.arange(tables, dtype=np.int32), len(v)),
                 "bucket": buckets.reshape(-1),
-            })
-            yield out
+            }
+            if with_vectors:
+                cols["embedding"] = pd.Series(
+                    list(pdf["embedding"]), dtype="object").repeat(tables).values
+            yield pd.DataFrame(cols)
 
-    return e.select("vec_id", "embedding").mapInPandas(
-        sign_buckets,
-        schema="vec_id long, embedding array<float>, table int, bucket int")
+    schema = ("vec_id long, table int, bucket int, embedding array<float>"
+              if with_vectors else "vec_id long, table int, bucket int")
+    return e.select("vec_id", "embedding").mapInPandas(sign_buckets, schema)
 
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -261,7 +268,8 @@ def embedding_near_dup_pairs_at_scale(spark: SparkSession, sf_dir: str) -> DataF
     vectors come from two corpus-scale equi-joins (AQE decides the
     strategy — no broadcast of anything that scales with the corpus)."""
     e = _emb(spark, sf_dir)
-    sigs = lsh_bucket_signatures(e, bits=ND_LSH_BITS, tables=ND_LSH_TABLES)
+    sigs = lsh_bucket_signatures(e, bits=ND_LSH_BITS, tables=ND_LSH_TABLES,
+                                 with_vectors=False)
     s1 = sigs.select(F.col("vec_id").alias("id1"), "table", "bucket")
     s2 = sigs.select(F.col("vec_id").alias("id2"), "table", "bucket")
     cand = (s1.join(s2, ["table", "bucket"])

@@ -83,11 +83,21 @@ def read_corpus_input(spark: SparkSession, path: str,
       them. Schemas are declared, never inferred: at 100 TB an
       inference pass is a second full scan of the corpus.
 
-    ``fmt=None`` sniffs the extension (.jsonl/.ndjson/.json, .csv;
-    everything else reads as parquet)."""
+    ``fmt=None`` sniffs the extension (.jsonl/.ndjson, .csv; everything
+    else reads as parquet). A bare ``.json`` is deliberately NOT
+    sniffed: Spark's json reader is line-delimited, so a whole-file
+    JSON array would parse to all-null rows silently — pass
+    fmt='jsonl' explicitly for line-delimited .json files.
+
+    CSV reads with multiLine=True: document text routinely contains
+    newlines, which standard CSV carries inside quotes — under
+    multiLine=False such a row silently splits into malformed records.
+    The cost is that a multiLine CSV FILE is not splittable (one task
+    per file); corpora at scale should arrive as many files, or better
+    as jsonl/parquet (both splittable)."""
     if fmt is None:
         low = path.lower().rstrip("/")
-        if low.endswith((".jsonl", ".ndjson", ".json")):
+        if low.endswith((".jsonl", ".ndjson")):
             fmt = "jsonl"
         elif low.endswith(".csv"):
             fmt = "csv"
@@ -99,7 +109,7 @@ def read_corpus_input(spark: SparkSession, path: str,
         return spark.read.schema(_FLAT_SCHEMA).json(path)
     if fmt == "csv":
         return (spark.read.option("header", True)
-                .option("multiLine", False)
+                .option("multiLine", True)
                 .option("escape", '"')
                 .schema(_FLAT_SCHEMA).csv(path))
     raise ValueError(f"unknown input format {fmt!r} "

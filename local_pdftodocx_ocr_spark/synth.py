@@ -369,10 +369,14 @@ def gen_detections_corpus(n_docs: int = 6, seed: int = 91):
              kernels.encode_media("low-conf")),
             # P9 validity drop: bbox under the 40px side minimum
             (doc_id, 1, 400.0, 600.0, 10.0, 8.0, "figure", 0.95, ""),
+            # degenerate zero-area bbox: gated out before injection
+            (doc_id, 0, 100.0, 500.0, 0.0, 0.0, "figure", 0.99, ""),
         ]
         if k % 2 == 0:
-            # M4: figure detection whose crop segments form a 2x2 grid
-            dets.append((doc_id, 1, 40.0, 100.0, 400.0, 200.0, "figure", 0.9,
+            # M4: figure detection whose crop segments form a 2x2 grid;
+            # y=100.25 pins the cross-engine %.1f HALF_UP rounding
+            # (Java '410.3'-style, not Python's half-even '410.2')
+            dets.append((doc_id, 1, 40.0, 100.25, 400.0, 200.0, "figure", 0.9,
                          kernels.encode_media_segments([
                              (60.0, 120.0, 140.0, "qty"),
                              (260.0, 120.0, 140.0, "price"),
@@ -385,24 +389,38 @@ def gen_detections_corpus(n_docs: int = 6, seed: int = 91):
     return corpus, dets
 
 
+def _fmt1_half_up(v: float) -> str:
+    """Java Formatter's %.1f (RoundingMode.HALF_UP on the decimal repr)
+    — NOT Python's f'{v:.1f}', which rounds half-even: 410.25 must
+    format as '410.3' on both engines."""
+    from decimal import ROUND_HALF_UP, Decimal
+    return str(Decimal(repr(float(v))).quantize(Decimal("0.1"),
+                                                rounding=ROUND_HALF_UP))
+
+
 def apply_detections_seq(corpus, dets, min_conf: float = 0.5):
     """Sequential mirror of job.inject_external_detections: gate on
-    conf, sort per doc by (page, y, x), append as structure spans with
-    offsets in the 2M namespace. Uses the same _span formatting the
-    Spark side produces with format_string, so injected span text is
-    byte-identical across engines."""
+    conf AND positive bbox area, sort per doc by (page, y, x), append
+    as structure spans with offsets in the 2M namespace. The header is
+    built explicitly (always including w/h, HALF_UP rounding) to be
+    byte-identical to the Spark side's
+    format_string('p=%d;y=%.1f;x=%.1f;w=%.1f;h=%.1f|') — _span's
+    conditional w/h suffix and Python's half-even %.1f both diverge."""
     by_doc: dict[str, list[tuple]] = {}
     for (doc_id, page, x, y, w, h, cls, conf, media_ref) in dets:
-        if conf < min_conf:
+        if conf < min_conf or w <= 0 or h <= 0:
             continue
         by_doc.setdefault(doc_id, []).append((page, y, x, w, h, cls, media_ref))
     out = []
     for doc_id, spans in corpus:
-        extra = [
-            _span(cls, page, y, x, "", media_ref, 2_000_000 + i + 1, w=w, h=h)
-            for i, (page, y, x, w, h, cls, media_ref)
-            in enumerate(sorted(by_doc.get(doc_id, [])))
-        ]
+        extra = []
+        for i, (page, y, x, w, h, cls, media_ref) in enumerate(
+                sorted(by_doc.get(doc_id, []))):
+            header = (f"p={page};y={_fmt1_half_up(y)};x={_fmt1_half_up(x)};"
+                      f"w={_fmt1_half_up(w)};h={_fmt1_half_up(h)}|")
+            extra.append({"kind": cls, "text": header,
+                          "media_ref": media_ref,
+                          "offset": 2_000_000 + i + 1})
         out.append((doc_id, list(spans) + extra))
     return out
 

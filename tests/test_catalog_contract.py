@@ -113,6 +113,33 @@ class TestSnapshotContract:
         with pytest.raises(KeyError):
             table.read_at(spark, "snap-never-committed")
 
+    def test_read_snapshot_isolates_one_commit(self, spark, table):
+        s1, st1 = table.begin()
+        _write_staging(spark, ROWS_A, st1)
+        table.commit(s1, st1)
+        s2, st2 = table.begin()
+        _write_staging(spark, ROWS_B, st2)
+        table.commit(s2, st2)
+        assert _doc_ids(table.read_snapshot(spark, s2)) == ["doc-4", "doc-5"]
+        assert _doc_ids(table.read_snapshot(spark, s1)) == [
+            "doc-1", "doc-2", "doc-3"]
+        with pytest.raises(KeyError):
+            table.read_snapshot(spark, "snap-bogus")
+
+    def test_compact_folds_to_one_snapshot(self, spark, table):
+        s1, st1 = table.begin()
+        _write_staging(spark, ROWS_A, st1)
+        table.commit(s1, st1)
+        s2, st2 = table.begin()
+        _write_staging(spark, ROWS_B, st2)
+        table.commit(s2, st2)
+        before = _doc_ids(table.read(spark))
+        table.compact(spark)
+        assert len(table.snapshots()) == 1
+        assert _doc_ids(table.read(spark)) == before     # content unchanged
+        with pytest.raises(KeyError):                    # old ids expired
+            table.read_at(spark, s1)
+
     def test_snapshot_ids_are_ordered_and_labeled(self, spark, table):
         s1, st1 = table.begin()
         _write_staging(spark, ROWS_A, st1)
@@ -122,3 +149,26 @@ class TestSnapshotContract:
         table.commit(s2, st2, meta={"kind": "extract"})
         ids = [s["id"] for s in table.snapshots()]
         assert ids == [s1, s2]     # commit order preserved, labels survive
+
+
+class TestOpenTableRouting:
+    """open_table must never misroute: filesystem paths (absolute OR
+    relative) -> parquet fallback; catalog.db.table identifiers ->
+    Iceberg (loud error when no catalog is configured, instead of a
+    silent empty table + a commit-time crash after the work is done)."""
+
+    def test_paths_route_to_snapshot_table(self, spark, tmp_path, monkeypatch):
+        from local_pdftodocx_ocr_spark.catalog import open_table
+        monkeypatch.chdir(tmp_path)   # relative roots get created here
+        assert isinstance(open_table(spark, str(tmp_path / "t")), SnapshotTable)
+        assert isinstance(open_table(spark, "rel/dir"), SnapshotTable)
+        # a relative dir name with dots is still a path, not an identifier
+        assert isinstance(open_table(spark, "out.dir.v2/x"), SnapshotTable)
+
+    def test_identifier_without_catalog_fails_loud(self, spark):
+        from local_pdftodocx_ocr_spark.catalog import open_table
+        confs = {k for k, _ in spark.sparkContext.getConf().getAll()}
+        if any(k.startswith("spark.sql.catalog.") for k in confs):
+            pytest.skip("session has an Iceberg catalog; routing differs")
+        with pytest.raises(ValueError, match="identifier"):
+            open_table(spark, "local.db.extract_out")

@@ -196,8 +196,14 @@ def test_corpus_input_formats_agree(spark, tmp_path):
     never a semantics one. Schemas are declared (no inference scan)."""
     from local_pdftodocx_ocr_spark.sources.tables import read_corpus_input
 
-    flat = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
-                .select("doc_id", "text").limit(60)
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+                .select("doc_id", "text").limit(59)
+    # one doc with an embedded newline: standard CSV quotes it, and
+    # only multiLine=True parses it back as ONE record
+    extra = spark.createDataFrame(
+        [(990001, "first line of the document\nsecond line stays attached")],
+        "doc_id long, text string")
+    flat = base.unionByName(extra)
     pq = str(tmp_path / "docs_pq")
     js = str(tmp_path / "docs.jsonl")
     cs = str(tmp_path / "docs.csv")
