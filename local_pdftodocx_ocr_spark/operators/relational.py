@@ -951,10 +951,54 @@ LIMIT 5
 """
 
 
+# fixed promo calendar (literal on BOTH engines; bounded, so the
+# broadcast hint is legitimate — it does not scale with SF)
+_PROMO_WINDOWS = [
+    ("winter94", "1994-01-01", "1994-02-15"),
+    ("spring95", "1995-03-01", "1995-04-30"),
+    ("summer96", "1996-06-01", "1996-08-31"),
+]
+
+
+def orders_in_promo_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE (interval-containment) join: orders landing inside any
+    promo window [start, end), aggregated per promo. The non-equi join
+    against a bounded literal calendar is the one place a nested-loop
+    broadcast is the RIGHT plan — the probe side streams once past a
+    3-row build side; contrast with the banded equi-joins every
+    corpus-scaling operator uses."""
+    o = _t(spark, sf_dir, "orders")
+    promos = spark.createDataFrame(
+        _PROMO_WINDOWS, "promo string, pstart string, pend string")
+    cond = ((F.col("o_orderdate") >= F.col("pstart").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.col("pend").cast("timestamp_ntz")))
+    return (o.join(F.broadcast(promos), cond)
+            .groupBy("promo")
+            .agg(F.count("*").alias("n_orders"),
+                 F.round(_dec_sum(F.col("o_totalprice")).cast("double"), 4)
+                 .alias("promo_revenue")))
+
+
+_PROMO_VALUES = ", ".join(f"('{p}', TIMESTAMP '{s}', TIMESTAMP '{e}')"
+                          for p, s, e in _PROMO_WINDOWS)
+
+PROMO_WINDOWS_SQL = f"""
+SELECT promo,
+       COUNT(*) AS n_orders,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(24,8))) AS DOUBLE), 4)
+         AS promo_revenue
+FROM orders
+JOIN (VALUES {_PROMO_VALUES}) AS pr(promo, pstart, pend)
+  ON o_orderdate >= pstart AND o_orderdate < pend
+GROUP BY promo
+"""
+
+
 QUERIES = {
     # first: the one r2 red row (oracle HUGEINT typing, fixed) — keep it
     # inside the driver's verification window
     "events_error_rate_hours": events_error_rate_hours,
+    "orders_in_promo_windows": orders_in_promo_windows,
     "q1_pricing_summary": q1_pricing_summary,
     "q9_product_profit": q9_product_profit,
     "customer_balance_ntiles": customer_balance_ntiles,
@@ -993,6 +1037,7 @@ ORACLES = {
     "q1_pricing_summary": Q1_SQL,
     "q9_product_profit": Q9_SQL,
     "events_error_rate_hours": ERROR_RATE_SQL,
+    "orders_in_promo_windows": PROMO_WINDOWS_SQL,
     "customer_balance_ntiles": NTILE_SQL,
     "events_funnel": EVENTS_FUNNEL_SQL,
     "events_retention_cohorts": EVENTS_RETENTION_SQL,
