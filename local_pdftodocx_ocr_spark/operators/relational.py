@@ -951,6 +951,104 @@ LIMIT 5
 """
 
 
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 pattern: national market share — NATION_7's share of
+    ASIA customers' PROMO-part revenue, per order year. Fixed dims
+    (nation/region) stay hinted; part/customer/supplier scale with SF
+    so AQE decides those joins."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    p = _t(spark, sf_dir, "part")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    cn = n.select(F.col("n_nationkey").alias("cn_key"),
+                  F.col("n_regionkey").alias("cn_region"))
+    sn = n.select(F.col("n_nationkey").alias("sn_key"),
+                  F.col("n_name").alias("supp_nation"))
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(24,8)")
+    nat = F.when(F.col("supp_nation") == "NATION_7", vol) \
+           .otherwise(F.lit(0).cast("decimal(24,8)"))
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .filter(F.col("p_type") == "PROMO")
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .filter((F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+                & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz")))
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+              F.col("cn_region") == F.col("r_regionkey"))
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(nat).cast("double")
+                     / F.sum(vol).cast("double"), 4).alias("mkt_share"),
+             F.count("*").alias("n_items"))
+    )
+
+
+Q8_SQL = """
+SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
+       ROUND(CAST(SUM(CASE WHEN sn.n_name = 'NATION_7'
+                           THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,8))
+                           ELSE CAST(0 AS DECIMAL(24,8)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,8))) AS DOUBLE),
+             4) AS mkt_share,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN region   ON cn.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY 1
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 pattern: quarterly revenue 'view' per supplier, then
+    the supplier(s) whose revenue EQUALS the global max. The tie
+    compare runs on the exact decimal sums (never the rounded double),
+    so both engines agree bit-for-bit; the 1-row max joins back via
+    AQE (broadcast at any SF — it is always one row)."""
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    revenue = (l.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz")))
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(_dec_sum(vol).alias("total_rev")))
+    mx = revenue.agg(F.max("total_rev").alias("mx"))
+    return (revenue.join(mx, F.col("total_rev") == F.col("mx"))
+            .join(s, F.col("supplier_no") == F.col("s_suppkey"))
+            .select("s_suppkey", "s_name",
+                    F.round(F.col("total_rev").cast("double"), 4)
+                    .alias("total_revenue")))
+
+
+Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,8))) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, ROUND(CAST(total_rev AS DOUBLE), 4) AS total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
+"""
+
+
 # fixed promo calendar (literal on BOTH engines; bounded, so the
 # broadcast hint is legitimate — it does not scale with SF)
 _PROMO_WINDOWS = [
@@ -999,6 +1097,8 @@ QUERIES = {
     # inside the driver's verification window
     "events_error_rate_hours": events_error_rate_hours,
     "orders_in_promo_windows": orders_in_promo_windows,
+    "q8_market_share": q8_market_share,
+    "q15_top_supplier": q15_top_supplier,
     "q1_pricing_summary": q1_pricing_summary,
     "q9_product_profit": q9_product_profit,
     "customer_balance_ntiles": customer_balance_ntiles,
@@ -1038,6 +1138,8 @@ ORACLES = {
     "q9_product_profit": Q9_SQL,
     "events_error_rate_hours": ERROR_RATE_SQL,
     "orders_in_promo_windows": PROMO_WINDOWS_SQL,
+    "q8_market_share": Q8_SQL,
+    "q15_top_supplier": Q15_SQL,
     "customer_balance_ntiles": NTILE_SQL,
     "events_funnel": EVENTS_FUNNEL_SQL,
     "events_retention_cohorts": EVENTS_RETENTION_SQL,
