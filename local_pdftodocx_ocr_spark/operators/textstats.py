@@ -316,7 +316,185 @@ WHERE rk <= 10
 """
 
 
+# ---------------------------------------------------------------------------
+# Gopher-style repetition signals (Rae et al. 2021 quality heuristics):
+# duplicate-word fraction and most-frequent-bigram coverage. Entirely
+# per-row higher-order-function arithmetic — a pure projection, zero
+# shuffles, embarrassingly parallel at any corpus size.
+# ---------------------------------------------------------------------------
+
+def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks)
+    dup_word_frac = F.round(
+        (n_tok - F.size(F.array_distinct(toks))) / n_tok, 4)
+    bgs = F.transform(
+        F.sequence(F.lit(1), n_tok - 1),
+        lambda i: F.concat(F.element_at(toks, i), F.lit(" "),
+                           F.element_at(toks, i + 1)))
+    step = (d.filter(n_tok >= 2)
+            .select("doc_id", dup_word_frac.alias("dup_word_frac"),
+                    bgs.alias("bgs"), (n_tok - 1).alias("n_bg"))
+            .withColumn("db", F.array_distinct(F.col("bgs")))
+            .withColumn("maxc", F.array_max(F.transform(
+                F.col("db"),
+                lambda b: F.size(F.filter(F.col("bgs"), lambda x: x == b)))))
+            # ties break to the lexicographically smallest bigram so both
+            # engines pick the same mode
+            .withColumn("top_bigram", F.array_min(F.filter(
+                F.col("db"),
+                lambda b: F.size(F.filter(F.col("bgs"), lambda x: x == b))
+                == F.col("maxc")))))
+    return step.select(
+        "doc_id", "dup_word_frac", "top_bigram",
+        F.round(F.col("maxc") / F.col("n_bg"), 4).alias("top_bigram_frac"))
+
+
+REPETITION_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         string_split(text, ' ') AS t,
+         len(string_split(text, ' ')) AS nt
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 2
+),
+bg AS (
+  SELECT doc_id,
+         ROUND(CAST(nt - len(list_distinct(t)) AS DOUBLE) / nt, 4) AS dup_word_frac,
+         list_transform(range(1, nt), i -> t[i] || ' ' || t[i+1]) AS bgs,
+         nt - 1 AS n_bg
+  FROM base
+),
+md AS (
+  SELECT doc_id, dup_word_frac, bgs, n_bg,
+         list_distinct(bgs) AS db
+  FROM bg
+),
+mx AS (
+  SELECT doc_id, dup_word_frac, bgs, n_bg, db,
+         list_aggregate(list_transform(db,
+             b -> len(list_filter(bgs, x -> x = b))), 'max') AS maxc
+  FROM md
+)
+SELECT doc_id, dup_word_frac,
+       list_aggregate(list_filter(db,
+           b -> len(list_filter(bgs, x -> x = b)) = maxc), 'min') AS top_bigram,
+       ROUND(CAST(maxc AS DOUBLE) / n_bg, 4) AS top_bigram_frac
+FROM mx
+"""
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level boilerplate n-grams (CCNet/RefinedWeb-style): a word-3-gram
+# is "hot" when it appears in >= 1% of documents; per doc, report the
+# fraction of its distinct shingles that are hot. The threshold is a
+# FRACTION of N (broadcast 1-row), so the operator's meaning is stable
+# from sf0.001 to 100 TB; the df aggregation is map-side combinable and
+# the hot set joins back as a semi join on the shingle key.
+# ---------------------------------------------------------------------------
+
+BOILERPLATE_DF_FRAC = 0.01
+
+
+def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import _distinct_shingles
+
+    d = _docs(spark, sf_dir)
+    sh = _distinct_shingles(d).select("doc_id", "s")
+    n = d.agg(F.count("*").alias("n"))
+    # df agg partial-combines map-side, so the exchange on s carries
+    # (s, count) pairs, not raw rows — hot shingles cost nothing there.
+    # The flag join's raw-row exchange CAN skew on a hot shingle; that
+    # is exactly the AQE skew-join split case (pinned in TestAQESkewJoin).
+    hot = (sh.groupBy("s").agg(F.count("*").alias("df"))
+           .crossJoin(F.broadcast(n))
+           .filter(F.col("df") >= F.ceil(F.lit(BOILERPLATE_DF_FRAC) * F.col("n")))
+           .select("s", F.lit(1).alias("is_hot")))
+    return (sh.join(hot, "s", "left")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_shingles"),
+                 F.sum(F.coalesce(F.col("is_hot"), F.lit(0))).alias("n_hot"))
+            .withColumn("boilerplate_frac",
+                        F.round(F.col("n_hot") / F.col("n_shingles"), 4)))
+
+
+BOILERPLATE_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    range(1, GREATEST(len(string_split(text, ' ')) - 2, 0) + 1),
+    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+         || ' ' || string_split(text, ' ')[i+2]
+  ))) AS s
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+),
+n AS (SELECT COUNT(*) AS n FROM documents),
+hot AS (
+  SELECT s FROM sh CROSS JOIN n
+  GROUP BY s, n.n
+  HAVING COUNT(*) >= CEIL({BOILERPLATE_DF_FRAC} * n.n)
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         CAST(SUM(CASE WHEN s IN (SELECT s FROM hot) THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_hot
+  FROM sh GROUP BY doc_id
+)
+SELECT doc_id, n_shingles, n_hot,
+       ROUND(CAST(n_hot AS DOUBLE) / n_shingles, 4) AS boilerplate_frac
+FROM per_doc
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-source token-budget mix (the data-mixing op a training run uses to
+# cap each domain's contribution): order docs within a source by hashed
+# id, keep every doc that STARTS before the source's token budget is
+# exhausted. Deterministic (no RNG), one shuffle on source.
+# ---------------------------------------------------------------------------
+
+SOURCE_TOKEN_BUDGET = 600
+
+
+def token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = _docs(spark, sf_dir)
+    n_tok = F.size(F.split(F.col("text"), " "))
+    w = (W.partitionBy("source")
+         .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return (d.select("doc_id", "source", n_tok.alias("n_tokens"))
+            .withColumn("cum_before",
+                        F.sum("n_tokens").over(w) - F.col("n_tokens"))
+            .filter(F.col("cum_before") < SOURCE_TOKEN_BUDGET)
+            .select("doc_id", "source",
+                    F.col("n_tokens").cast("int").alias("n_tokens"),
+                    F.col("cum_before").cast("long").alias("cum_before")))
+
+
+TOKEN_BUDGET_SQL = f"""
+SELECT doc_id, source, CAST(n_tokens AS INTEGER) AS n_tokens,
+       CAST(cum_before AS BIGINT) AS cum_before
+FROM (
+  SELECT doc_id, source, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source
+                             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_tokens AS cum_before
+  FROM (SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+        FROM documents)
+)
+WHERE cum_before < {SOURCE_TOKEN_BUDGET}
+"""
+
+
 QUERIES = {
+    "docs_quality_repetition": quality_repetition,
+    "docs_boilerplate_ngrams": boilerplate_ngrams,
+    "docs_token_budget_mix": token_budget_mix,
     "docs_token_count": token_count,
     "docs_tfidf_top_terms": tfidf_top_terms,
     "docs_train_test_split": train_test_split,
@@ -329,6 +507,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    "docs_quality_repetition": REPETITION_SQL,
+    "docs_boilerplate_ngrams": BOILERPLATE_SQL,
+    "docs_token_budget_mix": TOKEN_BUDGET_SQL,
     "docs_token_count": TOKEN_COUNT_SQL,
     "docs_tfidf_top_terms": TFIDF_SQL,
     "docs_train_test_split": SPLIT_SQL,
