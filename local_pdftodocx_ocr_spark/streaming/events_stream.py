@@ -61,6 +61,29 @@ def session_counts(events: DataFrame, gap: str = "30 minutes",
                     "user_id", "n_events"))
 
 
+def dedup_within_watermark(events: DataFrame,
+                           watermark: str = "10 minutes") -> DataFrame:
+    """Streaming exact dedup with BOUNDED state: emit each event_id's
+    first arrival, expiring dedup state once the watermark passes it.
+    This is the scale-correct form of streaming dedup for an unbounded
+    feed — the applyInPandasWithState variant (extract_stream) holds a
+    key forever, which is right for a finite doc corpus but not for an
+    infinite event stream; here state size tracks the watermark delay,
+    not the stream length."""
+    return (events
+            .withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark(["event_id"]))
+
+
+def enrich_stream_static(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static join: each micro-batch joins against the (bounded,
+    slowly-changing) dimension — the standard enrichment shape. The dim
+    re-reads per micro-batch, so a catalog-backed table picks up updates
+    between batches; no broadcast hint (Spark chooses — the static side
+    here is bounded by construction, so AQE broadcasts it anyway)."""
+    return events.join(dim, "event_type", "left")
+
+
 def run_to_memory(df: DataFrame, name: str, output_mode: str = "append"):
     """Drive a bounded stream to completion into a memory sink; returns
     the query (stopped)."""

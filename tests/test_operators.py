@@ -354,6 +354,44 @@ class TestStreaming:
         es.run_to_memory(es.session_counts(stream), "sess_out")
         assert spark.sql("SELECT count(*) AS n FROM sess_out").first()["n"] >= 0
 
+    def test_dedup_within_watermark(self, spark, tmp_path):
+        """An event_id replayed in a later micro-batch (inside the
+        watermark) is emitted exactly once; state is watermark-bounded,
+        not stream-length-bounded."""
+        from local_pdftodocx_ocr_spark.streaming import events_stream as es
+        ev = (spark.read.parquet(f"{SF_DIR}/events.parquet")
+              .orderBy("event_id").limit(50).cache())
+        in_dir = tmp_path / "dup_ev"
+        in_dir.mkdir()
+        ev.coalesce(1).write.parquet(str(in_dir / "a"))
+        # second file replays the first 20 events verbatim
+        ev.orderBy("event_id").limit(20).coalesce(1) \
+            .write.parquet(str(in_dir / "b"))
+        stream = es.read_events_stream(spark, str(in_dir) + "/*",
+                                       max_files_per_trigger=1,
+                                       glob="*.parquet")
+        es.run_to_memory(es.dedup_within_watermark(stream), "wm_dedup_out")
+        ids = [r["event_id"] for r in
+               spark.sql("SELECT event_id FROM wm_dedup_out").collect()]
+        assert len(ids) == len(set(ids)) == 50
+        ev.unpersist()
+
+    def test_stream_static_enrichment_matches_batch(self, spark, tmp_path):
+        from local_pdftodocx_ocr_spark.streaming import events_stream as es
+        dim = spark.createDataFrame(
+            [("click", "engagement"), ("view", "engagement"),
+             ("purchase", "revenue"), ("error", "ops")],
+            "event_type string, category string")
+        stream = es.read_events_stream(spark, SF_DIR)
+        es.run_to_memory(es.enrich_stream_static(stream, dim), "enrich_out")
+        got = (spark.sql("SELECT category, count(*) AS n FROM enrich_out GROUP BY 1")
+               .collect())
+        batch = (spark.read.parquet(f"{SF_DIR}/events.parquet")
+                 .join(dim, "event_type", "left")
+                 .groupBy("category").agg(F.count("*").alias("n")).collect())
+        assert {r["category"]: r["n"] for r in got} == \
+               {r["category"]: r["n"] for r in batch}
+
 
 class TestAQESkewJoin:
     def test_skewed_join_is_split_at_runtime(self, spark, tmp_path):
