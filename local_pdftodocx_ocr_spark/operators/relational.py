@@ -307,6 +307,76 @@ FROM events GROUP BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct-count sketch. Beyer et al. 2007's
+# unbiased estimator (k-1)/h_(k): because the hash is md5, the sketch is
+# DETERMINISTIC — so unlike HLL it admits an exact cross-engine SQL
+# oracle while still being a real mergeable sketch (union = keep the k
+# smallest of the merged sets; the salted two-phase below IS that merge).
+# ---------------------------------------------------------------------------
+
+KMV_K = 64
+_KMV_SALT = 32  # phase-1 fan-out; widen with corpus size so no single
+                # partition ever holds a full per-type distinct set
+
+
+def events_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimate distinct users per event_type with a KMV sketch.
+
+    Scale shape: distinct(type, h) partial-dedups map-side; phase 1
+    takes the k smallest hashes per (type, salt) so each window
+    partition sees ~1/SALT of the type's hashes; phase 2 reduces the
+    SALT*k survivors per type (a superset of the global top-k) to the
+    final k. When a type has fewer than k distinct hashes the count is
+    exact by the KMV rule (n_kept < k branch)."""
+    from pyspark.sql import Window as W
+
+    e = _t(spark, sf_dir, "events")
+    # 15 hex chars = 60 bits: inside BIGINT/ANSI-safe range on both engines
+    h = F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
+               16, 10).cast("long")
+    dh = e.select("event_type", h.alias("h")).distinct()
+    w1 = W.partitionBy("event_type", F.pmod(F.col("h"), F.lit(_KMV_SALT))) \
+          .orderBy("h")
+    phase1 = dh.withColumn("rk", F.row_number().over(w1)) \
+               .filter(F.col("rk") <= KMV_K).drop("rk")
+    w2 = W.partitionBy("event_type").orderBy("h")
+    kept = phase1.withColumn("rk", F.row_number().over(w2)) \
+                 .filter(F.col("rk") <= KMV_K)
+    est = F.when(F.col("n_kept") < KMV_K, F.col("n_kept").cast("double")) \
+           .otherwise(F.lit(float(KMV_K - 1) * 2.0 ** 60)
+                      / F.col("h_k").cast("double"))
+    return (kept.groupBy("event_type")
+            .agg(F.count("*").alias("n_kept"), F.max("h").alias("h_k"))
+            .select("event_type", F.col("n_kept").cast("int").alias("n_kept"),
+                    F.round(est, 4).alias("est_distinct")))
+
+
+# oracle computes the top-k directly (phase 1 keeps a superset of the
+# global k smallest, so the two-phase result is identical by construction)
+KMV_SQL = f"""
+WITH dh AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events
+),
+ranked AS (
+  SELECT event_type, h,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rk
+  FROM dh
+),
+agg AS (
+  SELECT event_type, COUNT(*) AS n_kept, MAX(h) AS h_k
+  FROM ranked WHERE rk <= {KMV_K} GROUP BY 1
+)
+SELECT event_type, CAST(n_kept AS INTEGER) AS n_kept,
+       ROUND(CASE WHEN n_kept < {KMV_K} THEN CAST(n_kept AS DOUBLE)
+                  ELSE {KMV_K - 1} * 1152921504606846976.0 / CAST(h_k AS DOUBLE)
+             END, 4) AS est_distinct
+FROM agg
+"""
+
+
 def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 pattern: pure filter + single agg (pushdown showcase)."""
     l = _t(spark, sf_dir, "lineitem")
@@ -1096,6 +1166,7 @@ QUERIES = {
     # first: the one r2 red row (oracle HUGEINT typing, fixed) — keep it
     # inside the driver's verification window
     "events_error_rate_hours": events_error_rate_hours,
+    "events_kmv_distinct": events_kmv_distinct,
     "orders_in_promo_windows": orders_in_promo_windows,
     "q8_market_share": q8_market_share,
     "q15_top_supplier": q15_top_supplier,
@@ -1137,6 +1208,7 @@ ORACLES = {
     "q1_pricing_summary": Q1_SQL,
     "q9_product_profit": Q9_SQL,
     "events_error_rate_hours": ERROR_RATE_SQL,
+    "events_kmv_distinct": KMV_SQL,
     "orders_in_promo_windows": PROMO_WINDOWS_SQL,
     "q8_market_share": Q8_SQL,
     "q15_top_supplier": Q15_SQL,

@@ -513,6 +513,37 @@ class TestStatefulStreaming:
         assert len(ids) == len(set(ids)) == 20
 
 
+class TestKMVSketch:
+    def test_estimate_within_error_bound(self, spark):
+        """KMV with k=64 has relative stddev ~1/sqrt(k-2) ~= 12.7%;
+        at sf0.01 every type has 150 distinct users (> k, estimate
+        branch) and the estimate must land within 4 sigma."""
+        from local_pdftodocx_ocr_spark.operators import relational as R
+        est = {r["event_type"]: (r["n_kept"], r["est_distinct"])
+               for r in R.events_kmv_distinct(spark, SF_DIR).collect()}
+        exact = {r["event_type"]: r["n_users"]
+                 for r in R.distinct_users_per_type(spark, SF_DIR).collect()}
+        assert set(est) == set(exact)
+        for t, (n_kept, e) in est.items():
+            if exact[t] < R.KMV_K:
+                assert n_kept == exact[t] and e == float(exact[t])
+            else:
+                assert n_kept == R.KMV_K
+                assert abs(e - exact[t]) / exact[t] < 4 * 0.127, \
+                    f"{t}: est {e} vs exact {exact[t]}"
+
+    def test_exact_branch_below_k(self, spark):
+        """sf0.001 has 15 distinct users per type (< k): the sketch
+        must return the exact count."""
+        from local_pdftodocx_ocr_spark.operators import relational as R
+        sf = "/root/testdata/sf0.001"
+        est = {r["event_type"]: r["est_distinct"]
+               for r in R.events_kmv_distinct(spark, sf).collect()}
+        exact = {r["event_type"]: r["n_users"]
+                 for r in R.distinct_users_per_type(spark, sf).collect()}
+        assert est == {t: float(n) for t, n in exact.items()}
+
+
 class TestDedupComponents:
     def test_transitive_chain_merges(self, spark):
         """A~B and B~C must land in ONE component even when A~C is not
