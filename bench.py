@@ -47,6 +47,9 @@ HEADLINE = {
     "docs_tfidf_top_terms": textstats.tfidf_top_terms,
     "docs_fingerprint": textstats.fingerprint,
     "docs_quality_score": textstats.quality_score,
+    "docs_quality_repetition": textstats.quality_repetition,
+    "docs_boilerplate_ngrams": textstats.boilerplate_ngrams,
+    "events_kmv_distinct": relational.events_kmv_distinct,
     "emb_cosine_topk": similarity.cosine_topk_bruteforce,
     "emb_ann_lsh_topk": similarity.ann_lsh_topk,
     "extract_from_documents": extraction.extract_from_documents,

@@ -439,6 +439,46 @@ class TestAQESkewJoin:
                     spark.conf.set(k, v)
 
 
+class TestRuntimeBloomFilterJoin:
+    def test_selective_join_injects_bloom_filter(self, spark, tmp_path):
+        """Runtime bloom-filter join pruning: when one join side is made
+        selective by a filter, Catalyst injects a bloom filter built
+        from it into the OTHER side's scan, pruning probe rows before
+        the shuffle — at 100 TB this is what keeps a selective
+        dim-filtered fact join from shuffling the whole fact table."""
+        fact = str(tmp_path / "bf_fact")
+        dim = str(tmp_path / "bf_dim")
+        (spark.range(400_000)
+         .select((F.col("id") % 10_000).alias("k"), F.col("id").alias("v"))
+         .write.mode("overwrite").parquet(fact))
+        (spark.range(10_000)
+         .select(F.col("id").alias("k"), (F.col("id") % 100).alias("grp"))
+         .write.mode("overwrite").parquet(dim))
+        confs = {
+            "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+        }
+        old = {k: spark.conf.get(k, None) for k in confs}
+        try:
+            for k, v in confs.items():
+                spark.conf.set(k, v)
+            j = (spark.read.parquet(fact)
+                 .join(spark.read.parquet(dim).filter(F.col("grp") == 7), "k"))
+            n = j.count()
+            assert n == 100 * 40  # 100 dim keys x 40 fact rows each
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "bloom" in plan.lower() or "might_contain" in plan.lower(), \
+                plan[:3000]
+        finally:
+            for k, v in old.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+
+
 class TestBucketedJoin:
     def test_bucketed_join_has_no_join_exchange(self, spark, tmp_path):
         """Bucketing both sides on the join key co-locates partitions:
