@@ -333,22 +333,33 @@ def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(1), n_tok - 1),
         lambda i: F.concat(F.element_at(toks, i), F.lit(" "),
                            F.element_at(toks, i + 1)))
+    # mode of the bigram multiset by sort + run-length left fold —
+    # O(n log n) per row vs the naive count-each-distinct O(n^2) (which
+    # measured 10.9 s vs ~0.5 s at sf0.1). Replacement on STRICTLY
+    # greater run keeps the first (= lexicographically smallest, the
+    # array is sorted) bigram among ties — same tie-break as the
+    # oracle's list_min-over-argmax.
+    init = F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                    F.lit(0).alias("bestrun"), F.lit("").alias("bestbg"))
+
+    def _step(acc, x):
+        run = F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1))
+        better = run > acc.bestrun
+        return F.struct(
+            x.alias("prev"), run.alias("run"),
+            F.when(better, run).otherwise(acc.bestrun).alias("bestrun"),
+            F.when(better, x).otherwise(acc.bestbg).alias("bestbg"))
+
     step = (d.filter(n_tok >= 2)
             .select("doc_id", dup_word_frac.alias("dup_word_frac"),
                     bgs.alias("bgs"), (n_tok - 1).alias("n_bg"))
-            .withColumn("db", F.array_distinct(F.col("bgs")))
-            .withColumn("maxc", F.array_max(F.transform(
-                F.col("db"),
-                lambda b: F.size(F.filter(F.col("bgs"), lambda x: x == b)))))
-            # ties break to the lexicographically smallest bigram so both
-            # engines pick the same mode
-            .withColumn("top_bigram", F.array_min(F.filter(
-                F.col("db"),
-                lambda b: F.size(F.filter(F.col("bgs"), lambda x: x == b))
-                == F.col("maxc")))))
+            .withColumn("st", F.aggregate(F.array_sort(F.col("bgs")),
+                                          init, _step)))
     return step.select(
-        "doc_id", "dup_word_frac", "top_bigram",
-        F.round(F.col("maxc") / F.col("n_bg"), 4).alias("top_bigram_frac"))
+        "doc_id", "dup_word_frac",
+        F.col("st.bestbg").alias("top_bigram"),
+        F.round(F.col("st.bestrun") / F.col("n_bg"), 4)
+        .alias("top_bigram_frac"))
 
 
 REPETITION_SQL = """
