@@ -124,10 +124,9 @@ def _hashed_capped_shingles(d: DataFrame, cap: int = SHINGLE_DF_CAP) -> DataFram
     DuckDB (('0x'||substr(md5(s),1,15))::UBIGINT) and hashlib, so the
     identical (negligible, 60-bit) collisions happen on every engine
     and cross-engine equality is exact. df cap applied on k."""
+    from ..functions.hashing import md5_60bit
     sh = _distinct_shingles(d).select(
-        "doc_id",
-        F.conv(F.substring(F.md5(F.col("s")), 1, 15), 16, 10)
-        .cast("long").alias("k"))
+        "doc_id", md5_60bit(F.col("s")).alias("k"))
     ok = (sh.groupBy("k").agg(F.count("*").alias("df"))
           .filter(F.col("df") <= cap)
           .select("k"))

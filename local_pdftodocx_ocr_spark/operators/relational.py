@@ -329,12 +329,10 @@ def events_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     SALT*k survivors per type (a superset of the global top-k) to the
     final k. When a type has fewer than k distinct hashes the count is
     exact by the KMV rule (n_kept < k branch)."""
-    from pyspark.sql import Window as W
+    from ..functions.hashing import md5_60bit
 
     e = _t(spark, sf_dir, "events")
-    # 15 hex chars = 60 bits: inside BIGINT/ANSI-safe range on both engines
-    h = F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
-               16, 10).cast("long")
+    h = md5_60bit(F.col("user_id").cast("string"))
     dh = e.select("event_type", h.alias("h")).distinct()
     w1 = W.partitionBy("event_type", F.pmod(F.col("h"), F.lit(_KMV_SALT))) \
           .orderBy("h")
