@@ -316,31 +316,26 @@ FROM events GROUP BY event_type
 # ---------------------------------------------------------------------------
 
 KMV_K = 64
-_KMV_SALT = 32  # phase-1 fan-out; widen with corpus size so no single
-                # partition ever holds a full per-type distinct set
 
 
 def events_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Estimate distinct users per event_type with a KMV sketch.
 
-    Scale shape: distinct(type, h) partial-dedups map-side; phase 1
-    takes the k smallest hashes per (type, salt) so each window
-    partition sees ~1/SALT of the type's hashes; phase 2 reduces the
-    SALT*k survivors per type (a superset of the global top-k) to the
-    final k. When a type has fewer than k distinct hashes the count is
-    exact by the KMV rule (n_kept < k branch)."""
+    Scale shape: distinct(type, h) partial-dedups map-side; the top-k
+    window compiles to Spark 4's WindowGroupLimit with a PARTIAL pass —
+    each map task keeps only k rows per type before the exchange (the
+    KMV merge operation, done by Catalyst), so no partition ever holds
+    a full per-type distinct set (plan-pinned in TestKMVSketch). When a
+    type has fewer than k distinct hashes the count is exact by the KMV
+    rule (n_kept < k branch)."""
     from ..functions.hashing import md5_60bit
 
     e = _t(spark, sf_dir, "events")
     h = md5_60bit(F.col("user_id").cast("string"))
     dh = e.select("event_type", h.alias("h")).distinct()
-    w1 = W.partitionBy("event_type", F.pmod(F.col("h"), F.lit(_KMV_SALT))) \
-          .orderBy("h")
-    phase1 = dh.withColumn("rk", F.row_number().over(w1)) \
-               .filter(F.col("rk") <= KMV_K).drop("rk")
-    w2 = W.partitionBy("event_type").orderBy("h")
-    kept = phase1.withColumn("rk", F.row_number().over(w2)) \
-                 .filter(F.col("rk") <= KMV_K)
+    w = W.partitionBy("event_type").orderBy("h")
+    kept = dh.withColumn("rk", F.row_number().over(w)) \
+             .filter(F.col("rk") <= KMV_K)
     est = F.when(F.col("n_kept") < KMV_K, F.col("n_kept").cast("double")) \
            .otherwise(F.lit(float(KMV_K - 1) * 2.0 ** 60)
                       / F.col("h_k").cast("double"))

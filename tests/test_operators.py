@@ -572,6 +572,19 @@ class TestKMVSketch:
                 assert abs(e - exact[t]) / exact[t] < 4 * 0.127, \
                     f"{t}: est {e} vs exact {exact[t]}"
 
+    def test_topk_runs_map_side(self, spark):
+        """The sketch's merge step must happen BEFORE the shuffle:
+        Spark 4 compiles the row_number<=k window to WindowGroupLimit
+        with a Partial pass, so each map task ships at most k rows per
+        type. If this pin breaks (e.g. the filter stops being
+        pushable), the operator silently degrades to shuffling every
+        distinct hash."""
+        from local_pdftodocx_ocr_spark.operators import relational as R
+        df = R.events_kmv_distinct(spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "WindowGroupLimit" in plan, plan[:2000]
+        assert "Partial" in plan, plan[:2000]
+
     def test_exact_branch_below_k(self, spark):
         """sf0.001 has 15 distinct users per type (< k): the sketch
         must return the exact count."""
