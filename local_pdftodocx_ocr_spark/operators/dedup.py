@@ -75,6 +75,48 @@ GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# Incremental dedup: dedup an INCOMING batch against an already-committed
+# corpus without recomputing the corpus — the production shape for a
+# continuously-growing crawl. Committed/incoming are modeled as the
+# even/odd doc_id halves of the table (deterministic, SF-stable); in
+# production the committed side is the persisted content-key table the
+# job's snapshot sink already maintains, bucketed on content_key so this
+# anti-join is exchange-free on the (much larger) committed side.
+# ---------------------------------------------------------------------------
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep list for the incoming half: drop docs whose content key is
+    already committed (anti-join on the 16-byte md5 key — shuffle
+    volume is keys, not text), then first-wins within the batch."""
+    d = _docs(spark, sf_dir, spread=False)
+    key = F.md5(F.lower(F.col("text")))
+    committed = (d.filter(F.col("doc_id") % 2 == 0)
+                 .select(key.alias("content_key")).distinct())
+    incoming = (d.filter(F.col("doc_id") % 2 == 1)
+                .select("doc_id", key.alias("content_key")))
+    fresh = incoming.join(committed, "content_key", "left_anti")
+    return (fresh.groupBy("content_key")
+            .agg(F.min("doc_id").alias("keep_id"),
+                 F.count("*").alias("n_in_batch")))
+
+
+DEDUP_INCREMENTAL_SQL = """
+WITH committed AS (
+  SELECT DISTINCT md5(lower(text)) AS content_key
+  FROM documents WHERE doc_id % 2 = 0
+),
+incoming AS (
+  SELECT doc_id, md5(lower(text)) AS content_key
+  FROM documents WHERE doc_id % 2 = 1
+)
+SELECT content_key, MIN(doc_id) AS keep_id, COUNT(*) AS n_in_batch
+FROM incoming
+WHERE content_key NOT IN (SELECT content_key FROM committed)
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Word-3-gram Jaccard pairwise dedup (exact; shingle inverted-index join)
 # ---------------------------------------------------------------------------
 
@@ -720,6 +762,7 @@ def dedup_pipeline_at_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "docs_dedup_exact": dedup_exact,
+    "docs_dedup_incremental": dedup_incremental,
     "docs_dedup_pipeline_at_scale": dedup_pipeline_at_scale,
     "docs_dedup_components_at_scale": dedup_components_at_scale,
     "docs_dedup_keep_list": dedup_keep_list,
@@ -735,6 +778,7 @@ def oracles() -> dict[str, str]:
     from .. import seq_oracles
     return {
         "docs_dedup_exact": DEDUP_EXACT_SQL,
+        "docs_dedup_incremental": DEDUP_INCREMENTAL_SQL,
         "docs_dedup_keep_list": DEDUP_KEEP_SQL,
         "docs_dedup_jaccard_pairs": DEDUP_JACCARD_SQL,
         # the at-scale pipeline must land on the exact keep list (LSH

@@ -553,7 +553,25 @@ class TestStatefulStreaming:
         assert len(ids) == len(set(ids)) == 20
 
 
-class TestKMVSketch:
+class TestIncrementalDedup:
+    def test_committed_and_within_batch_dups_dropped(self, spark, tmp_path):
+        """Planted duplicates: an incoming doc matching a committed text
+        is dropped entirely; within-batch copies collapse to min id."""
+        rows = [
+            (0, "alpha bravo charlie"),   # committed
+            (2, "delta echo foxtrot"),    # committed
+            (1, "ALPHA bravo charlie"),   # incoming, dup of committed 0
+            (3, "golf hotel india"),      # incoming, fresh
+            (5, "golf hotel india"),      # incoming, within-batch dup of 3
+            (7, "juliet kilo lima"),      # incoming, fresh
+        ]
+        d = tmp_path / "sfX"
+        d.mkdir()
+        spark.createDataFrame(rows, "doc_id long, text string") \
+            .write.parquet(str(d / "documents.parquet"))
+        got = {r["keep_id"]: r["n_in_batch"]
+               for r in dedup.dedup_incremental(spark, str(d)).collect()}
+        assert got == {3: 2, 7: 1}
     def test_estimate_within_error_bound(self, spark):
         """KMV with k=64 has relative stddev ~1/sqrt(k-2) ~= 12.7%;
         at sf0.01 every type has 150 distinct users (> k, estimate
