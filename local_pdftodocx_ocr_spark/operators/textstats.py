@@ -502,7 +502,93 @@ WHERE cum_before < {SOURCE_TOKEN_BUDGET}
 """
 
 
+# ---------------------------------------------------------------------------
+# Count-min sketch term-frequency estimation (Cormode & Muthukrishnan
+# 2005). Depth 4 x width 1024: the aggregation state is a FIXED 4096
+# cells no matter the corpus size — constant memory at 100 TB, one
+# map-side-combinable groupBy. md5 bucket hashing makes the sketch
+# deterministic, so (like the KMV sketch) an estimator gets an exact
+# cross-engine SQL oracle. Estimates are point queries for a fixed
+# probe list; CMS guarantees est >= exact (pytest-pinned).
+# ---------------------------------------------------------------------------
+
+CMS_D = 4
+CMS_W = 1024
+CMS_PROBES = ("value", "table", "row", "window", "spark", "zzznothere")
+
+
+def term_freq_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import md5_60bit
+
+    d = _docs(spark, sf_dir)
+    tok = (d.select(F.explode(F.split(F.lower("text"), " ")).alias("term"))
+           .filter(F.col("term") != ""))
+    bucket_of = lambda term_col, i: F.pmod(  # noqa: E731
+        md5_60bit(F.concat(term_col, F.lit(f"cms{i}"))), F.lit(CMS_W))
+    # one row per (depth, bucket) — posexplode of the D bucket ids
+    cells = (tok.select(F.posexplode(F.array(
+                 *[bucket_of(F.col("term"), i) for i in range(CMS_D)]))
+                 .alias("i", "bucket"))
+             .groupBy("i", "bucket").agg(F.count("*").alias("c")))
+    probes = spark.createDataFrame([(t,) for t in CMS_PROBES], "term string")
+    probe_cells = probes.select(
+        "term",
+        F.posexplode(F.array(*[bucket_of(F.col("term"), i)
+                               for i in range(CMS_D)])).alias("i", "bucket"))
+    est = (F.broadcast(probe_cells)  # bounded literal probe list
+           .join(cells, ["i", "bucket"], "left")
+           .groupBy("term")
+           .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est_count")))
+    exact = (tok.filter(F.col("term").isin(*CMS_PROBES))
+             .groupBy("term").agg(F.count("*").alias("exact_count")))
+    return (F.broadcast(probes).join(exact, "term", "left")
+            .join(est, "term", "left")
+            .select("term",
+                    F.coalesce("exact_count", F.lit(0)).alias("exact_count"),
+                    F.coalesce("est_count", F.lit(0)).alias("est_count")))
+
+
+def _cms_bucket_sql(term_expr: str, i: int) -> str:
+    return (f"(('0x' || substr(md5({term_expr} || 'cms{i}'), 1, 15))::BIGINT"
+            f" % {CMS_W})")
+
+
+_CMS_PROBE_VALUES = ", ".join(f"('{t}')" for t in CMS_PROBES)
+
+TERM_FREQ_CMS_SQL = f"""
+WITH tok AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents
+),
+tokf AS (SELECT term FROM tok WHERE term <> ''),
+cells AS (
+  {" UNION ALL ".join(
+      f"SELECT {i} AS i, {_cms_bucket_sql('term', i)} AS bucket, "
+      "CAST(COUNT(*) AS BIGINT) AS c FROM tokf GROUP BY 2"
+      for i in range(CMS_D))}
+),
+probes(term) AS (VALUES {_CMS_PROBE_VALUES}),
+probe_cells AS (
+  {" UNION ALL ".join(
+      f"SELECT term, {i} AS i, {_cms_bucket_sql('term', i)} AS bucket "
+      "FROM probes" for i in range(CMS_D))}
+),
+est AS (
+  SELECT pc.term, MIN(COALESCE(c, 0)) AS est_count
+  FROM probe_cells pc LEFT JOIN cells USING (i, bucket)
+  GROUP BY 1
+),
+exact AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS exact_count
+  FROM tokf WHERE term IN (SELECT term FROM probes) GROUP BY 1
+)
+SELECT p.term, COALESCE(exact_count, 0) AS exact_count,
+       COALESCE(est_count, 0) AS est_count
+FROM probes p LEFT JOIN exact USING (term) LEFT JOIN est USING (term)
+"""
+
+
 QUERIES = {
+    "docs_term_freq_cms": term_freq_cms,
     "docs_quality_repetition": quality_repetition,
     "docs_boilerplate_ngrams": boilerplate_ngrams,
     "docs_token_budget_mix": token_budget_mix,
@@ -518,6 +604,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "docs_term_freq_cms": TERM_FREQ_CMS_SQL,
     "docs_quality_repetition": REPETITION_SQL,
     "docs_boilerplate_ngrams": BOILERPLATE_SQL,
     "docs_token_budget_mix": TOKEN_BUDGET_SQL,

@@ -553,6 +553,24 @@ class TestStatefulStreaming:
         assert len(ids) == len(set(ids)) == 20
 
 
+class TestCMSSketch:
+    def test_estimate_never_underestimates(self, spark):
+        """The count-min guarantee: est >= exact for every probe, with
+        equality when no other term collides into all four buckets.
+        The absent probe must read (0, 0)."""
+        from local_pdftodocx_ocr_spark.operators import textstats as T
+        rows = {r["term"]: (r["exact_count"], r["est_count"])
+                for r in T.term_freq_cms(spark, SF_DIR).collect()}
+        assert set(rows) == set(T.CMS_PROBES)
+        for term, (exact, est) in rows.items():
+            assert est >= exact, f"{term}: CMS underestimated"
+        assert rows["zzznothere"][0] == 0
+        # the corpus vocabulary (~30 words) can't fill 4x1024 cells, so
+        # present probes must be collision-free -> est == exact
+        for term in ("value", "table", "row"):
+            assert rows[term][1] == rows[term][0] > 0
+
+
 class TestIncrementalDedup:
     def test_committed_and_within_batch_dups_dropped(self, spark, tmp_path):
         """Planted duplicates: an incoming doc matching a committed text
