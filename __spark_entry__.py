@@ -58,7 +58,8 @@ _PRIORITY = (
     "emb_near_dup_pairs_at_scale", "emb_cosine_topk", "emb_ann_ivf_topk",
     "emb_ann_lsh_topk", "emb_knn_label_vote",
     "multimodal_features", "multimodal_frame_samples", "multimodal_resize",
-    "docs_term_freq_cms", "docs_quality_repetition", "docs_boilerplate_ngrams",
+    "docs_chunk_for_training", "docs_term_freq_cms",
+    "docs_quality_repetition", "docs_boilerplate_ngrams",
     "docs_token_budget_mix", "docs_token_count", "docs_tfidf_top_terms",
     "docs_train_test_split", "docs_benchmark_contamination",
     "docs_stratified_sample", "docs_quality_filter_chain", "docs_lang_id",

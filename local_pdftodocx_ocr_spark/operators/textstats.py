@@ -587,7 +587,64 @@ FROM probes p LEFT JOIN exact USING (term) LEFT JOIN est USING (term)
 """
 
 
+# ---------------------------------------------------------------------------
+# Context-window chunking: split each document into CHUNK_TOKENS-token
+# windows advancing by CHUNK_STRIDE (overlap = CHUNK_TOKENS - STRIDE) —
+# the chunking pass a pretraining pipeline runs before sequence packing.
+# Pure per-row explode (no shuffle beyond the scan spread): scales as a
+# map-only pass at any corpus size.
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 40
+CHUNK_STRIDE = 30
+
+
+def chunk_for_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks)
+    # 1-based starts: 1, 1+stride, ... while start <= n_tokens
+    starts = F.sequence(F.lit(1), n_tok, F.lit(CHUNK_STRIDE))
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            s.alias("start"),
+            F.array_join(F.slice(toks, s, CHUNK_TOKENS), " ").alias("chunk")))
+    return (d.select("doc_id", n_tok.alias("n_tokens"),
+                     F.posexplode(chunks).alias("chunk_id", "ch"))
+            .select("doc_id",
+                    F.col("chunk_id").cast("int").alias("chunk_id"),
+                    F.col("ch.start").cast("int").alias("start_token"),
+                    F.least(F.col("n_tokens") - F.col("ch.start") + 1,
+                            F.lit(CHUNK_TOKENS)).cast("int")
+                    .alias("chunk_tokens"),
+                    F.col("ch.chunk").alias("chunk_text")))
+
+
+CHUNK_SQL = f"""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS t,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+),
+ex AS (
+  SELECT doc_id, n, t,
+         unnest(range(1, n + 1, {CHUNK_STRIDE})) AS s,
+         unnest(range(0, CAST(CEIL(CAST(n AS DOUBLE) / {CHUNK_STRIDE})
+                              AS BIGINT))) AS chunk_id
+  FROM base
+)
+SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+       CAST(s AS INTEGER) AS start_token,
+       CAST(LEAST(n - s + 1, {CHUNK_TOKENS}) AS INTEGER) AS chunk_tokens,
+       array_to_string(list_slice(t, s, s + {CHUNK_TOKENS} - 1), ' ')
+         AS chunk_text
+FROM ex
+"""
+
+
 QUERIES = {
+    "docs_chunk_for_training": chunk_for_training,
     "docs_term_freq_cms": term_freq_cms,
     "docs_quality_repetition": quality_repetition,
     "docs_boilerplate_ngrams": boilerplate_ngrams,
@@ -604,6 +661,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "docs_chunk_for_training": CHUNK_SQL,
     "docs_term_freq_cms": TERM_FREQ_CMS_SQL,
     "docs_quality_repetition": REPETITION_SQL,
     "docs_boilerplate_ngrams": BOILERPLATE_SQL,
