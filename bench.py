@@ -49,6 +49,9 @@ HEADLINE = {
     "docs_quality_score": textstats.quality_score,
     "docs_quality_repetition": textstats.quality_repetition,
     "docs_boilerplate_ngrams": textstats.boilerplate_ngrams,
+    "docs_chunk_for_training": textstats.chunk_for_training,
+    "docs_term_freq_cms": textstats.term_freq_cms,
+    "docs_dedup_incremental": dedup.dedup_incremental,
     "events_kmv_distinct": relational.events_kmv_distinct,
     "emb_cosine_topk": similarity.cosine_topk_bruteforce,
     "emb_ann_lsh_topk": similarity.ann_lsh_topk,

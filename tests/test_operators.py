@@ -553,6 +553,34 @@ class TestStatefulStreaming:
         assert len(ids) == len(set(ids)) == 20
 
 
+class TestChunking:
+    def test_chunks_cover_every_token_with_stride(self, spark):
+        """Coverage property: per doc, chunk start offsets advance by
+        exactly the stride and the union of [start, start+len) covers
+        [1, n_tokens] with no gap."""
+        from local_pdftodocx_ocr_spark.operators import textstats as T
+        rows = T.chunk_for_training(spark, "/root/testdata/sf0.001").collect()
+        n_by_doc = {r["doc_id"]: r["n_tokens"] for r in spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet")
+            .selectExpr("doc_id", "size(split(text, ' ')) AS n_tokens")
+            .collect()}
+        by_doc: dict = {}
+        for r in rows:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        assert set(by_doc) == set(n_by_doc)
+        for doc_id, chunks in by_doc.items():
+            chunks.sort(key=lambda r: r["chunk_id"])
+            n = n_by_doc[doc_id]
+            covered_to = 0
+            for i, c in enumerate(chunks):
+                assert c["start_token"] == 1 + i * T.CHUNK_STRIDE
+                assert c["start_token"] <= covered_to + 1  # no gap
+                covered_to = max(covered_to,
+                                 c["start_token"] + c["chunk_tokens"] - 1)
+                assert len(c["chunk_text"].split(" ")) == c["chunk_tokens"]
+            assert covered_to == n
+
+
 class TestCMSSketch:
     def test_estimate_never_underestimates(self, spark):
         """The count-min guarantee: est >= exact for every probe, with
