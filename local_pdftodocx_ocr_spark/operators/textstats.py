@@ -523,14 +523,22 @@ def term_freq_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     tok = (d.select(F.explode(F.split(F.lower("text"), " ")).alias("term"))
            .filter(F.col("term") != ""))
+    # hash DISTINCT terms, not token occurrences: the tf pre-aggregation
+    # is map-side combinable, so the D md5s run O(vocabulary) times
+    # instead of O(corpus tokens) — measured 9.1 -> ~1 s at sf0.1, and
+    # at 100 TB the hashing cost stays vocabulary-bounded while the
+    # token scan stays pure count arithmetic.
+    tf = tok.groupBy("term").agg(F.count("*").alias("tf"))
     bucket_of = lambda term_col, i: F.pmod(  # noqa: E731
         md5_60bit(F.concat(term_col, F.lit(f"cms{i}"))), F.lit(CMS_W))
-    # one row per (depth, bucket) — posexplode of the D bucket ids
-    cells = (tok.select(F.posexplode(F.array(
+    cells = (tf.select(F.col("tf"), F.posexplode(F.array(
                  *[bucket_of(F.col("term"), i) for i in range(CMS_D)]))
                  .alias("i", "bucket"))
-             .groupBy("i", "bucket").agg(F.count("*").alias("c")))
-    probes = spark.createDataFrame([(t,) for t in CMS_PROBES], "term string")
+             .groupBy("i", "bucket").agg(F.sum("tf").alias("c")))
+    # literal probe list as a JVM-side local relation (a createDataFrame
+    # here would ship a Python RDD and spin up Python workers twice)
+    probes = spark.range(1).select(
+        F.explode(F.array(*[F.lit(t) for t in CMS_PROBES])).alias("term"))
     probe_cells = probes.select(
         "term",
         F.posexplode(F.array(*[bucket_of(F.col("term"), i)
@@ -539,8 +547,8 @@ def term_freq_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
            .join(cells, ["i", "bucket"], "left")
            .groupBy("term")
            .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est_count")))
-    exact = (tok.filter(F.col("term").isin(*CMS_PROBES))
-             .groupBy("term").agg(F.count("*").alias("exact_count")))
+    exact = (tf.filter(F.col("term").isin(*CMS_PROBES))
+             .select("term", F.col("tf").alias("exact_count")))
     return (F.broadcast(probes).join(exact, "term", "left")
             .join(est, "term", "left")
             .select("term",
