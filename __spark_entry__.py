@@ -77,7 +77,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for mod in _MODULE_ORDER:
         merged.update(mod.QUERIES)
-    out = {k: merged[k] for k in _PRIORITY if k in merged}
+    missing = [k for k in _PRIORITY if k not in merged]
+    # fail loud: a typo or rename here would silently push a
+    # never-verified query outside the driver's check window
+    assert not missing, f"_PRIORITY names not in registry: {missing}"
+    out = {k: merged[k] for k in _PRIORITY}
     out.update(merged)  # dict.update never reorders existing keys
     return out
 

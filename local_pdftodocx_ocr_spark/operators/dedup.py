@@ -86,8 +86,10 @@ GROUP BY 1
 
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep list for the incoming half: drop docs whose content key is
-    already committed (anti-join on the 16-byte md5 key — shuffle
-    volume is keys, not text), then first-wins within the batch."""
+    already committed (anti-join on the 32-char md5 hex key — shuffle
+    volume is ~32-byte keys, not document text; the hex form is kept
+    because it equals DuckDB's md5() output directly), then first-wins
+    within the batch."""
     d = _docs(spark, sf_dir, spread=False)
     key = F.md5(F.lower(F.col("text")))
     committed = (d.filter(F.col("doc_id") % 2 == 0)
@@ -110,8 +112,9 @@ incoming AS (
   FROM documents WHERE doc_id % 2 = 1
 )
 SELECT content_key, MIN(doc_id) AS keep_id, COUNT(*) AS n_in_batch
-FROM incoming
-WHERE content_key NOT IN (SELECT content_key FROM committed)
+FROM incoming i
+WHERE NOT EXISTS (SELECT 1 FROM committed c
+                  WHERE c.content_key = i.content_key)
 GROUP BY 1
 """
 

@@ -312,7 +312,8 @@ FROM events GROUP BY event_type
 # unbiased estimator (k-1)/h_(k): because the hash is md5, the sketch is
 # DETERMINISTIC — so unlike HLL it admits an exact cross-engine SQL
 # oracle while still being a real mergeable sketch (union = keep the k
-# smallest of the merged sets; the salted two-phase below IS that merge).
+# smallest of the merged sets; the map-side WindowGroupLimit Partial
+# pass Catalyst compiles below IS that merge).
 # ---------------------------------------------------------------------------
 
 KMV_K = 64

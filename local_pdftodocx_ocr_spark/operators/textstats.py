@@ -543,14 +543,17 @@ def term_freq_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "term",
         F.posexplode(F.array(*[bucket_of(F.col("term"), i)
                                for i in range(CMS_D)])).alias("i", "bucket"))
-    est = (F.broadcast(probe_cells)  # bounded literal probe list
-           .join(cells, ["i", "bucket"], "left")
+    # hints go on the BUILD (right) side of the left joins — cells is a
+    # fixed <=4096 rows and exact/est are probe-list-bounded, so all
+    # three broadcast legitimately at any corpus size
+    est = (probe_cells
+           .join(F.broadcast(cells), ["i", "bucket"], "left")
            .groupBy("term")
            .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est_count")))
     exact = (tf.filter(F.col("term").isin(*CMS_PROBES))
              .select("term", F.col("tf").alias("exact_count")))
-    return (F.broadcast(probes).join(exact, "term", "left")
-            .join(est, "term", "left")
+    return (probes.join(F.broadcast(exact), "term", "left")
+            .join(F.broadcast(est), "term", "left")
             .select("term",
                     F.coalesce("exact_count", F.lit(0)).alias("exact_count"),
                     F.coalesce("est_count", F.lit(0)).alias("est_count")))

@@ -618,6 +618,9 @@ class TestIncrementalDedup:
         got = {r["keep_id"]: r["n_in_batch"]
                for r in dedup.dedup_incremental(spark, str(d)).collect()}
         assert got == {3: 2, 7: 1}
+
+
+class TestKMVSketch:
     def test_estimate_within_error_bound(self, spark):
         """KMV with k=64 has relative stddev ~1/sqrt(k-2) ~= 12.7%;
         at sf0.01 every type has 150 distinct users (> k, estimate
