@@ -439,6 +439,28 @@ class TestAQESkewJoin:
                     spark.conf.set(k, v)
 
 
+class TestPartitionPruning:
+    def test_partitioned_write_prunes_directories(self, spark, tmp_path):
+        """Hive-style partitioned layout + a partition-column filter:
+        the scan must show a PartitionFilters entry and read only the
+        matching directory — the DIRECTORY-level pruning that, at
+        100 TB, means a one-type query never lists the other types'
+        files (distinct from the row-group PushedFilters already pinned
+        in PLANS.md)."""
+        p = str(tmp_path / "ev_part")
+        (spark.read.parquet(f"{SF_DIR}/events.parquet")
+         .write.partitionBy("event_type").mode("overwrite").parquet(p))
+        q = (spark.read.parquet(p)
+             .filter(F.col("event_type") == "purchase")
+             .groupBy().count())
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [" in plan
+        assert "event_type" in plan.split("PartitionFilters")[1][:200]
+        exact = (spark.read.parquet(f"{SF_DIR}/events.parquet")
+                 .filter(F.col("event_type") == "purchase").count())
+        assert q.collect()[0][0] == exact
+
+
 class TestRuntimeBloomFilterJoin:
     def test_selective_join_injects_bloom_filter(self, spark, tmp_path):
         """Runtime bloom-filter join pruning: when one join side is made
