@@ -252,8 +252,10 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 # probability at the threshold below 1e-6 ((1-p^3)^48, p = 1-acos(0.4)/pi
 # = 0.63), and the driver/pytest set-equality against the exact
 # all-pairs oracle pins full recall on the test corpora. On production
-# embeddings (near-dups at cos >= 0.8, p >= 0.80) the SAME construction
-# prunes >=99% of pairs with 8+ bits per table; bits/tables are the
+# embeddings (tight clusters) the SAME construction delivers both high
+# recall and heavy pruning — measured on synthetic cos>=0.9 clusters at
+# 14 bits x 40 tables: >=98% pair recall with >=99% of the non-pair
+# space pruned (TestNearDupProductionThreshold). bits/tables are the
 # knobs, the plan shape (explode -> bucket self-join -> verify on
 # candidates only) is what survives 10^9 vectors.
 ND_LSH_BITS = 3
