@@ -44,6 +44,11 @@ def main(argv: list[str] | None = None) -> int:
                          "parallel route chunks (0 = off)")
     ap.add_argument("--local-cores", type=int, default=0,
                     help="build a local[N] session (omit under spark-submit on a cluster)")
+    ap.add_argument("--detections", default=None,
+                    help="layout-detections side table (parquet: doc_id, page, "
+                         "x, y, w, h, cls, conf, media_ref) from a separate "
+                         "neural-layout batch job; merged through the J1/P9/M4 "
+                         "kernels before extraction")
     ap.add_argument("--compact", action="store_true",
                     help="instead of extracting, fold all committed snapshots "
                          "under --output into one (Iceberg rewrite_data_files "
@@ -77,6 +82,10 @@ def main(argv: list[str] | None = None) -> int:
                                        f"(doc_id, text); got {sorted(cols)}"}))
             return 2
         df = job.interleaved_docs_from_flat(df)
+
+    if args.detections:
+        df = job.inject_external_detections(
+            df, spark.read.parquet(args.detections))
 
     stats = job.run_job(spark, df, args.output,
                         resume=not args.no_resume,

@@ -249,3 +249,46 @@ def test_cli_compact_preserves_resume(spark, tmp_path, capsys):
 
     stats = job.run_job(spark, rest, out, num_partitions=2)
     assert stats["docs_in"] == 0        # everything still committed
+
+
+def test_cli_detections_flag_changes_output(spark, tmp_path, capsys):
+    """--detections merges the side table through the same kernels the
+    library path uses: CLI output with detections == library
+    inject_external_detections output, and differs from the no-flag run."""
+    import json as _json
+
+    from local_pdftodocx_ocr_spark.__main__ import main
+
+    corpus, dets = synth.gen_detections_corpus()
+    docs = job.docs_df_from_corpus(spark, corpus)
+    in_path = str(tmp_path / "docs_in.parquet")
+    docs.write.parquet(in_path)
+    dets_path = str(tmp_path / "dets.parquet")
+    spark.createDataFrame(
+        dets, "doc_id string, page int, x double, y double, w double, "
+              "h double, cls string, conf double, media_ref string") \
+        .write.parquet(dets_path)
+
+    out_plain = str(tmp_path / "out_plain")
+    rc = main(["--input", in_path, "--output", out_plain, "--partitions", "2"])
+    assert rc == 0
+    plain = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    out_det = str(tmp_path / "out_det")
+    rc = main(["--input", in_path, "--output", out_det,
+               "--partitions", "2", "--detections", dets_path])
+    assert rc == 0
+    with_det = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    assert with_det["docs_in"] == plain["docs_in"]
+    assert with_det["checksum"] != plain["checksum"]
+
+    # CLI path == library path, span for span
+    lib = job.extract_spans(
+        job.inject_external_detections(docs, spark.read.parquet(dets_path)),
+        num_partitions=2)
+    lib_spans = {r["doc_id"]: [tuple(s) for s in r["spans"]]
+                 for r in job.split_unified(lib)[0].collect()}
+    cli_spans = {r["doc_id"]: [tuple(s) for s in r["spans"]]
+                 for r in job.read_extracted(spark, out_det).collect()}
+    assert cli_spans == lib_spans
