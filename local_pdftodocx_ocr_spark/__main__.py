@@ -49,6 +49,14 @@ def main(argv: list[str] | None = None) -> int:
                          "x, y, w, h, cls, conf, media_ref) from a separate "
                          "neural-layout batch job; merged through the J1/P9/M4 "
                          "kernels before extraction")
+    ap.add_argument("--stream", action="store_true",
+                    help="treat --input as a directory of interleaved "
+                         "(doc_id, spans) parquet arrivals and drain it as a "
+                         "micro-batch stream (availableNow): each micro-batch "
+                         "runs the same anti-join + extract + atomic snapshot "
+                         "commit, so replays dedupe (exactly-once per doc)")
+    ap.add_argument("--checkpoint", default=None,
+                    help="streaming checkpoint directory (required with --stream)")
     ap.add_argument("--compact", action="store_true",
                     help="instead of extracting, fold all committed snapshots "
                          "under --output into one (Iceberg rewrite_data_files "
@@ -70,6 +78,19 @@ def main(argv: list[str] | None = None) -> int:
         snap = table.compact(spark)
         print(json.dumps({"compacted": snap, "snapshots_before": before,
                           "snapshots_after": len(table.snapshots())}))
+        return 0
+
+    if args.stream:
+        if not args.checkpoint:
+            print(json.dumps({"error": "--stream requires --checkpoint"}))
+            return 2
+        from local_pdftodocx_ocr_spark.streaming.extract_stream import (
+            run_streaming_extraction,
+        )
+        stats = run_streaming_extraction(
+            spark, args.input, args.output, args.checkpoint,
+            num_partitions=args.partitions or None)
+        print(json.dumps(stats))
         return 0
 
     from local_pdftodocx_ocr_spark.sources.tables import read_corpus_input

@@ -149,6 +149,36 @@ def test_streaming_incremental_extraction(spark, tmp_path):
     assert _final_table(spark, out) == _final_table(spark, batch_out)
 
 
+def test_cli_stream_mode_equals_batch(spark, tmp_path, capsys):
+    """--stream drains an arrivals directory through per-micro-batch
+    extraction via the CLI and lands the identical final table as one
+    batch run."""
+    import json as _json
+
+    from local_pdftodocx_ocr_spark.__main__ import main
+
+    corpus = synth.gen_corpus(24)
+    in_dir = tmp_path / "cli_stream_in"
+    in_dir.mkdir()
+    job.docs_df_from_corpus(spark, corpus[:12]).coalesce(1) \
+        .write.parquet(str(in_dir / "arrival=0"))
+    job.docs_df_from_corpus(spark, corpus[12:]).coalesce(1) \
+        .write.parquet(str(in_dir / "arrival=1"))
+
+    out = str(tmp_path / "cli_stream_out")
+    rc = main(["--input", str(in_dir) + "/*", "--output", out,
+               "--stream", "--checkpoint", str(tmp_path / "cli_ckpt"),
+               "--partitions", "2"])
+    assert rc == 0
+    stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["docs_in"] == 24
+
+    batch_out = str(tmp_path / "cli_batch_out")
+    job.run_job(spark, job.docs_df_from_corpus(spark, corpus), batch_out,
+                num_partitions=2)
+    assert _final_table(spark, out) == _final_table(spark, batch_out)
+
+
 def test_snapshot_time_travel(spark, tmp_path):
     """read_at(snapshot_id) returns the table AS OF that commit —
     Iceberg VERSION AS OF semantics on the parquet-manifest fallback."""
