@@ -154,6 +154,95 @@ def _extract_throughput(cores: int, sf_dir: str, multiplier: int,
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
+def _write_scaled_corpus(spark, sf_dir: str, out_dir: str, reps: int) -> int:
+    """Deterministically scale the documents table reps x with GENUINELY
+    distinct replica texts: each replica permutes every document's
+    tokens with a per-(replica, doc) seed, so replicas share vocabulary
+    (realistic) but not shingles (no artificial cross-replica near-dup
+    clusters that would contaminate a scaling measurement — a plain
+    text-suffix replica IS a near-dup of its source and inflates the
+    candidate space quadratically in reps, which is a property of that
+    synthetic data, not of the operators)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    flat = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text", "lang", "source")
+    n = flat.count()
+    parts = [flat.select((F.col("doc_id") + F.lit(r * n)).alias("doc_id"),
+                         "text", "lang", "source", F.lit(r).alias("rep"))
+             for r in range(reps)]
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.union(p)
+
+    # EVERY replica is permuted (including replica 0): the 1x and Nx
+    # corpora must be structurally identical per replica, otherwise the
+    # ratio confounds volume scaling with the original corpus's planted
+    # near-dup structure (only replica 0 would carry it)
+    def permute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_text = []
+            for doc_id, text, rep in zip(pdf["doc_id"], pdf["text"], pdf["rep"]):
+                toks = text.split(" ")
+                rng = np.random.RandomState(int(rep) * 1_000_003
+                                            + int(doc_id) % 1_000_003 + 1)
+                out_text.append(" ".join(toks[i]
+                                         for i in rng.permutation(len(toks))))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "text": out_text,
+                                "lang": pdf["lang"], "source": pdf["source"]})
+
+    cores = spark.sparkContext.defaultParallelism
+    (df.repartition(cores * 2)
+     .mapInPandas(permute, "doc_id long, text string, lang string, source string")
+     .withColumn("n_chars", F.length("text"))
+     .write.mode("overwrite").parquet(f"{out_dir}/documents.parquet"))
+    return n * reps
+
+
+def _dedup_scale_section(spark, sf_dir: str, reps: int = 10) -> dict:
+    """Empirical sub-quadratic evidence for the dedup ladder: run the
+    candidate-generation queries on 1x and reps x corpora and report
+    the wall ratio. Quadratic behavior would show ~reps^2; the banded /
+    capped / two-tier designs must stay near-linear (x reps)."""
+    import shutil
+    import tempfile
+
+    from local_pdftodocx_ocr_spark.operators import dedup, textstats
+
+    base = tempfile.mkdtemp(prefix="dedup_scale_")
+    d1, d10 = f"{base}/x1", f"{base}/x{reps}"
+    _write_scaled_corpus(spark, sf_dir, d1, 1)
+    _write_scaled_corpus(spark, sf_dir, d10, reps)
+    targets = {
+        "docs_dedup_exact": dedup.dedup_exact,
+        "docs_dedup_minhash_candidates": dedup.dedup_minhash_candidates,
+        "docs_dedup_simhash_candidates": dedup.dedup_simhash_candidates,
+        "docs_dedup_pipeline_at_scale": dedup.dedup_pipeline_at_scale,
+        "docs_boilerplate_ngrams": textstats.boilerplate_ngrams,
+    }
+    out = {"reps": reps}
+    try:
+        for name, fn in targets.items():
+            walls = {}
+            for label, path in (("x1", d1), (f"x{reps}", d10)):
+                best = None
+                for _ in range(2):
+                    t0 = time.monotonic()
+                    _materialize(fn(spark, path))
+                    w = time.monotonic() - t0
+                    best = w if best is None or w < best else best
+                walls[label] = round(best, 3)
+            walls["ratio"] = round(walls[f"x{reps}"] / walls["x1"], 2)
+            out[name] = walls
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
 def _tune_env() -> None:
     """tmpfs shuffle dirs + a roomy heap: measured ~20% off both scaling
     runs on this box; harmless no-ops elsewhere."""
@@ -261,6 +350,12 @@ def main() -> int:
     spark = job.build_session(cpus, app="bench")
     spark.sparkContext.setLogLevel("ERROR")
     queries = _bench_queries(spark, sf_dir)
+    # opt-in (SPARK_GRAFT_DEDUP_SCALE=1): 1x-vs-10x corpus growth for
+    # the dedup ladder — near-linear ratios are the sub-quadratic
+    # evidence; kept out of the default run for timeout headroom
+    dedup_scale = None
+    if os.environ.get("SPARK_GRAFT_DEDUP_SCALE"):
+        dedup_scale = _dedup_scale_section(spark, sf_dir)
     spark.stop()
 
     n_small = max(1, cpus // 4)
@@ -300,6 +395,7 @@ def main() -> int:
         "unit": "docs/sec",
         "headline_suite_wall_sec": total,
         "queries": queries,
+        "dedup_scale": dedup_scale,
         "sf": sf,
         "extract_scaling": {
             f"local[{n_small}]": small,
