@@ -619,6 +619,40 @@ class TestStatefulStreaming:
         assert len(ids) == len(set(ids)) == 20
 
 
+class TestRepetitionFold:
+    def test_fold_matches_reference_on_adversarial_texts(self, spark, tmp_path):
+        """The sort+run-length fold must equal the naive count-argmax
+        reference on tie-heavy and degenerate inputs — ties break to the
+        lexicographically SMALLEST bigram among the most frequent."""
+        from collections import Counter
+
+        from local_pdftodocx_ocr_spark.operators import textstats as T
+        texts = [
+            "a a a a a",                      # one bigram, max run
+            "b a b a b a",                    # 'a b' x2 vs 'b a' x3
+            "z y z y x w x w",                # tie 'z y'x2 vs... check min
+            "c b a c b a c b a",              # 3-cycle, all bigrams tied
+            "q r",                            # single bigram
+            "t t s s t t s s",                # paired runs with tie
+            "m n m n m n o o o",              # mixed
+        ]
+        rows = [(i, t) for i, t in enumerate(texts)]
+        d = tmp_path / "sfrep"
+        d.mkdir()
+        spark.createDataFrame(rows, "doc_id long, text string") \
+            .write.parquet(str(d / "documents.parquet"))
+        got = {r["doc_id"]: (r["top_bigram"], r["top_bigram_frac"])
+               for r in T.quality_repetition(spark, str(d)).collect()}
+        for i, t in rows:
+            toks = t.split(" ")
+            bgs = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+            cnt = Counter(bgs)
+            maxc = max(cnt.values())
+            expect_bg = min(b for b, c in cnt.items() if c == maxc)
+            assert got[i][0] == expect_bg, (i, t, got[i])
+            assert got[i][1] == round(maxc / len(bgs), 4), (i, t, got[i])
+
+
 class TestChunking:
     def test_chunks_cover_every_token_with_stride(self, spark):
         """Coverage property: per doc, chunk start offsets advance by
