@@ -49,6 +49,11 @@ def main(argv: list[str] | None = None) -> int:
                          "x, y, w, h, cls, conf, media_ref) from a separate "
                          "neural-layout batch job; merged through the J1/P9/M4 "
                          "kernels before extraction")
+    ap.add_argument("--curate", default=None,
+                    help="after extraction, render the committed spans to "
+                         "text, token-gate (>=30), exact-dedup (first-wins), "
+                         "80/10/10-split, and write the curated corpus "
+                         "parquet to this path")
     ap.add_argument("--stream", action="store_true",
                     help="treat --input as a directory of interleaved "
                          "(doc_id, spans) parquet arrivals and drain it as a "
@@ -112,6 +117,13 @@ def main(argv: list[str] | None = None) -> int:
                         resume=not args.no_resume,
                         num_partitions=args.partitions or None,
                         chunk_threshold=args.chunk_threshold or None)
+    if args.curate:
+        from local_pdftodocx_ocr_spark.operators.extraction import curate_spans
+
+        curate_spans(job.read_extracted(spark, args.output)) \
+            .write.mode("overwrite").parquet(args.curate)
+        stats["curated_docs"] = spark.read.parquet(args.curate).count()
+        stats["curate_path"] = args.curate
     print(json.dumps(stats))
     return 0
 

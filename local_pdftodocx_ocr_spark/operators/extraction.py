@@ -364,6 +364,32 @@ def extract_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return explode_spans(job.split_unified(unified)[0])
 
 
+def curate_spans(spans: DataFrame, min_tokens: int = 30) -> DataFrame:
+    """Post-extraction curation: render spans to text (offset order) ->
+    token gate (>= min_tokens) -> exact dedup (first-wins by doc_id per
+    rendered text) -> deterministic 80/10/10 split. Returns
+    (doc_id, text, n_tokens, split). Every stage is integer/string
+    logic — no RNG, no floats — so reruns and the sequential oracle
+    agree bit-for-bit. Reachable from the CLI via ``--curate``."""
+    ordered = F.array_sort(
+        F.transform(F.col("spans"),
+                    lambda s: F.struct(s["offset"].alias("o"), s["text"].alias("t"))))
+    txt = F.array_join(F.transform(ordered, lambda s: s["t"]), "\n")
+    toks = F.size(F.filter(F.split(txt, "[ \n]"), lambda x: x != F.lit("")))
+    base = (spans.select("doc_id", txt.alias("text"), toks.alias("n_tokens"))
+            .filter(F.col("n_tokens") >= min_tokens))
+    keep = (base.groupBy("text")
+            .agg(F.min("doc_id").alias("doc_id"),
+                 F.min("n_tokens").alias("n_tokens")))
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id")), 1, 8), 16, 10).cast("long"),
+        F.lit(100))
+    split = (F.when(bucket < 80, "train")
+             .when(bucket < 90, "valid")
+             .otherwise("test"))
+    return keep.select("doc_id", "text", "n_tokens", split.alias("split"))
+
+
 def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """THE composed training-data pipeline, end to end: interleave ->
     distributed extraction -> render text -> token gate (>=30) -> exact
@@ -373,23 +399,7 @@ def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     flat = spark.read.parquet(f"{sf_dir}/documents.parquet")
     docs = job.interleaved_docs_from_flat(flat)
     spans = job.split_unified(job.extract_spans(docs))[0]
-    ordered = F.array_sort(
-        F.transform(F.col("spans"),
-                    lambda s: F.struct(s["offset"].alias("o"), s["text"].alias("t"))))
-    txt = F.array_join(F.transform(ordered, lambda s: s["t"]), "\n")
-    toks = F.size(F.filter(F.split(txt, "[ \n]"), lambda x: x != F.lit("")))
-    base = (spans.select("doc_id", txt.alias("txt"), toks.alias("n_tokens"))
-            .filter(F.col("n_tokens") >= 30))
-    keep = (base.groupBy("txt")
-            .agg(F.min("doc_id").alias("doc_id"),
-                 F.min("n_tokens").alias("n_tokens")))
-    bucket = F.pmod(
-        F.conv(F.substring(F.md5(F.col("doc_id")), 1, 8), 16, 10).cast("long"),
-        F.lit(100))
-    split = (F.when(bucket < 80, "train")
-             .when(bucket < 90, "valid")
-             .otherwise("test"))
-    return keep.select("doc_id", "n_tokens", split.alias("split"))
+    return curate_spans(spans).select("doc_id", "n_tokens", "split")
 
 
 QUERIES = {

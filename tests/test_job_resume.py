@@ -179,6 +179,35 @@ def test_cli_stream_mode_equals_batch(spark, tmp_path, capsys):
     assert _final_table(spark, out) == _final_table(spark, batch_out)
 
 
+def test_cli_curate_writes_training_corpus(spark, tmp_path, capsys):
+    """--curate materializes the render -> gate -> dedup -> split
+    composition over the committed extraction, identical to the library
+    path (pipeline_training_corpus minus the text column)."""
+    import json as _json
+
+    from local_pdftodocx_ocr_spark.__main__ import main
+    from local_pdftodocx_ocr_spark.operators.extraction import curate_spans
+
+    corpus = synth.gen_corpus(30)
+    in_path = str(tmp_path / "cur_in.parquet")
+    job.docs_df_from_corpus(spark, corpus).write.parquet(in_path)
+    out = str(tmp_path / "cur_out")
+    dest = str(tmp_path / "curated")
+    rc = main(["--input", in_path, "--output", out,
+               "--partitions", "2", "--curate", dest])
+    assert rc == 0
+    stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["curated_docs"] > 0
+
+    got = {(r["doc_id"], r["text"], r["n_tokens"], r["split"])
+           for r in spark.read.parquet(dest).collect()}
+    lib = {(r["doc_id"], r["text"], r["n_tokens"], r["split"])
+           for r in curate_spans(job.read_extracted(spark, out)).collect()}
+    assert got == lib and len(got) == stats["curated_docs"]
+    splits = {s for _, _, _, s in got}
+    assert splits <= {"train", "valid", "test"} and "train" in splits
+
+
 def test_snapshot_time_travel(spark, tmp_path):
     """read_at(snapshot_id) returns the table AS OF that commit —
     Iceberg VERSION AS OF semantics on the parquet-manifest fallback."""
