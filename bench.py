@@ -74,26 +74,38 @@ def _bench_queries(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
-def _scaled_docs(spark, sf_dir: str, multiplier: int):
-    """Deterministically replicate the documents table so each core has
-    enough work for a meaningful scaling measurement."""
+def _replicate_flat(spark, sf_dir: str, reps: int):
+    """reps-x replication of the documents table with doc_ids shifted
+    into disjoint ranges and a `rep` column for per-replica text
+    transforms. Repartitioned to cores*2: the union of M single-file
+    reads has only M partitions, which would cap the map side of any
+    downstream shuffle at M tasks regardless of core count."""
     from pyspark.sql import functions as F
 
-    flat = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    flat = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text", "lang", "source")
     n = flat.count()
-    # distinct text per replica: replicated payloads would otherwise
-    # collapse in the batched-recognize ref dedup and understate work
-    parts = [flat.select((F.col("doc_id") + F.lit(i * n)).alias("doc_id"),
-                         F.concat(F.col("text"), F.lit(f" rep{i}")).alias("text"))
-             for i in range(multiplier)]
+    parts = [flat.select((F.col("doc_id") + F.lit(r * n)).alias("doc_id"),
+                         "text", "lang", "source", F.lit(r).alias("rep"))
+             for r in range(reps)]
     df = parts[0]
     for p in parts[1:]:
         df = df.union(p)
-    # spread the input across all cores: the union of M single-file reads
-    # has only M partitions, which would cap the map side of the timed
-    # shuffle at M tasks regardless of core count
     cores = spark.sparkContext.defaultParallelism
-    df = df.repartition(cores * 2)
+    return df.repartition(cores * 2), n
+
+
+def _scaled_docs(spark, sf_dir: str, multiplier: int):
+    """Deterministically replicate the documents table so each core has
+    enough work for a meaningful scaling measurement. Distinct text per
+    replica (suffix token): replicated payloads would otherwise collapse
+    in the batched-recognize ref dedup and understate work."""
+    from pyspark.sql import functions as F
+
+    df, n = _replicate_flat(spark, sf_dir, multiplier)
+    df = df.select("doc_id",
+                   F.concat(F.col("text"), F.lit(" rep"),
+                            F.col("rep").cast("string")).alias("text"))
     return job.interleaved_docs_from_flat(df), n * multiplier
 
 
@@ -155,29 +167,25 @@ def _extract_throughput(cores: int, sf_dir: str, multiplier: int,
 
 
 def _write_scaled_corpus(spark, sf_dir: str, out_dir: str, reps: int) -> int:
-    """Deterministically scale the documents table reps x with GENUINELY
-    distinct replica texts: each replica permutes every document's
-    tokens with a per-(replica, doc) seed, so replicas share vocabulary
-    (realistic) but not shingles (no artificial cross-replica near-dup
-    clusters that would contaminate a scaling measurement — a plain
-    text-suffix replica IS a near-dup of its source and inflates the
-    candidate space quadratically in reps, which is a property of that
-    synthetic data, not of the operators)."""
+    """Deterministically scale the documents table reps x with
+    SHINGLE-distinct replica texts: each replica permutes every
+    document's tokens with a per-(replica, doc) seed, so replicas share
+    vocabulary but not word n-grams — no artificial cross-replica
+    near-dup clusters for the SHINGLE-based tiers (jaccard / minhash /
+    boilerplate); a plain text-suffix replica IS a near-dup of its
+    source and inflates those candidate spaces quadratically in reps.
+    CAVEAT (deliberate): simhash hashes the token SET, which permutation
+    preserves — every replica group collides to one signature, so the
+    simhash row of the growth table measures the identical-signature
+    degenerate case (absorbed by the two-tier equi-join), NOT shingle
+    growth; at much larger reps that artifact would dominate the
+    simhash ratio."""
     from collections.abc import Iterator
 
     import numpy as np
     import pandas as pd
-    from pyspark.sql import functions as F
 
-    flat = spark.read.parquet(f"{sf_dir}/documents.parquet") \
-        .select("doc_id", "text", "lang", "source")
-    n = flat.count()
-    parts = [flat.select((F.col("doc_id") + F.lit(r * n)).alias("doc_id"),
-                         "text", "lang", "source", F.lit(r).alias("rep"))
-             for r in range(reps)]
-    df = parts[0]
-    for p in parts[1:]:
-        df = df.union(p)
+    df, n = _replicate_flat(spark, sf_dir, reps)
 
     # EVERY replica is permuted (including replica 0): the 1x and Nx
     # corpora must be structurally identical per replica, otherwise the
@@ -195,9 +203,10 @@ def _write_scaled_corpus(spark, sf_dir: str, out_dir: str, reps: int) -> int:
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "text": out_text,
                                 "lang": pdf["lang"], "source": pdf["source"]})
 
-    cores = spark.sparkContext.defaultParallelism
-    (df.repartition(cores * 2)
-     .mapInPandas(permute, "doc_id long, text string, lang string, source string")
+    from pyspark.sql import functions as F
+
+    (df.mapInPandas(permute,
+                    "doc_id long, text string, lang string, source string")
      .withColumn("n_chars", F.length("text"))
      .write.mode("overwrite").parquet(f"{out_dir}/documents.parquet"))
     return n * reps
@@ -213,6 +222,7 @@ def _dedup_scale_section(spark, sf_dir: str, reps: int = 10) -> dict:
 
     from local_pdftodocx_ocr_spark.operators import dedup, textstats
 
+    assert reps >= 2, "a 1x-vs-1x comparison measures nothing"
     base = tempfile.mkdtemp(prefix="dedup_scale_")
     d1, d10 = f"{base}/x1", f"{base}/x{reps}"
     _write_scaled_corpus(spark, sf_dir, d1, 1)

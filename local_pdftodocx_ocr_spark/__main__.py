@@ -89,12 +89,40 @@ def main(argv: list[str] | None = None) -> int:
         if not args.checkpoint:
             print(json.dumps({"error": "--stream requires --checkpoint"}))
             return 2
+        if args.no_resume:
+            # the streaming contract IS resume (per-batch anti-join =
+            # exactly-once on replay); running without it would double-
+            # extract replayed micro-batches
+            print(json.dumps({"error": "--no-resume is incompatible with "
+                                       "--stream"}))
+            return 2
+        probe = spark.read.parquet(args.input)
+        if "spans" not in probe.columns:
+            # the fixed stream schema would silently read a flat corpus
+            # as all-null spans; fail loud instead (interleave it with a
+            # batch run, or pre-materialize the interleaved table)
+            print(json.dumps({"error": "--stream input must be the "
+                                       "interleaved (doc_id, spans) table; "
+                                       f"got columns {sorted(probe.columns)}"}))
+            return 2
         from local_pdftodocx_ocr_spark.streaming.extract_stream import (
             run_streaming_extraction,
         )
         stats = run_streaming_extraction(
             spark, args.input, args.output, args.checkpoint,
-            num_partitions=args.partitions or None)
+            num_partitions=args.partitions or None,
+            detections=(spark.read.parquet(args.detections)
+                        if args.detections else None),
+            chunk_threshold=args.chunk_threshold or None)
+        if args.curate:
+            from local_pdftodocx_ocr_spark.operators.extraction import (
+                curate_spans,
+            )
+
+            curate_spans(job.read_extracted(spark, args.output)) \
+                .write.mode("overwrite").parquet(args.curate)
+            stats["curated_docs"] = spark.read.parquet(args.curate).count()
+            stats["curate_path"] = args.curate
         print(json.dumps(stats))
         return 0
 

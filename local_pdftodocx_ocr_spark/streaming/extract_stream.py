@@ -13,6 +13,7 @@ per document without any sink-side transaction support.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .. import job
 from ..schema import DOCS_SCHEMA
@@ -29,14 +30,26 @@ def read_docs_stream(spark: SparkSession, input_dir: str,
 
 def run_streaming_extraction(spark: SparkSession, input_dir: str,
                              out_root: str, checkpoint_dir: str,
-                             num_partitions: int | None = None) -> dict:
+                             num_partitions: int | None = None,
+                             detections: DataFrame | None = None,
+                             chunk_threshold: int | None = None) -> dict:
     """Drain everything currently in input_dir (availableNow trigger)
-    through per-micro-batch extraction commits; returns final stats."""
+    through per-micro-batch extraction commits; returns stats for THIS
+    drain only (snapshots committed by this call), not the table's full
+    history — same per-run semantics as the batch ``run_job``. An
+    optional detections side table merges into every micro-batch before
+    extraction, exactly like the batch path."""
+    from ..catalog import open_table
+
+    before = {s["id"] for s in open_table(spark, out_root).snapshots()}
     stream = read_docs_stream(spark, input_dir)
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
+        if detections is not None:
+            batch_df = job.inject_external_detections(batch_df, detections)
         job.run_job(batch_df.sparkSession, batch_df, out_root,
-                    resume=True, num_partitions=num_partitions)
+                    resume=True, num_partitions=num_partitions,
+                    chunk_threshold=chunk_threshold)
 
     q = (stream.writeStream.foreachBatch(process)
          .option("checkpointLocation", checkpoint_dir)
@@ -44,9 +57,17 @@ def run_streaming_extraction(spark: SparkSession, input_dir: str,
          .start())
     q.awaitTermination()
 
-    lineage = job.read_lineage(spark, out_root)
-    agg = lineage.groupBy().sum("docs_in", "docs_out").collect()[0]
-    return {"docs_in": agg[0] or 0, "docs_out": agg[1] or 0}
+    table = open_table(spark, out_root)
+    new_ids = [s["id"] for s in table.snapshots() if s["id"] not in before]
+    docs_in = docs_out = 0
+    for sid in new_ids:
+        lin = (table.read_snapshot(spark, sid)
+               .filter(F.col("row_type") == "lineage")
+               .groupBy().sum("docs_in", "docs_out").collect()[0])
+        docs_in += lin[0] or 0
+        docs_out += lin[1] or 0
+    return {"docs_in": docs_in, "docs_out": docs_out,
+            "snapshots": len(new_ids)}
 
 
 # ---------------------------------------------------------------------------

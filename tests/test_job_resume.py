@@ -178,6 +178,23 @@ def test_cli_stream_mode_equals_batch(spark, tmp_path, capsys):
                 num_partitions=2)
     assert _final_table(spark, out) == _final_table(spark, batch_out)
 
+    # stats are PER-DRAIN, not table-lifetime: a second drain over the
+    # same arrivals (fresh checkpoint) must report 0 ingested, even
+    # though the table already holds 24 docs from the first drain
+    rc = main(["--input", str(in_dir) + "/*", "--output", out,
+               "--stream", "--checkpoint", str(tmp_path / "cli_ckpt2"),
+               "--partitions", "2"])
+    assert rc == 0
+    stats2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats2["docs_in"] == 0
+
+    # --no-resume contradicts the exactly-once streaming contract
+    rc = main(["--input", str(in_dir) + "/*", "--output", out,
+               "--stream", "--checkpoint", str(tmp_path / "cli_ckpt3"),
+               "--no-resume"])
+    assert rc == 2
+    capsys.readouterr()
+
 
 def test_cli_curate_writes_training_corpus(spark, tmp_path, capsys):
     """--curate materializes the render -> gate -> dedup -> split
