@@ -61,6 +61,9 @@ HEADLINE = {
 
 def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+    # drop any signature caches the query registered: the 4x dedup-scale
+    # repeats would otherwise stack persisted tables until GC
+    dedup.release_caches()
 
 
 def _bench_queries(spark, sf_dir: str) -> dict[str, float]:

@@ -96,6 +96,15 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"error": "--no-resume is incompatible with "
                                        "--stream"}))
             return 2
+        if args.format:
+            # the stream probe and reader are parquet-only (fixed schema
+            # over an arrivals directory); accepting --format here would
+            # die later with an opaque parquet error on jsonl/csv input
+            print(json.dumps({"error": "--format is incompatible with "
+                                       "--stream: the stream input must be "
+                                       "an interleaved (doc_id, spans) "
+                                       "parquet arrivals directory"}))
+            return 2
         probe = spark.read.parquet(args.input)
         if "spans" not in probe.columns:
             # the fixed stream schema would silently read a flat corpus

@@ -221,18 +221,32 @@ class IcebergTable:
         """Iceberg-native compaction with the SAME contract as
         SnapshotTable.compact (pinned by the backend contract test):
         afterwards exactly ONE snapshot remains, its content equals the
-        pre-compaction union, and read_at() on expired ids raises
-        KeyError. rewrite_data_files folds the data files;
+        pre-compaction union, its id carries the same labeled
+        ``snap-NNNNNN-...`` format as SnapshotTable.compact's, and
+        read_at() on expired ids raises KeyError. rewrite_data_files
+        folds the data files; a labeled EMPTY append then becomes the
+        surviving snapshot (the rewrite's replace snapshot carries no
+        graft label in its summary — returning its raw numeric Iceberg
+        id would diverge from the contract); finally
         expire_snapshots(retain_last=1, older_than=now) drops every
-        superseded snapshot's metadata."""
+        superseded snapshot's metadata. Time travel to the empty
+        append IS the full union (append-only table), so read_at(new
+        id) keeps its meaning."""
         import datetime
 
-        if len(self.snapshots()) <= 1:
+        old = self.snapshots()
+        if len(old) <= 1:
             return None
         catalog = self.identifier.split(".", 1)[0]
         self.spark.sql(
             f"CALL {catalog}.system.rewrite_data_files(table => "
             f"'{self.identifier}')")
+        snap_id = f"snap-{len(old):06d}-{uuid.uuid4().hex[:8]}"
+        (self.spark.table(self.identifier).limit(0)
+         .writeTo(self.identifier)
+         .option(f"snapshot-property.{self._LABEL}", snap_id)
+         .option("snapshot-property.graft-kind", "compaction")
+         .append())
         now = datetime.datetime.now(datetime.timezone.utc).strftime(
             "%Y-%m-%d %H:%M:%S.%f")
         self.spark.sql(
@@ -289,12 +303,25 @@ def _looks_like_identifier(s: str) -> bool:
             and not s.startswith(".") and s.count(".") >= 2)
 
 
+def _is_ambiguous_dotted_name(s: str) -> bool:
+    """Exactly one dot, no path separators: ``db.table`` (legal with a
+    default Iceberg catalog) is indistinguishable from a relative
+    output dir named ``out.parquet``."""
+    return ("/" not in s and os.sep not in s
+            and not s.startswith(".") and s.count(".") == 1)
+
+
 def open_table(spark: SparkSession, root_or_identifier: str):
     """Seam for real Iceberg: a table identifier with an Iceberg
     catalog configured delegates to :class:`IcebergTable`; every
     filesystem path (absolute OR relative) gets the parquet-snapshot
     fallback. An identifier without a configured catalog fails loud
-    immediately instead of at first write."""
+    immediately instead of at first write. When a catalog IS
+    configured, a one-dot no-slash name (``db.table`` — legal under a
+    default catalog, but equally a plausible relative dir like
+    ``out.parquet``) is rejected loudly instead of silently
+    os.makedirs()-ing a literal ``db.table`` directory: qualify it as
+    ``catalog.db.table`` or spell the path ``./out.parquet``."""
     confs = {k for k, _ in spark.sparkContext.getConf().getAll()}
     has_iceberg = any(k.startswith("spark.sql.catalog.") for k in confs)
     if _looks_like_identifier(root_or_identifier):
@@ -304,4 +331,9 @@ def open_table(spark: SparkSession, root_or_identifier: str):
                 "no spark.sql.catalog.* is configured — pass a directory "
                 "path for the parquet-snapshot fallback")
         return IcebergTable(spark, root_or_identifier)
+    if has_iceberg and _is_ambiguous_dotted_name(root_or_identifier):
+        raise ValueError(
+            f"{root_or_identifier!r} is ambiguous with an Iceberg catalog "
+            "configured: qualify the table as 'catalog.db.table', or make "
+            f"the path explicit as './{root_or_identifier}'")
     return SnapshotTable(root_or_identifier)

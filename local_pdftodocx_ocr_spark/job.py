@@ -383,7 +383,10 @@ def inject_manual_regions(docs: DataFrame, regions: DataFrame) -> DataFrame:
     after the document's own (offset-shifted), all JVM-side."""
     from pyspark.sql import Window as W
 
-    w = W.partitionBy("doc_id").orderBy("page", "y", "x")
+    # Total order (same hazard as inject_external_detections): two
+    # corrections anchored at one (page, y, x) must not race for offsets.
+    w = W.partitionBy("doc_id").orderBy(
+        "page", "y", "x", "kind", "text", "media_ref")
     spans = regions.select(
         "doc_id",
         F.struct(
@@ -435,14 +438,19 @@ def inject_external_detections(docs: DataFrame, dets: DataFrame,
     join carries no broadcast hint: AQE broadcasts it at small SF and
     falls back to a shuffle join at 10^12 docs (repo rule: no
     F.broadcast on any table that scales with SF). Offsets land in the
-    2M namespace ordered by (page, y, x), so detection spans sort
-    after every native span deterministically (fixtures keep
-    (page, y, x) unique per doc). Zero-area detections (w or h <= 0)
-    are gated out with the confidence filter: a degenerate bbox has
-    nothing to suppress, reclassify, or validity-check."""
+    2M namespace ordered by the TOTAL key
+    (page, y, x, w, h, cls, media_ref) — the same tuple
+    synth.apply_detections_seq sorts by — so two detections sharing a
+    bbox origin (same anchor, different class: routine in real
+    detector output) still get deterministic offsets, and the span
+    order / snapshot checksum are run-independent. Zero-area
+    detections (w or h <= 0) are gated out with the confidence
+    filter: a degenerate bbox has nothing to suppress, reclassify, or
+    validity-check."""
     from pyspark.sql import Window as W
 
-    w = W.partitionBy("doc_id").orderBy("page", "y", "x")
+    w = W.partitionBy("doc_id").orderBy(
+        "page", "y", "x", "w", "h", "cls", "media_ref")
     spans = dets.filter((F.col("conf") >= min_conf)
                         & (F.col("w") > 0) & (F.col("h") > 0)).select(
         "doc_id",

@@ -40,6 +40,33 @@ JACCARD_THRESHOLD = 0.6
 SHINGLE_DF_CAP = 1000
 
 
+# Signature tables persisted inside the candidate queries (each feeds
+# several plan branches). ContextCleaner eventually unpersists them when
+# the Python references die, but "eventually" is wrong for callers that
+# invoke the same query repeatedly in one session (the dedup-scale bench
+# runs each 4x; plan dumps and tests call them again): caches would pile
+# up in executor memory until GC happens to run. Every persist() in this
+# module therefore registers here, and materializing callers call
+# release_caches() once the plan has executed.
+_LIVE_CACHES: list[DataFrame] = []
+
+
+def _persist_tracked(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _LIVE_CACHES.append(df)
+    return df
+
+
+def release_caches(blocking: bool = False) -> int:
+    """Unpersist every signature cache registered by this module's
+    queries. Safe to call at any time: the cached plans recompute if
+    re-executed. Returns the number of caches released."""
+    n = len(_LIVE_CACHES)
+    while _LIVE_CACHES:
+        _LIVE_CACHES.pop().unpersist(blocking)
+    return n
+
+
 def _docs(spark: SparkSession, sf_dir: str, spread: bool = True) -> DataFrame:
     # spread an under-parallel local scan before the CPU-heavy shingle
     # derivation; a no-op (no exchange) once the scan already has
@@ -307,8 +334,8 @@ def dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # equality-only uses below; cheaper to shuffle than array<long>
     sig_key = F.concat_ws("_", *[F.col("sig")[i].cast("string")
                                  for i in range(MINHASH_PERMS)])
-    sigs = (minhash_signatures(d)
-            .select("doc_id", sig_key.alias("sk"), "sig").persist())
+    sigs = _persist_tracked(minhash_signatures(d)
+                            .select("doc_id", sig_key.alias("sk"), "sig"))
     s1, s2 = sigs.alias("s1"), sigs.alias("s2")
     intra = (
         s1.join(s2, (F.col("s1.sk") == F.col("s2.sk"))
@@ -482,12 +509,11 @@ def simhash_candidate_pairs(sigs: DataFrame) -> DataFrame:
 
     The signature table feeds five plan branches, so it is persisted —
     at corpus scale signatures are checkpointed to a table anyway (one
-    64-bit column; the simhash UDF never runs twice over 100 TB). No
-    explicit unpersist: the caller owns the returned lazy plan, and
-    Spark's ContextCleaner unpersists the cache once the DataFrame is
-    garbage-collected after collection (the per-call footprint is one
-    (doc_id, simhash) table)."""
-    sigs = sigs.select("doc_id", "simhash").persist()
+    64-bit column; the simhash UDF never runs twice over 100 TB). The
+    cache registers in _LIVE_CACHES; materializing callers (bench,
+    plan dumps, repeated tests) release it via release_caches() rather
+    than waiting on ContextCleaner GC."""
+    sigs = _persist_tracked(sigs.select("doc_id", "simhash"))
     s1, s2 = sigs.alias("s1"), sigs.alias("s2")
     intra = (
         s1.join(s2, (F.col("s1.simhash") == F.col("s2.simhash"))

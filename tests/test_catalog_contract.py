@@ -19,6 +19,7 @@ SAME contract, so the deployment seam cannot drift silently.
 from __future__ import annotations
 
 import os
+import shutil
 import uuid
 
 import pytest
@@ -134,9 +135,15 @@ class TestSnapshotContract:
         _write_staging(spark, ROWS_B, st2)
         table.commit(s2, st2)
         before = _doc_ids(table.read(spark))
-        table.compact(spark)
+        new_id = table.compact(spark)
         assert len(table.snapshots()) == 1
         assert _doc_ids(table.read(spark)) == before     # content unchanged
+        # contract: BOTH backends return/retain the labeled id format
+        # (Iceberg does this via a labeled empty append surviving the
+        # expire — the raw rewrite snapshot id would diverge)
+        assert new_id == table.snapshots()[-1]["id"]
+        assert new_id.startswith("snap-")
+        assert _doc_ids(table.read_at(spark, new_id)) == before
         with pytest.raises(KeyError):                    # old ids expired
             table.read_at(spark, s1)
 
@@ -172,3 +179,32 @@ class TestOpenTableRouting:
             pytest.skip("session has an Iceberg catalog; routing differs")
         with pytest.raises(ValueError, match="identifier"):
             open_table(spark, "local.db.extract_out")
+        # without a catalog, a one-dot name is unambiguously a path
+        assert isinstance(open_table(spark, "out.parquet"), SnapshotTable)
+        shutil.rmtree("out.parquet", ignore_errors=True)
+
+    def test_one_dot_name_with_catalog_rejected_loudly(self, spark):
+        """'db.table' under a configured catalog is legal Iceberg AND a
+        plausible relative dir — silently os.makedirs()-ing it is the
+        exact misroute the routing docstring promises to prevent."""
+        from local_pdftodocx_ocr_spark import catalog as cat
+        assert cat._is_ambiguous_dotted_name("db.table")
+        assert not cat._is_ambiguous_dotted_name("out.dir.v2/x")  # a path
+        assert not cat._is_ambiguous_dotted_name("cat.db.table")  # 2 dots
+
+        class _FakeConf:
+            def getAll(self):
+                return [("spark.sql.catalog.local", "x")]
+
+        class _FakeSC:
+            def getConf(self):
+                return _FakeConf()
+
+        class _FakeSpark:
+            sparkContext = _FakeSC()
+
+        with pytest.raises(ValueError, match="ambiguous"):
+            cat.open_table(_FakeSpark(), "db.table")
+        # a fully qualified identifier still routes to Iceberg
+        assert isinstance(cat.open_table(_FakeSpark(), "local.db.t"),
+                          cat.IcebergTable)

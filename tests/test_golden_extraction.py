@@ -217,3 +217,43 @@ class TestExternalDetections:
     def test_detection_for_unknown_doc_is_ignored(self, det_extracted):
         _, _, got = det_extracted
         assert "det-missing-999" not in got
+
+    def test_shared_anchor_offsets_deterministic(self, spark):
+        """Two detections sharing a bbox origin (same page/y/x, different
+        class — routine in real detector output) must get deterministic
+        offsets: the window order is the TOTAL key
+        (page, y, x, w, h, cls, media_ref), matching
+        apply_detections_seq's tuple sort. Before the total-order fix,
+        row_number over (page, y, x) alone made span order run-dependent."""
+        corpus = synth.gen_corpus(4)
+        docs = job.docs_df_from_corpus(spark, corpus)
+        ref_a = kernels.encode_media("anchor-fig")
+        # same (page, y, x); differ in w/h/cls/media_ref; plus an exact
+        # tie through (page,y,x,w,h) broken only by cls then media_ref
+        dets = [("doc-000001", 0, 40.0, 300.0, 200.0, 120.0, "figure", 0.9, ref_a),
+                ("doc-000001", 0, 40.0, 300.0, 300.0, 150.0, "table", 0.9,
+                 kernels.encode_media("part\tqty\nbolt\t4")),
+                ("doc-000001", 0, 40.0, 300.0, 200.0, 120.0, "table", 0.9,
+                 kernels.encode_media("a\tb\nc\td"))]
+        dets_df = spark.createDataFrame(
+            dets, "doc_id string, page int, x double, y double, w double, "
+                  "h double, cls string, conf double, media_ref string")
+        injected = job.inject_external_detections(docs, dets_df)
+        # collect_list order is not contractual — offset assignment is.
+        got = {r["doc_id"]: sorted(
+                   (s["kind"], s["text"], s["media_ref"], s["offset"])
+                   for s in r["spans"] if s["offset"] >= 2_000_000)
+               for r in injected.collect()}
+        seq_full = dict(synth.apply_detections_seq(corpus, dets))
+        seq = {doc_id: sorted((s["kind"], s["text"], s["media_ref"], s["offset"])
+                              for s in spans if s["offset"] >= 2_000_000)
+               for doc_id, spans in seq_full.items()}
+        assert got["doc-000001"] == seq["doc-000001"]
+        # and the full extraction downstream agrees span-for-span
+        unified = job.extract_spans(injected, num_partitions=2)
+        ex = {r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["offset"])
+                            for s in r["spans"]]
+              for r in job.split_unified(unified)[0].collect()}
+        for doc_id, spans in seq_full.items():
+            assert ex.get(doc_id, []) == kernels.extract_document(
+                doc_id, spans), doc_id

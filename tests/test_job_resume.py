@@ -195,6 +195,15 @@ def test_cli_stream_mode_equals_batch(spark, tmp_path, capsys):
     assert rc == 2
     capsys.readouterr()
 
+    # --format contradicts the parquet-only stream reader: reject with
+    # the CLI's loud JSON error, not an opaque parquet failure later
+    rc = main(["--input", str(in_dir) + "/*", "--output", out,
+               "--stream", "--checkpoint", str(tmp_path / "cli_ckpt4"),
+               "--format", "jsonl"])
+    assert rc == 2
+    err = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "--format" in err["error"] and "parquet" in err["error"]
+
 
 def test_cli_curate_writes_training_corpus(spark, tmp_path, capsys):
     """--curate materializes the render -> gate -> dedup -> split

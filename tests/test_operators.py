@@ -30,6 +30,22 @@ class TestMinhashLSH:
         assert n_cand < n_docs * (n_docs - 1) / 2 * 0.5, \
             "LSH bucketing is not pruning the pair space"
 
+    def test_signature_caches_are_released(self, spark):
+        """The candidate queries persist() their signature tables; a
+        repeated caller (the 4x dedup-scale bench, plan dumps) must be
+        able to drop them deterministically instead of waiting on
+        ContextCleaner GC — persist() calls register in _LIVE_CACHES
+        and release_caches() empties the registry and the storage."""
+        dedup.release_caches()
+        dedup.dedup_minhash_candidates(spark, SF_DIR).count()
+        dedup.dedup_simhash_candidates(spark, SF_DIR).count()
+        assert len(dedup._LIVE_CACHES) == 2
+        assert all(df.is_cached for df in dedup._LIVE_CACHES)
+        tracked = list(dedup._LIVE_CACHES)
+        assert dedup.release_caches(blocking=True) == 2
+        assert not dedup._LIVE_CACHES
+        assert not any(df.is_cached for df in tracked)
+
 
 class TestSimhash:
     def test_near_identical_docs_have_close_hashes(self, spark):

@@ -114,11 +114,14 @@ QUERY_NAMES = sorted(entrymod.queries())
 
 @pytest.mark.parametrize("name", QUERY_NAMES)
 def test_query_matches_oracle(spark, name):
+    from local_pdftodocx_ocr_spark.operators import dedup as _dedup
+
     q = entrymod.queries()[name]
     oracles = entrymod.oracle_sql()
     df = q(spark, SF_DIR)
     cols = df.columns
     rows = [tuple(r) for r in df.collect()]
+    _dedup.release_caches()   # signature caches must not stack across the 85 queries
 
     if name not in oracles:
         # rows-only contract: must run and be non-empty & deterministic
