@@ -1130,8 +1130,13 @@ def orders_in_promo_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     3-row build side; contrast with the banded equi-joins every
     corpus-scaling operator uses."""
     o = _t(spark, sf_dir, "orders")
-    promos = spark.createDataFrame(
-        _PROMO_WINDOWS, "promo string, pstart string, pend string")
+    # literal calendar as a JVM-side local relation (the repo idiom, cf.
+    # the CMS probe list: createDataFrame would ship a Python RDD and
+    # spin Python workers for 3 constant rows)
+    promos = spark.range(1).select(F.explode(F.array(*[
+        F.struct(F.lit(p).alias("promo"), F.lit(s).alias("pstart"),
+                 F.lit(e).alias("pend"))
+        for p, s, e in _PROMO_WINDOWS])).alias("pr")).select("pr.*")
     cond = ((F.col("o_orderdate") >= F.col("pstart").cast("timestamp_ntz"))
             & (F.col("o_orderdate") < F.col("pend").cast("timestamp_ntz")))
     return (o.join(F.broadcast(promos), cond)
