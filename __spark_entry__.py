@@ -39,35 +39,40 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Iteration order matters: the driver verifies queries() in order with
-# a bounded window (r2 checked the first 50 of 73). _PRIORITY pins the
-# queries that most need a driver-grade hash check — everything never
-# driver-verified (the r2 unchecked tail) plus every round-3 addition
-# and the one r2 red row — to the FRONT of the registry, robust to
-# future insertions shifting module offsets. The remaining slots fill
-# in module order (dedup/similarity/multimodal/textstats before the
-# r01/r02-triple-green extraction and relational sets).
+# a bounded window (~50 per round). _PRIORITY rotates each round
+# (VERDICT r3 #2) so no query's driver-grade check goes >2 rounds
+# stale: round 4 pins (a) the 35 queries whose last green row is
+# r01/r02 (the relational/extraction tail — guarded since only by the
+# type-strict pytest mirror), (b) every round-4 addition, and (c) every
+# query whose PLAN changed this round (token budget window pre-limit,
+# boilerplate broadcast, promo-calendar literal, pipeline refactor,
+# persist tracking, detections window order). The remaining slots fill
+# in module order.
 _MODULE_ORDER = (dedup, similarity, multimodal, textstats, extraction, relational)
 
 _PRIORITY = (
-    # r2-unchecked + r3-new dedup/similarity/multimodal/textstats
-    "docs_dedup_exact", "docs_dedup_incremental",
-    "docs_dedup_pipeline_at_scale", "docs_dedup_components_at_scale",
-    "docs_dedup_keep_list", "docs_dedup_jaccard_pairs",
+    # --- r3-unchecked (r01/r02-green, now >=2 rounds stale) ---
+    "extract_page_stats", "extract_html_render", "extract_from_documents",
+    "q1_pricing_summary", "q9_product_profit", "customer_balance_ntiles",
+    "events_funnel", "events_retention_cohorts", "q7_volume_shipping",
+    "q10_returned_items", "q13_customer_order_distribution",
+    "q16_supplier_part_types", "q18_large_orders", "q19_disjunctive_revenue",
+    "q22_idle_rich_customers", "events_pivot_by_user",
+    "semi_join_active_customers", "anti_join_idle_customers",
+    "except_big_spenders", "part_type_stats", "events_value_buckets",
+    "events_quantiles", "q6_forecast_revenue", "q4_order_priority",
+    "q12_priority_shipping", "q14_promo_effect",
+    "q17_small_quantity_revenue", "q3_shipping_priority",
+    "q5_local_supplier", "topk_orders_per_customer", "rollup_revenue",
+    "sessionize_events", "events_hourly",
+    "asof_last_click_before_purchase", "distinct_users_per_type",
+    # --- round-4 additions ---
+    "docs_dedup_components_unified",
+    # --- round-4 plan changes (re-verify under the new plans) ---
+    "docs_token_budget_mix", "docs_boilerplate_ngrams",
+    "orders_in_promo_windows", "docs_dedup_pipeline_at_scale",
     "docs_dedup_minhash_candidates", "docs_dedup_simhash_candidates",
-    "docs_dedup_components", "docs_simhash64",
-    "emb_near_dup_pairs_at_scale", "emb_cosine_topk", "emb_ann_ivf_topk",
-    "emb_ann_lsh_topk", "emb_knn_label_vote",
-    "multimodal_features", "multimodal_frame_samples", "multimodal_resize",
-    "docs_chunk_for_training", "docs_term_freq_cms",
-    "docs_quality_repetition", "docs_boilerplate_ngrams",
-    "docs_token_budget_mix", "docs_token_count", "docs_tfidf_top_terms",
-    "docs_train_test_split", "docs_benchmark_contamination",
-    "docs_stratified_sample", "docs_quality_filter_chain", "docs_lang_id",
-    "docs_quality_score", "docs_fingerprint",
-    # r3-new extraction/relational + the r2 red row
     "extract_external_detections",
-    "events_error_rate_hours", "events_kmv_distinct",
-    "orders_in_promo_windows", "q8_market_share", "q15_top_supplier",
     # flagship composition + golden span equality
     "pipeline_training_corpus", "extract_spans_golden",
 )

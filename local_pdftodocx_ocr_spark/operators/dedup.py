@@ -649,6 +649,12 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select("doc_id", F.col("label").alias("component"))
 
 
+# Rounds taken by the most recent _star_components run (observability
+# for the O(log^2 n) convergence bound; pinned by a hypothesis property
+# against 10^4-node random graphs in tests/test_properties.py).
+LAST_STAR_ROUNDS = 0
+
+
 def _star_components(d: DataFrame, pairs: DataFrame) -> DataFrame:
     """Alternating large-star/small-star connected components (Kiveris
     et al., "Connected Components in MapReduce and Beyond", SoCC'14) —
@@ -684,9 +690,12 @@ def _star_components(d: DataFrame, pairs: DataFrame) -> DataFrame:
                     .alias("h")).first()
         return row["n"], row["h"]
 
+    global LAST_STAR_ROUNDS
+    LAST_STAR_ROUNDS = 0
     prev = _sig(edges)
     converged = False
     for _ in range(64):           # >> log^2 of any conceivable corpus
+        LAST_STAR_ROUNDS += 1
         # -- large-star: group by u over BOTH directions ----------------
         sym = (edges.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
                .union(edges.select(F.col("hi").alias("u"),
@@ -763,17 +772,14 @@ FROM documents d LEFT JOIN lbl ON d.doc_id = lbl.doc_id
 """
 
 
-def dedup_pipeline_at_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The composed 100 TB dedup path: MinHash-LSH candidates (no O(n²))
-    -> exact shingle-Jaccard verify ON CANDIDATES ONLY -> survivors.
-    Rows-only driver check; pytest asserts it equals the exact keep
-    list on this corpus (LSH recall property)."""
-    d = _docs(spark, sf_dir)
-    cand = dedup_minhash_candidates(spark, sf_dir)
-
+def _verified_jaccard_pairs(d: DataFrame, cand: DataFrame) -> DataFrame:
+    """Exact shingle-Jaccard >= threshold, computed ONLY on candidate
+    pairs (the verify stage of every LSH pipeline): two corpus-scale
+    equi-joins bring each candidate's surviving shingle keys together,
+    one count-agg gives the intersection, sizes join in, filter on the
+    exact ratio. Returns (doc1, doc2)."""
     sh = _hashed_capped_shingles(d)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    # verify join restricted to candidate pairs
     s1 = sh.select(F.col("doc_id").alias("doc1"), F.col("k").alias("k1"))
     s2 = sh.select(F.col("doc_id").alias("_d2"), F.col("k").alias("k2"))
     inter = (cand.join(s1, "doc1")
@@ -783,10 +789,97 @@ def dedup_pipeline_at_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     z1 = sizes.select(F.col("doc_id").alias("doc1"), F.col("sz").alias("sz1"))
     z2 = sizes.select(F.col("doc_id").alias("doc2"), F.col("sz").alias("sz2"))
     jac = F.col("inter") / (F.col("sz1") + F.col("sz2") - F.col("inter"))
-    dups = (inter.join(z1, "doc1").join(z2, "doc2")  # per-doc sizes scale: AQE decides
+    return (inter.join(z1, "doc1").join(z2, "doc2")  # per-doc sizes scale: AQE decides
             .filter(jac >= JACCARD_THRESHOLD)
+            .select("doc1", "doc2"))
+
+
+def dedup_pipeline_at_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed 100 TB dedup path: MinHash-LSH candidates (no O(n²))
+    -> exact shingle-Jaccard verify ON CANDIDATES ONLY -> survivors.
+    Rows-only driver check; pytest asserts it equals the exact keep
+    list on this corpus (LSH recall property)."""
+    d = _docs(spark, sf_dir)
+    dups = (_verified_jaccard_pairs(d, dedup_minhash_candidates(spark, sf_dir))
             .select(F.col("doc2").alias("doc_id")).distinct())
     return d.join(dups, "doc_id", "left_anti").select("doc_id", "lang", "source")
+
+
+def dedup_components_unified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the UNION of all three near-dup signal
+    tiers — the production "any-signal near-dup cluster" shape a real
+    pipeline feeds to keep-list selection (VERDICT r3 #7):
+
+    * lexical:  MinHash-LSH candidates -> exact Jaccard verify
+      (_verified_jaccard_pairs — the scale path, recall pinned against
+      the exhaustive inverted index)
+    * bitwise:  SimHash hamming<=3 pairs (Manku block-combination
+      buckets, exact by pigeonhole)
+    * semantic: embedding-cosine >= NEAR_DUP_COS pairs (LSH buckets ->
+      exact cosine verify on candidates; the embeddings table carries
+      one vector per document, vec_id = doc_id)
+
+    Every tier is its own candidates->verify pipeline with no O(n^2)
+    join, the union is one distinct over (doc1, doc2), and the cluster
+    formation is the large-star/small-star loop (O(log^2 n) rounds at
+    any diameter). Oracle: recursive CTE over the identically unioned
+    edges (COMPONENTS_UNIFIED SQL via components_unified_sql())."""
+    from .similarity import embedding_near_dup_pairs_at_scale
+
+    d = _docs(spark, sf_dir)
+    jac = _verified_jaccard_pairs(d, dedup_minhash_candidates(spark, sf_dir))
+    sim = dedup_simhash_candidates(spark, sf_dir).select("doc1", "doc2")
+    emb = (embedding_near_dup_pairs_at_scale(spark, sf_dir)
+           .select(F.col("id1").alias("doc1"), F.col("id2").alias("doc2")))
+    edges = jac.unionByName(sim).unionByName(emb).distinct()
+    return _star_components(d.select("doc_id"), edges)
+
+
+def components_unified_sql() -> str:
+    """Recursive-CTE oracle over the same three unioned edge tiers:
+    exact Jaccard pairs in SQL, simhash hamming<=3 pairs as sequential
+    VALUES (exhaustive all-pairs — pins the bucketed construction), and
+    exact all-pairs embedding cosine in SQL (pins the LSH verify path's
+    full recall at this corpus)."""
+    from .. import seq_oracles
+    from .similarity import NEAR_DUP_COS
+
+    sim_values = seq_oracles.values_sql(
+        [(a, b) for a, b, _ in seq_oracles.seq_simhash_candidates()],
+        [("doc1", "BIGINT"), ("doc2", "BIGINT")])
+    return f"""
+WITH RECURSIVE {_SH_CTES},
+jac AS (
+  SELECT doc1, doc2 FROM inter
+  JOIN sizes s1 ON s1.doc_id = doc1
+  JOIN sizes s2 ON s2.doc_id = doc2
+  WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= {JACCARD_THRESHOLD}
+),
+sim AS ({sim_values}),
+emb AS (
+  SELECT a.vec_id AS doc1, b.vec_id AS doc2
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])) >= {NEAR_DUP_COS}
+),
+pairs AS (
+  SELECT doc1, doc2 FROM jac
+  UNION SELECT doc1, doc2 FROM sim
+  UNION SELECT doc1, doc2 FROM emb
+),
+edges AS (
+  SELECT doc1 AS a, doc2 AS b FROM pairs
+  UNION SELECT doc2, doc1 FROM pairs
+),
+walk(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT w.a, e.b FROM walk w JOIN edges e ON w.b = e.a
+),
+lbl AS (SELECT a AS doc_id, MIN(b) AS m FROM walk GROUP BY a)
+SELECT d.doc_id, LEAST(d.doc_id, COALESCE(lbl.m, d.doc_id)) AS component
+FROM documents d LEFT JOIN lbl ON d.doc_id = lbl.doc_id
+"""
 
 
 QUERIES = {
@@ -799,6 +892,7 @@ QUERIES = {
     "docs_dedup_minhash_candidates": dedup_minhash_candidates,
     "docs_dedup_simhash_candidates": dedup_simhash_candidates,
     "docs_dedup_components": dedup_components,
+    "docs_dedup_components_unified": dedup_components_unified,
     "docs_simhash64": simhash64,
 }
 
@@ -821,5 +915,6 @@ def oracles() -> dict[str, str]:
         # star components share the contract (and hence the oracle):
         # every doc labeled with its component's minimum doc_id
         "docs_dedup_components_at_scale": DEDUP_COMPONENTS_SQL,
+        "docs_dedup_components_unified": components_unified_sql(),
         "docs_simhash64": seq_oracles.simhash_values_sql(),
     }

@@ -338,3 +338,43 @@ def extract_from_documents_values_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
     return values_sql(rows, [("doc_id", "VARCHAR"), ("kind", "VARCHAR"),
                              ("text", "VARCHAR"), ("media_ref", "VARCHAR"),
                              ("offset", "INTEGER")])
+
+
+# ---------------------------------------------------------------------------
+# Sequential union-find (the connected-components ground truth for the
+# distributed star loop; hypothesis drives 10^4-node random graphs
+# through both in tests/test_properties.py)
+# ---------------------------------------------------------------------------
+
+
+def seq_union_find(nodes, edges) -> dict:
+    """Path-compressed + rank union-find; returns node -> the MINIMUM
+    member of its component (the same label contract every components
+    operator in operators/dedup.py exposes)."""
+    parent = {n: n for n in nodes}
+    rank = {n: 0 for n in nodes}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:          # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra == rb:
+            continue
+        if rank[ra] < rank[rb]:
+            ra, rb = rb, ra
+        parent[rb] = ra
+        if rank[ra] == rank[rb]:
+            rank[ra] += 1
+
+    comp_min: dict = {}
+    for n in nodes:
+        r = find(n)
+        if r not in comp_min or n < comp_min[r]:
+            comp_min[r] = n
+    return {n: comp_min[find(n)] for n in nodes}

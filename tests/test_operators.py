@@ -865,6 +865,30 @@ class TestDedupComponents:
         assert comp[1] == comp[2] == comp[3] == 1
         assert comp[4] == 4
 
+    def test_unified_merges_across_signal_tiers(self, spark):
+        """The unified any-signal graph must (a) refine every single
+        tier — docs paired by Jaccard, simhash, or embedding cosine
+        share a unified component — and (b) genuinely merge MORE than
+        the lexical tier alone on this corpus (the embedding tier links
+        docs the text tiers cannot see)."""
+        from local_pdftodocx_ocr_spark.operators import similarity as sim
+        comp = {r["doc_id"]: r["component"]
+                for r in dedup.dedup_components_unified(spark, SF_DIR).collect()}
+        jac = [(r["doc1"], r["doc2"])
+               for r in dedup.dedup_jaccard_pairs(spark, SF_DIR).collect()]
+        simp = [(r["doc1"], r["doc2"])
+                for r in dedup.dedup_simhash_candidates(spark, SF_DIR).collect()]
+        embp = [(r["id1"], r["id2"])
+                for r in sim.embedding_near_dup_pairs(spark, SF_DIR).collect()]
+        assert jac and simp and embp    # all three tiers light up here
+        for a, b in jac + simp + embp:
+            assert comp[a] == comp[b], (a, b)
+        lex_only = {r["doc_id"]: r["component"]
+                    for r in dedup.dedup_components(spark, SF_DIR).collect()}
+        n_unified = len(set(comp.values()))
+        n_lex = len(set(lex_only.values()))
+        assert n_unified < n_lex, (n_unified, n_lex)
+
 
 class TestStarComponents:
     """Large-star/small-star CC (the 10^12-doc path, O(log^2) rounds)."""

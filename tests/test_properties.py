@@ -269,3 +269,53 @@ class TestMankuKeyProperties:
         keys = self._keys(sig)
         assert len(keys) == 20          # no combo collides with another
         assert all(0 <= k < (1 << 62) for k in keys)
+
+
+class TestStarComponentsProperty:
+    """VERDICT r3 #8: a corpus whose near-dup graph resists the 64-round
+    star bound is impossible (O(log^2 n) rounds), but pin it empirically:
+    random >=10^4-node graphs through the distributed
+    large-star/small-star loop must (a) produce exactly the sequential
+    union-find's min-member labels and (b) converge within
+    2*log2(n)^2 rounds."""
+
+    @staticmethod
+    def _drive(spark, n, edges):
+        import math
+
+        from pyspark.sql import functions as F
+
+        import local_pdftodocx_ocr_spark.operators.dedup as dd
+        from local_pdftodocx_ocr_spark import seq_oracles
+
+        nodes = spark.range(n).select(F.col("id").alias("doc_id"))
+        e = spark.createDataFrame(
+            [(int(a), int(b)) for a, b in edges], "doc1 long, doc2 long")
+        got = {r["doc_id"]: r["component"]
+               for r in dd._star_components(nodes, e).collect()}
+        exp = seq_oracles.seq_union_find(range(n), edges)
+        assert got == exp
+        bound = 2 * math.log2(n) ** 2
+        assert dd.LAST_STAR_ROUNDS <= bound, \
+            f"{dd.LAST_STAR_ROUNDS} rounds > {bound:.0f} for n={n}"
+
+    @given(seed=st.integers(0, 2**32 - 1),
+           avg_degree=st.sampled_from([0.5, 1.0, 2.0]))
+    @settings(max_examples=3, deadline=None)
+    def test_random_graph_matches_union_find(self, spark, seed, avg_degree):
+        """Erdos-Renyi-ish multigraphs across the sub/near/super-critical
+        densities (components go from dust to a giant component)."""
+        import numpy as np
+
+        n = 10_000
+        rng = np.random.default_rng(seed)
+        m = int(n * avg_degree / 2)
+        edges = rng.integers(0, n, size=(m, 2)).tolist()
+        self._drive(spark, n, edges)
+
+    def test_long_path_10k_nodes(self, spark):
+        """Diameter 9999 — the adversarial shape for propagation-style
+        CC (min-label needs 10^4 rounds); star must still land every
+        node on component 0 in O(log^2 n) rounds."""
+        n = 10_000
+        self._drive(spark, n, [(i, i + 1) for i in range(n - 1)])
