@@ -67,7 +67,9 @@ _PRIORITY = (
     "sessionize_events", "events_hourly",
     "asof_last_click_before_purchase", "distinct_users_per_type",
     # --- round-4 additions ---
-    "docs_dedup_components_unified",
+    "docs_dedup_components_unified", "docs_dedup_canonical_keep",
+    "docs_pack_sequences", "docs_duplicated_ngram_spans",
+    "docs_temperature_mix",
     # --- round-4 plan changes (re-verify under the new plans) ---
     "docs_token_budget_mix", "docs_boilerplate_ngrams",
     "orders_in_promo_windows", "docs_dedup_pipeline_at_scale",

@@ -835,6 +835,62 @@ def dedup_components_unified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _star_components(d.select("doc_id"), edges)
 
 
+def dedup_canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonicalization — the keep-list selection real
+    pipelines run over the any-signal cluster graph: from each unified
+    near-dup component keep the member with the highest quality score
+    (ties -> lowest doc_id). ONE hash aggregate per component via
+    max_by-style struct max (fully map-side combinable, no window, no
+    per-cluster task skew): at 10^12 docs the shuffle carries one
+    partial (quality, -doc_id) struct per (map task, component)."""
+    from .textstats import quality_score
+
+    comp = dedup_components_unified(spark, sf_dir)
+    q = quality_score(spark, sf_dir).select("doc_id", "quality")
+    best = F.max(F.struct(F.col("quality"),
+                          (-F.col("doc_id")).alias("neg_id"))).alias("m")
+    return (comp.join(q, "doc_id")
+            .groupBy("component")
+            .agg(best, F.count("*").alias("n_members"))
+            .select("component",
+                    (-F.col("m.neg_id")).cast("long").alias("keep_id"),
+                    F.col("m.quality").alias("quality"),
+                    "n_members"))
+
+
+def canonical_keep_sql() -> str:
+    """Oracle: the unified components query as a nested CTE + the
+    quality formula verbatim from textstats.QUALITY_SQL, ROW_NUMBER
+    per component ordered (quality DESC, doc_id). Both engines round
+    quality to 4 places first, so the ordering key is bit-identical."""
+    from .textstats import _STOP_SQL_LIST
+
+    return f"""
+WITH comp AS ({components_unified_sql()}),
+q AS (
+  SELECT doc_id,
+         ROUND(0.5 * LEAST(length(text) / 400.0, 1.0)
+               + 0.3 * (CAST(len(list_filter(string_split(text, ' '),
+                                 x -> x IN ({_STOP_SQL_LIST}))) AS DOUBLE)
+                        / len(string_split(text, ' ')))
+               + 0.2 * ((CAST(length(text) - (len(string_split(text, ' ')) - 1)
+                              AS DOUBLE) / len(string_split(text, ' '))) / 10.0),
+               4) AS quality
+  FROM documents
+),
+sel AS (
+  SELECT comp.component, comp.doc_id, q.quality,
+         ROW_NUMBER() OVER (PARTITION BY comp.component
+                            ORDER BY q.quality DESC, comp.doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY comp.component) AS nm
+  FROM comp JOIN q USING (doc_id)
+)
+SELECT component, doc_id AS keep_id, quality,
+       CAST(nm AS BIGINT) AS n_members
+FROM sel WHERE rn = 1
+"""
+
+
 def components_unified_sql() -> str:
     """Recursive-CTE oracle over the same three unioned edge tiers:
     exact Jaccard pairs in SQL, simhash hamming<=3 pairs as sequential
@@ -893,6 +949,7 @@ QUERIES = {
     "docs_dedup_simhash_candidates": dedup_simhash_candidates,
     "docs_dedup_components": dedup_components,
     "docs_dedup_components_unified": dedup_components_unified,
+    "docs_dedup_canonical_keep": dedup_canonical_keep,
     "docs_simhash64": simhash64,
 }
 
@@ -916,5 +973,6 @@ def oracles() -> dict[str, str]:
         # every doc labeled with its component's minimum doc_id
         "docs_dedup_components_at_scale": DEDUP_COMPONENTS_SQL,
         "docs_dedup_components_unified": components_unified_sql(),
+        "docs_dedup_canonical_keep": canonical_keep_sql(),
         "docs_simhash64": seq_oracles.simhash_values_sql(),
     }

@@ -677,7 +677,214 @@ FROM ex
 """
 
 
+# ---------------------------------------------------------------------------
+# Sequence packing (GPT-style pretraining prep): concatenate the corpus
+# in a deterministic shuffled order and cut every PACK_SEQ_LEN tokens;
+# each document maps to the training sequence its first token lands in.
+# The interesting part is the GLOBAL prefix sum: a naive
+# `SUM() OVER (ORDER BY ...)` window has an empty PARTITION BY, which
+# Spark executes as Exchange SinglePartition + one task scanning the
+# entire corpus — the same scale-killer class as the pre-fix
+# token_budget_mix. Instead: the textbook two-phase distributed prefix
+# sum —
+#
+#   1. range-repartition on the sort key (total order across partitions)
+#   2. partition-local running sums (P-way parallel window on the
+#      partition id)
+#   3. per-partition totals -> driver (P rows, bounded by the partition
+#      count, not the data) -> exclusive offsets -> broadcast join back
+#
+# global_offset = partition offset + local cumsum, exact at any corpus
+# size with every task bounded by N/P rows. Output values are
+# partitioning-independent (the offset depends only on the total order),
+# so the DuckDB oracle is the plain global window.
+# ---------------------------------------------------------------------------
+
+PACK_SEQ_LEN = 128
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = _docs(spark, sf_dir)
+    base = d.select(
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string")).alias("key"),
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"))
+    ranged = (base.repartitionByRange("key", "doc_id")
+              .withColumn("pid", F.spark_partition_id()))
+    # one narrow exchange on pid serves BOTH the totals agg and the
+    # local window (ReusedExchange; rows are 4 small columns)
+    w_local = (W.partitionBy("pid").orderBy("key", "doc_id")
+               .rowsBetween(W.unboundedPreceding, W.currentRow))
+    # localCheckpoint: the totals collect AND the final join both read
+    # this — materializing once means one range shuffle, and the
+    # pid -> offset mapping can never race a re-sampled boundary set
+    local = (ranged.withColumn("local_cum", F.sum("n_tokens").over(w_local))
+             .localCheckpoint(eager=True))
+    totals = (local.groupBy("pid").agg(F.max("local_cum").alias("tot"))
+              .collect())
+    # bounded by the shuffle-partition count — the legitimate driver set
+    offsets, acc = [], 0
+    for row in sorted(totals, key=lambda r: r["pid"]):
+        offsets.append((row["pid"], acc))
+        acc += row["tot"]
+    off = spark.range(1).select(F.explode(F.array(*[
+        F.struct(F.lit(p).alias("pid"), F.lit(o).alias("part_offset"))
+        for p, o in offsets])).alias("o")).select("o.*")
+    g = F.col("part_offset") + F.col("local_cum") - F.col("n_tokens")
+    return (local.join(F.broadcast(off), "pid")
+            .select("doc_id",
+                    F.col("n_tokens").cast("int").alias("n_tokens"),
+                    g.cast("long").alias("global_offset"),
+                    F.floor(g / PACK_SEQ_LEN).cast("long").alias("seq_id"),
+                    (g % PACK_SEQ_LEN).cast("int").alias("seq_offset")))
+
+
+PACK_SQL = f"""
+SELECT doc_id,
+       CAST(n_tokens AS INTEGER) AS n_tokens,
+       CAST(goff AS BIGINT) AS global_offset,
+       CAST(FLOOR(goff / {PACK_SEQ_LEN}) AS BIGINT) AS seq_id,
+       CAST(goff % {PACK_SEQ_LEN} AS INTEGER) AS seq_offset
+FROM (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_tokens AS goff
+  FROM (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+        FROM documents)
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cross-document repeated-substring signal (Lee et al. 2021,
+# "Deduplicating Training Data Makes Language Models Better"): the
+# fraction of a document's DUP_WINDOW-token windows (stride 1) that
+# occur verbatim in at least one OTHER document. The production form
+# removes those spans before training; the per-doc fraction is the
+# decision signal. Shape: distinct (doc, window) pairs -> per-window
+# doc-frequency (map-side-combinable (s, min, max) agg — the exchange
+# carries combiner-reduced triples, never raw occurrence lists) ->
+# flag join back -> per-doc counts. The dup-window set scales with the
+# corpus (df>=2, unlike the boilerplate >=1%-of-N hot set), so the flag
+# join stays a shuffle join: a universally repeated window is exactly
+# the AQE skew-join split case (mechanism pinned in TestAQESkewJoin).
+# At 100 TB the window strings would be 64-bit hashes (the hashed
+# shingle-key pattern, dedup._hashed_capped_shingles); text keys keep
+# the oracle byte-exact here.
+# ---------------------------------------------------------------------------
+
+DUP_WINDOW = 10
+
+
+def duplicated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    wins = F.array_distinct(F.transform(
+        F.sequence(F.lit(1), n - DUP_WINDOW + 1),
+        lambda s: F.array_join(F.slice(toks, s, DUP_WINDOW), " ")))
+    pairs = (d.filter(n >= DUP_WINDOW)     # sequence(1, x<1) descends; gate
+             .select("doc_id", F.explode(wins).alias("s")))
+    flags = (pairs.groupBy("s")
+             .agg((F.min("doc_id") != F.max("doc_id")).alias("is_dup")))
+    return (pairs.join(flags, "s")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_windows"),
+                 F.sum(F.col("is_dup").cast("long")).alias("n_dup_windows"))
+            .withColumn("dup_frac",
+                        F.round(F.col("n_dup_windows") / F.col("n_windows"), 4)))
+
+
+DUP_SPANS_SQL = f"""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS t,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= {DUP_WINDOW}
+),
+wins AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    range(1, n - {DUP_WINDOW} + 2),
+    i -> array_to_string(list_slice(t, i, i + {DUP_WINDOW} - 1), ' ')
+  ))) AS s
+  FROM base
+),
+df AS (
+  SELECT s, (MIN(doc_id) <> MAX(doc_id)) AS is_dup FROM wins GROUP BY s
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_windows,
+       CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_windows,
+       ROUND(CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 4) AS dup_frac
+FROM wins JOIN df USING (s)
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Temperature-balanced source sampling (the mT5/XLM-R domain-mixing
+# move, tau = 0.5): downsample each source at
+# rate_s = min(1, sqrt(CAP / n_s)) — sources at or under CAP docs keep
+# everything, larger sources shrink as 1/sqrt(n_s), flattening the
+# source distribution exactly like p^tau renormalization with a budget
+# cap. Deterministic (md5-uniform per doc, no RNG) and IEEE-exact
+# cross-engine: the decision arithmetic is division, sqrt, multiply and
+# an int->double conversion — all CORRECTLY ROUNDED operations (unlike
+# pow(), which is why tau is expressed as sqrt), so the accept/reject
+# boundary is bit-identical in Spark and DuckDB. Plan: one
+# combiner-reduced counts agg, a broadcast of the per-source rates
+# (bounded by the number of sources), then a map-only filter — nothing
+# scales with the corpus except the scan.
+# ---------------------------------------------------------------------------
+
+TEMPERATURE_CAP_DOCS = 100
+_U60 = 1 << 60
+
+
+def temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import md5_60bit
+
+    d = _docs(spark, sf_dir)
+    counts = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    rates = counts.select(
+        "source", "n_docs",
+        F.least(F.lit(1.0),
+                F.sqrt(F.lit(float(TEMPERATURE_CAP_DOCS)) / F.col("n_docs")))
+        .alias("rate"))
+    u = md5_60bit(F.col("doc_id").cast("string")).cast("double") / F.lit(float(_U60))
+    return (d.join(F.broadcast(rates), "source")
+            .filter(u < F.col("rate"))
+            .select("doc_id", "source",
+                    F.round("rate", 4).alias("rate"),
+                    F.col("n_docs").cast("long").alias("source_docs")))
+
+
+TEMPERATURE_SQL = f"""
+WITH counts AS (
+  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+),
+rates AS (
+  SELECT source, n_docs,
+         LEAST(1.0, SQRT({float(TEMPERATURE_CAP_DOCS)!r} / n_docs)) AS rate
+  FROM counts
+)
+SELECT d.doc_id, d.source, ROUND(r.rate, 4) AS rate,
+       CAST(r.n_docs AS BIGINT) AS source_docs
+FROM documents d JOIN rates r USING (source)
+WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+      / CAST({_U60} AS DOUBLE) < r.rate
+"""
+
+
 QUERIES = {
+    "docs_temperature_mix": temperature_mix,
+    "docs_duplicated_ngram_spans": duplicated_ngram_spans,
+    "docs_pack_sequences": pack_sequences,
     "docs_chunk_for_training": chunk_for_training,
     "docs_term_freq_cms": term_freq_cms,
     "docs_quality_repetition": quality_repetition,
@@ -695,6 +902,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    "docs_temperature_mix": TEMPERATURE_SQL,
+    "docs_duplicated_ngram_spans": DUP_SPANS_SQL,
+    "docs_pack_sequences": PACK_SQL,
     "docs_chunk_for_training": CHUNK_SQL,
     "docs_term_freq_cms": TERM_FREQ_CMS_SQL,
     "docs_quality_repetition": REPETITION_SQL,

@@ -838,6 +838,114 @@ class TestKMVSketch:
         assert est == {t: float(n) for t, n in exact.items()}
 
 
+class TestPackSequences:
+    """Sequence packing's global prefix sum must be the two-phase
+    distributed form — never `SUM() OVER (ORDER BY ...)` with an empty
+    PARTITION BY, which executes as Exchange SinglePartition + one task
+    over the whole corpus."""
+
+    def test_no_single_partition_exchange(self, spark):
+        from local_pdftodocx_ocr_spark.operators import textstats as TS
+        df = TS.pack_sequences(spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange SinglePartition" not in plan, plan[:2000]
+        # the only window is partition-local (keyed on pid)
+        for ln in plan.splitlines():
+            if "Window [" in ln:
+                assert "pid" in ln, ln
+
+    def test_packing_invariants(self, spark):
+        from local_pdftodocx_ocr_spark.operators import textstats as TS
+        rows = sorted(TS.pack_sequences(spark, SF_DIR).collect(),
+                      key=lambda r: r["global_offset"])
+        # offsets tile the concatenated corpus exactly: each doc starts
+        # where the previous ended, first starts at 0
+        assert rows[0]["global_offset"] == 0
+        for prev, cur in zip(rows, rows[1:]):
+            assert cur["global_offset"] == \
+                prev["global_offset"] + prev["n_tokens"]
+        for r in rows:
+            assert r["seq_id"] == r["global_offset"] // TS.PACK_SEQ_LEN
+            assert r["seq_offset"] == r["global_offset"] % TS.PACK_SEQ_LEN
+
+    def test_values_independent_of_partition_count(self, spark):
+        """global_offset depends only on the total order, never on where
+        the range boundaries fall."""
+        from local_pdftodocx_ocr_spark.operators import textstats as TS
+        a = {r["doc_id"]: r["global_offset"]
+             for r in TS.pack_sequences(spark, SF_DIR).collect()}
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "5")
+            b = {r["doc_id"]: r["global_offset"]
+                 for r in TS.pack_sequences(spark, SF_DIR).collect()}
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+        assert a == b
+
+
+class TestTemperatureMix:
+    def test_flattens_source_distribution(self, spark):
+        from local_pdftodocx_ocr_spark.operators import textstats as TS
+        d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        before = {r["source"]: r["n"] for r in
+                  d.groupBy("source").agg(F.count("*").alias("n")).collect()}
+        out = TS.temperature_mix(spark, SF_DIR).collect()
+        after: dict = {}
+        rates: dict = {}
+        for r in out:
+            after[r["source"]] = after.get(r["source"], 0) + 1
+            rates[r["source"]] = r["rate"]
+        for s, n in before.items():
+            if n <= TS.TEMPERATURE_CAP_DOCS:
+                # at/under the cap: rate 1.0, everything kept
+                assert rates.get(s, 1.0) == 1.0
+                assert after.get(s, 0) == n
+            else:
+                assert rates[s] < 1.0
+                assert after[s] < n
+        # flattening is monotone: a bigger source never gets a higher rate
+        ordered = sorted(before, key=before.get)
+        for a, b in zip(ordered, ordered[1:]):
+            assert rates.get(a, 1.0) >= rates.get(b, 1.0)
+
+    def test_decision_is_deterministic_projection(self, spark):
+        """No RNG anywhere: two runs give identical keep sets, and the
+        per-doc decision survives repartitioning."""
+        from local_pdftodocx_ocr_spark.operators import textstats as TS
+        a = {r["doc_id"] for r in TS.temperature_mix(spark, SF_DIR).collect()}
+        b = {r["doc_id"] for r in TS.temperature_mix(spark, SF_DIR).collect()}
+        assert a == b and a
+
+
+class TestDuplicatedNgramSpans:
+    def test_planted_shared_span_flagged(self, spark):
+        """Two docs sharing a verbatim 12-token passage: exactly the
+        windows inside the passage flag as duplicated; a doc of unique
+        text scores 0; sub-window docs are excluded."""
+        shared = " ".join(f"w{i}" for i in range(12))            # 12 tokens
+        rows = [
+            (1, shared + " unique1 tail1 alpha beta gamma delta"),
+            (2, "prefix2 other2 " + shared),
+            (3, "entirely unique content " + " ".join(f"u{i}" for i in range(10))),
+            (4, "too short"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        df.createOrReplaceTempView("_dup_docs")
+        from local_pdftodocx_ocr_spark.operators import textstats as TS
+        orig = TS._docs
+        try:
+            TS._docs = lambda spark, sf: spark.table("_dup_docs")
+            got = {r["doc_id"]: (r["n_windows"], r["n_dup_windows"])
+                   for r in TS.duplicated_ngram_spans(spark, "x").collect()}
+        finally:
+            TS._docs = orig
+        # a 12-token shared run contains 12-10+1 = 3 shared 10-windows
+        assert got[1][1] == 3 and got[2][1] == 3
+        assert got[3] == (4, 0)       # 13 tokens -> 4 windows, none dup
+        assert 4 not in got           # below DUP_WINDOW: no windows
+
+
 class TestDedupComponents:
     def test_transitive_chain_merges(self, spark):
         """A~B and B~C must land in ONE component even when A~C is not
