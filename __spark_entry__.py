@@ -69,7 +69,7 @@ _PRIORITY = (
     # --- round-4 additions ---
     "docs_dedup_components_unified", "docs_dedup_canonical_keep",
     "docs_pack_sequences", "docs_duplicated_ngram_spans",
-    "docs_temperature_mix",
+    "docs_temperature_mix", "docs_pii_scrub",
     # --- round-4 plan changes (re-verify under the new plans) ---
     "docs_token_budget_mix", "docs_boilerplate_ngrams",
     "orders_in_promo_windows", "docs_dedup_pipeline_at_scale",

@@ -55,6 +55,15 @@ HEADLINE = {
     "events_kmv_distinct": relational.events_kmv_distinct,
     "emb_cosine_topk": similarity.cosine_topk_bruteforce,
     "emb_ann_lsh_topk": similarity.ann_lsh_topk,
+    # round-4 additions (new rows extend the suite; per-query timings
+    # stay comparable round-over-round). canonical_keep is excluded: it
+    # re-runs the whole unified graph plus one cheap aggregate, so its
+    # cost is the unified row's cost again.
+    "docs_pack_sequences": textstats.pack_sequences,
+    "docs_duplicated_ngram_spans": textstats.duplicated_ngram_spans,
+    "docs_temperature_mix": textstats.temperature_mix,
+    "docs_pii_scrub": textstats.pii_scrub,
+    "docs_dedup_components_unified": dedup.dedup_components_unified,
     "extract_from_documents": extraction.extract_from_documents,
 }
 

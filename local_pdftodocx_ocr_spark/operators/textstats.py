@@ -881,7 +881,60 @@ WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
 """
 
 
+# ---------------------------------------------------------------------------
+# PII scrubbing (the privacy pass every released training corpus runs):
+# count + redact emails, North-American-style phone numbers and IPv4
+# literals with typed placeholder tokens. Pure map-only projection (no
+# shuffle, no UDF); the patterns deliberately stay inside the common
+# Java-regex/RE2 dialect subset (character classes, bounded repetition,
+# \\b — no lookaround, no backrefs) so Spark and DuckDB tokenize
+# IDENTICALLY, and the driver oracle compares md5(redacted text) —
+# a byte-exact cross-engine check of the full replacement semantics,
+# meaningful even on a corpus with zero PII (any engine-dialect
+# divergence that mangled ordinary text would flip the hash).
+# ---------------------------------------------------------------------------
+
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+PII_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    n = lambda pat: F.size(  # noqa: E731
+        F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0)))
+    red = F.col("text")
+    # email first (contains dots/digits that could half-match IP after
+    # partial rewrites), then IP, then phone — fixed order both engines
+    for pat, tok in ((PII_EMAIL_RE, "<EMAIL>"), (PII_IP_RE, "<IP>"),
+                     (PII_PHONE_RE, "<PHONE>")):
+        red = F.regexp_replace(red, pat, tok)
+    return d.select(
+        "doc_id",
+        n(PII_EMAIL_RE).alias("n_emails"),
+        n(PII_PHONE_RE).alias("n_phones"),
+        n(PII_IP_RE).alias("n_ips"),
+        F.md5(red).alias("redacted_md5"))
+
+
+PII_SQL = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{PII_EMAIL_RE}')) AS INTEGER)
+         AS n_emails,
+       CAST(len(regexp_extract_all(text, '{PII_PHONE_RE}')) AS INTEGER)
+         AS n_phones,
+       CAST(len(regexp_extract_all(text, '{PII_IP_RE}')) AS INTEGER)
+         AS n_ips,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+             '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+             '{PII_IP_RE}', '<IP>', 'g'),
+             '{PII_PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5
+FROM documents
+"""
+
+
 QUERIES = {
+    "docs_pii_scrub": pii_scrub,
     "docs_temperature_mix": temperature_mix,
     "docs_duplicated_ngram_spans": duplicated_ngram_spans,
     "docs_pack_sequences": pack_sequences,
@@ -902,6 +955,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "docs_pii_scrub": PII_SQL,
     "docs_temperature_mix": TEMPERATURE_SQL,
     "docs_duplicated_ngram_spans": DUP_SPANS_SQL,
     "docs_pack_sequences": PACK_SQL,

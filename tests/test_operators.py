@@ -884,6 +884,53 @@ class TestPackSequences:
         assert a == b
 
 
+class TestPIIScrub:
+    def test_planted_pii_redacted_and_counted(self, spark):
+        """Planted emails/phones/IPs: counts and byte-exact redaction,
+        checked against hashlib AND DuckDB on the same rows (the regex
+        dialect-subset parity the corpus-level oracle can't exercise
+        when the corpus carries no PII)."""
+        import hashlib
+
+        import duckdb
+
+        rows = [
+            (1, "contact alice.smith+x@example.co.uk or 212-555-1234 now"),
+            (2, "server at 10.0.255.7 logged bob@test.io and 987.654.3210"),
+            (3, "no pii here just words"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        df.createOrReplaceTempView("_pii_docs")
+        from local_pdftodocx_ocr_spark.operators import textstats as TS
+        orig = TS._docs
+        try:
+            TS._docs = lambda spark, sf: spark.table("_pii_docs")
+            got = {r["doc_id"]: r for r in TS.pii_scrub(spark, "x").collect()}
+        finally:
+            TS._docs = orig
+        assert (got[1]["n_emails"], got[1]["n_phones"], got[1]["n_ips"]) == (1, 1, 0)
+        # doc 2: "987.654.3210" is a dot-separated phone (3-3-4), not an
+        # IPv4 (only 3 octets); the IP literal counts once
+        assert (got[2]["n_emails"], got[2]["n_phones"], got[2]["n_ips"]) == (1, 1, 1)
+        assert (got[3]["n_emails"], got[3]["n_phones"], got[3]["n_ips"]) == (0, 0, 0)
+        expected = {
+            1: "contact <EMAIL> or <PHONE> now",
+            2: "server at <IP> logged <EMAIL> and <PHONE>",
+            3: "no pii here just words",
+        }
+        for d, red in expected.items():
+            assert got[d]["redacted_md5"] == hashlib.md5(red.encode()).hexdigest(), d
+        # and DuckDB's RE2 agrees on the identical rows
+        con = duckdb.connect()
+        con.execute("CREATE TABLE documents AS SELECT * FROM (VALUES "
+                    + ", ".join(f"({d}, '{t}')" for d, t in rows)
+                    + ") AS t(doc_id, text)")
+        duck = {r[0]: r for r in con.execute(TS.PII_SQL).fetchall()}
+        for d in expected:
+            assert tuple(duck[d]) == (d, got[d]["n_emails"], got[d]["n_phones"],
+                                      got[d]["n_ips"], got[d]["redacted_md5"])
+
+
 class TestTemperatureMix:
     def test_flattens_source_distribution(self, spark):
         from local_pdftodocx_ocr_spark.operators import textstats as TS
