@@ -571,6 +571,45 @@ def dedup_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_candidate_pairs(simhash64(spark, sf_dir))
 
 
+def _simhash_connectivity_edges(sigs: DataFrame) -> DataFrame:
+    """Connectivity-preserving REDUCTION of the simhash hamming<=3 pair
+    graph, for consumers that only need CONNECTED COMPONENTS (the
+    unified cluster graph): a K-doc identical-signature cluster
+    contributes K-1 star edges (doc -> the cluster's min doc) instead
+    of its C(K,2) clique, and each close signature pair contributes ONE
+    representative edge (min doc of sig A -> min doc of sig B) instead
+    of |A|x|B| cross pairs. The transitive closure is IDENTICAL — stars
+    keep every same-signature doc connected, and any cross-signature
+    pair is bridged via the two representatives — but the edge count
+    drops from cluster-quadratic to cluster-linear. At sf0.1 the full
+    pair tier is ~195k rows (one near-identical cluster), the reduced
+    form ~2k; at web scale this is the difference between an edge list
+    proportional to duplication^2 and one proportional to corpus size.
+    The PAIRS query keeps the full expansion (its contract is every
+    pair); the components oracle is unchanged (identical closure)."""
+    sigs = sigs.select("doc_id", "simhash")
+    rep = sigs.groupBy("simhash").agg(F.min("doc_id").alias("rep"))
+    intra = (sigs.join(rep, "simhash")
+             .filter(F.col("doc_id") != F.col("rep"))
+             .select(F.col("rep").alias("doc1"), F.col("doc_id").alias("doc2")))
+    uniq = rep.select("simhash")
+    k1 = _manku_keys(uniq).alias("k1")
+    k2 = _manku_keys(uniq).alias("k2")
+    close = (
+        k1.join(k2, (F.col("k1.bk") == F.col("k2.bk"))
+                & (F.col("k1.simhash") < F.col("k2.simhash")))
+        .select(F.col("k1.simhash").alias("sa"), F.col("k2.simhash").alias("sb"))
+        .distinct()
+        .filter(F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))) <= HAMMING_MAX)
+    )
+    r1 = rep.select(F.col("simhash").alias("sa"), F.col("rep").alias("ra"))
+    r2 = rep.select(F.col("simhash").alias("sb"), F.col("rep").alias("rb"))
+    inter = (close.join(r1, "sa").join(r2, "sb")
+             .select(F.least("ra", "rb").alias("doc1"),
+                     F.greatest("ra", "rb").alias("doc2")))
+    return intra.unionByName(inter)
+
+
 def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The materialized dedup decision: documents surviving near-dup
     removal (greedy: a doc is dropped iff it appears as the larger
@@ -828,7 +867,10 @@ def dedup_components_unified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _docs(spark, sf_dir)
     jac = _verified_jaccard_pairs(d, dedup_minhash_candidates(spark, sf_dir))
-    sim = dedup_simhash_candidates(spark, sf_dir).select("doc1", "doc2")
+    # simhash tier: connectivity-preserving reduced edges (cluster-
+    # linear), not the full pair expansion (cluster-quadratic) — the
+    # closure, and hence every component, is identical
+    sim = _simhash_connectivity_edges(simhash64(spark, sf_dir))
     emb = (embedding_near_dup_pairs_at_scale(spark, sf_dir)
            .select(F.col("id1").alias("doc1"), F.col("id2").alias("doc2")))
     edges = jac.unionByName(sim).unionByName(emb).distinct()
