@@ -221,6 +221,39 @@ def _write_scaled_corpus(spark, sf_dir: str, out_dir: str, reps: int) -> int:
                     "doc_id long, text string, lang string, source string")
      .withColumn("n_chars", F.length("text"))
      .write.mode("overwrite").parquet(f"{out_dir}/documents.parquet"))
+
+    # embeddings scale alongside documents (the unified-components
+    # ladder row reads both): every replica's vectors get a small
+    # deterministic per-(rep, vec_id) perturbation — identical copies
+    # would make each vector a cos=1.0 clique across replicas and the
+    # ratio would measure degenerate duplication, not volume growth.
+    # Replica 0 is perturbed too (1x and Nx structurally identical).
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n_emb = emb.count()
+    eparts = [emb.select((F.col("vec_id") + F.lit(r * n_emb)).alias("vec_id"),
+                         "embedding", "label", F.lit(r).alias("rep"))
+              for r in range(reps)]
+    edf = eparts[0]
+    for p in eparts[1:]:
+        edf = edf.union(p)
+
+    def perturb(batches):
+        for pdf in batches:
+            out = []
+            for vec_id, vec, rep in zip(pdf["vec_id"], pdf["embedding"],
+                                        pdf["rep"]):
+                v = np.asarray(vec, dtype=np.float32)
+                rng = np.random.RandomState(int(rep) * 7_000_003
+                                            + int(vec_id) % 7_000_003 + 1)
+                out.append((v + 0.05 * rng.standard_normal(v.shape)
+                            .astype(np.float32)).tolist())
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "embedding": out,
+                                "label": pdf["label"]})
+
+    cores = spark.sparkContext.defaultParallelism
+    (edf.repartition(cores * 2)
+     .mapInPandas(perturb, "vec_id long, embedding array<float>, label int")
+     .write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet"))
     return n * reps
 
 
@@ -245,6 +278,15 @@ def _dedup_scale_section(spark, sf_dir: str, reps: int = 10) -> dict:
         "docs_dedup_simhash_candidates": dedup.dedup_simhash_candidates,
         "docs_dedup_pipeline_at_scale": dedup.dedup_pipeline_at_scale,
         "docs_boilerplate_ngrams": textstats.boilerplate_ngrams,
+        # docs_dedup_components_unified is deliberately NOT a ladder row:
+        # its embedding tier runs the recall-stress config (threshold
+        # cos>=0.4 on near-random vectors), where NO sign-LSH setting
+        # discriminates — at 50k vectors even occupancy-scaled bits admit
+        # ~1/3 of all random pairs into the verify join (measured 204-352 s
+        # at x10; BENCH.md "ladder limit" note). The lexical+simhash tiers
+        # it shares are covered by the rows above; the emb tier's scale
+        # path is the production-threshold config measured in
+        # TestNearDupProductionThreshold (>=98% recall, >=99% pruning).
     }
     out = {"reps": reps}
     try:

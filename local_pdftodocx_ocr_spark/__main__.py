@@ -54,6 +54,10 @@ def main(argv: list[str] | None = None) -> int:
                          "text, token-gate (>=30), exact-dedup (first-wins), "
                          "80/10/10-split, and write the curated corpus "
                          "parquet to this path")
+    ap.add_argument("--pii", action="store_true",
+                    help="with --curate: scrub the curated text (emails/"
+                         "phones/IPv4 -> typed placeholder tokens) before "
+                         "writing; adds an n_pii column")
     ap.add_argument("--stream", action="store_true",
                     help="treat --input as a directory of interleaved "
                          "(doc_id, spans) parquet arrivals and drain it as a "
@@ -69,6 +73,31 @@ def main(argv: list[str] | None = None) -> int:
     args = ap.parse_args(argv)
 
     from local_pdftodocx_ocr_spark import job
+
+    if args.pii and not args.curate:
+        print(json.dumps({"error": "--pii requires --curate (it scrubs "
+                                   "the curated corpus text)"}))
+        return 2
+
+    def write_curated(spark, stats):
+        from pyspark.sql import functions as F
+
+        from local_pdftodocx_ocr_spark.operators.extraction import curate_spans
+        from local_pdftodocx_ocr_spark.operators.textstats import (
+            PII_EMAIL_RE, PII_IP_RE, PII_PHONE_RE, pii_scrub_text,
+        )
+
+        cur = curate_spans(job.read_extracted(spark, args.output))
+        if args.pii:
+            n_pii = sum(
+                F.size(F.regexp_extract_all(F.col("text"), F.lit(p), F.lit(0)))
+                for p in (PII_EMAIL_RE, PII_PHONE_RE, PII_IP_RE))
+            cur = cur.select("doc_id", pii_scrub_text(F.col("text")).alias("text"),
+                             "n_tokens", "split",
+                             n_pii.cast("int").alias("n_pii"))
+        cur.write.mode("overwrite").parquet(args.curate)
+        stats["curated_docs"] = spark.read.parquet(args.curate).count()
+        stats["curate_path"] = args.curate
 
     if args.local_cores:
         spark = job.build_session(args.local_cores, app="pdf2spans")
@@ -124,14 +153,7 @@ def main(argv: list[str] | None = None) -> int:
                         if args.detections else None),
             chunk_threshold=args.chunk_threshold or None)
         if args.curate:
-            from local_pdftodocx_ocr_spark.operators.extraction import (
-                curate_spans,
-            )
-
-            curate_spans(job.read_extracted(spark, args.output)) \
-                .write.mode("overwrite").parquet(args.curate)
-            stats["curated_docs"] = spark.read.parquet(args.curate).count()
-            stats["curate_path"] = args.curate
+            write_curated(spark, stats)
         print(json.dumps(stats))
         return 0
 
@@ -155,12 +177,7 @@ def main(argv: list[str] | None = None) -> int:
                         num_partitions=args.partitions or None,
                         chunk_threshold=args.chunk_threshold or None)
     if args.curate:
-        from local_pdftodocx_ocr_spark.operators.extraction import curate_spans
-
-        curate_spans(job.read_extracted(spark, args.output)) \
-            .write.mode("overwrite").parquet(args.curate)
-        stats["curated_docs"] = spark.read.parquet(args.curate).count()
-        stats["curate_path"] = args.curate
+        write_curated(spark, stats)
     print(json.dumps(stats))
     return 0
 

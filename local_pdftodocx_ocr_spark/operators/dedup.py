@@ -933,6 +933,32 @@ FROM sel WHERE rn = 1
 """
 
 
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size histogram of the unified any-signal near-dup graph —
+    the observability panel a dedup pipeline watches (how much of the
+    corpus sits in large duplicate clusters?). Two map-side-combinable
+    aggregates over the components output; no new join shapes."""
+    comp = dedup_components_unified(spark, sf_dir)
+    sizes = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return (sizes.groupBy("cluster_size")
+            .agg(F.count("*").alias("n_clusters"),
+                 (F.count("*") * F.col("cluster_size")).alias("n_docs")))
+
+
+def cluster_sizes_sql() -> str:
+    return f"""
+WITH comp AS ({components_unified_sql()}),
+sizes AS (
+  SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
+  FROM comp GROUP BY component
+)
+SELECT cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(COUNT(*) * cluster_size AS BIGINT) AS n_docs
+FROM sizes GROUP BY cluster_size
+"""
+
+
 def components_unified_sql() -> str:
     """Recursive-CTE oracle over the same three unioned edge tiers:
     exact Jaccard pairs in SQL, simhash hamming<=3 pairs as sequential
@@ -992,6 +1018,7 @@ QUERIES = {
     "docs_dedup_components": dedup_components,
     "docs_dedup_components_unified": dedup_components_unified,
     "docs_dedup_canonical_keep": dedup_canonical_keep,
+    "docs_dedup_cluster_sizes": dedup_cluster_sizes,
     "docs_simhash64": simhash64,
 }
 
@@ -1016,5 +1043,6 @@ def oracles() -> dict[str, str]:
         "docs_dedup_components_at_scale": DEDUP_COMPONENTS_SQL,
         "docs_dedup_components_unified": components_unified_sql(),
         "docs_dedup_canonical_keep": canonical_keep_sql(),
+        "docs_dedup_cluster_sizes": cluster_sizes_sql(),
         "docs_simhash64": seq_oracles.simhash_values_sql(),
     }

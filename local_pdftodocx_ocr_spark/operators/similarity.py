@@ -261,6 +261,27 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 ND_LSH_BITS = 3
 ND_LSH_TABLES = 48
 
+# Bucket-occupancy pin for the pairwise tier: with FIXED bits the
+# bucket self-join is Σ C(n/2^bits, 2) per table ~ n²/2^(bits+1) —
+# quadratic in the corpus. (Measured: the 10x growth-ladder corpus,
+# 50k near-random vectors at 3 bits = 6.25k/bucket, drove the tier to
+# ~350 s — the vector analog of the uncapped hot-shingle join.) Bits
+# therefore grow with log2(n) to hold occupancy at the level the
+# recall config was tuned and pinned at (sf0.1: 5000/2^3 = 625), which
+# makes the join Σ n·occ/2 per table — LINEAR in n. At the driver /
+# pytest scales (n <= 5000) the formula returns ND_LSH_BITS exactly,
+# so the full-recall set-equality pins bind unchanged. In production
+# the table count co-tunes upward as bits grow (recall per pair is
+# 1-(1-p^bits)^tables); the plan shape is what survives 10^9 vectors.
+ND_TARGET_OCCUPANCY = 640
+
+
+def _nd_bits_for(n: int) -> int:
+    import math
+    if n <= ND_TARGET_OCCUPANCY:
+        return ND_LSH_BITS
+    return max(ND_LSH_BITS, math.ceil(math.log2(n / ND_TARGET_OCCUPANCY)))
+
 
 def embedding_near_dup_pairs_at_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB path for embedding near-dups (mirror of
@@ -270,7 +291,10 @@ def embedding_near_dup_pairs_at_scale(spark: SparkSession, sf_dir: str) -> DataF
     vectors come from two corpus-scale equi-joins (AQE decides the
     strategy — no broadcast of anything that scales with the corpus)."""
     e = _emb(spark, sf_dir)
-    sigs = lsh_bucket_signatures(e, bits=ND_LSH_BITS, tables=ND_LSH_TABLES,
+    # one cheap count pins the occupancy-scaled bit width (at warehouse
+    # scale this comes from table statistics instead)
+    bits = _nd_bits_for(e.count())
+    sigs = lsh_bucket_signatures(e, bits=bits, tables=ND_LSH_TABLES,
                                  with_vectors=False)
     s1 = sigs.select(F.col("vec_id").alias("id1"), "table", "bucket")
     s2 = sigs.select(F.col("vec_id").alias("id2"), "table", "bucket")

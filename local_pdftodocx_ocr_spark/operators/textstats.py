@@ -8,7 +8,7 @@ no Python in the loop). Each has an exact DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _STOPWORDS = ("the", "a", "an", "of", "and", "to", "in", "is", "for", "with")
@@ -899,16 +899,25 @@ PII_PHONE_RE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
 PII_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 
 
+def pii_scrub_text(col: Column) -> Column:
+    """The redaction chain as a reusable Column expression (email ->
+    <EMAIL>, then IPv4 -> <IP>, then phone -> <PHONE>; fixed order both
+    engines). Used by the pii_scrub query and the CLI's --pii curation
+    step."""
+    red = col
+    for pat, tok in ((PII_EMAIL_RE, "<EMAIL>"), (PII_IP_RE, "<IP>"),
+                     (PII_PHONE_RE, "<PHONE>")):
+        red = F.regexp_replace(red, pat, tok)
+    return red
+
+
 def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     n = lambda pat: F.size(  # noqa: E731
         F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0)))
-    red = F.col("text")
     # email first (contains dots/digits that could half-match IP after
     # partial rewrites), then IP, then phone — fixed order both engines
-    for pat, tok in ((PII_EMAIL_RE, "<EMAIL>"), (PII_IP_RE, "<IP>"),
-                     (PII_PHONE_RE, "<PHONE>")):
-        red = F.regexp_replace(red, pat, tok)
+    red = pii_scrub_text(F.col("text"))
     return d.select(
         "doc_id",
         n(PII_EMAIL_RE).alias("n_emails"),

@@ -234,6 +234,50 @@ def test_cli_curate_writes_training_corpus(spark, tmp_path, capsys):
     assert splits <= {"train", "valid", "test"} and "train" in splits
 
 
+def test_cli_curate_pii_scrubs_corpus(spark, tmp_path, capsys):
+    """--curate --pii: the curated corpus text is redacted with the
+    typed placeholder tokens and carries an n_pii count; --pii without
+    --curate is rejected loudly."""
+    import json as _json
+
+    from local_pdftodocx_ocr_spark.__main__ import main
+
+    corpus = synth.gen_corpus(20)
+    # plant PII in one doc's span stream (valid pos-header text span)
+    doc_id, spans = corpus[1]
+    spans = list(spans) + [{
+        "kind": "text",
+        "text": "p=0;y=900.0;x=40.0|contact bob@example.com or 212-555-1234 "
+                "from 10.0.0.7 today",
+        "media_ref": "", "offset": 999,
+    }]
+    corpus[1] = (doc_id, spans)
+    in_path = str(tmp_path / "pii_in.parquet")
+    job.docs_df_from_corpus(spark, corpus).write.parquet(in_path)
+    out = str(tmp_path / "pii_out")
+    dest = str(tmp_path / "pii_curated")
+    rc = main(["--input", in_path, "--output", out,
+               "--partitions", "2", "--curate", dest, "--pii"])
+    assert rc == 0
+    stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["curated_docs"] > 0
+    rows = {r["doc_id"]: r for r in spark.read.parquet(dest).collect()}
+    assert "n_pii" in next(iter(rows.values())).asDict()
+    hit = [r for r in rows.values() if r["n_pii"] > 0]
+    assert len(hit) == 1 and hit[0]["n_pii"] == 3
+    assert "<EMAIL>" in hit[0]["text"] and "<PHONE>" in hit[0]["text"] \
+        and "<IP>" in hit[0]["text"]
+    assert "bob@example.com" not in hit[0]["text"]
+    for r in rows.values():
+        assert "@" not in r["text"]
+
+    # --pii without --curate: loud rejection
+    rc = main(["--input", in_path, "--output", out, "--pii"])
+    assert rc == 2
+    err = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "--curate" in err["error"]
+
+
 def test_snapshot_time_travel(spark, tmp_path):
     """read_at(snapshot_id) returns the table AS OF that commit —
     Iceberg VERSION AS OF semantics on the parquet-manifest fallback."""

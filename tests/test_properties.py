@@ -319,3 +319,51 @@ class TestStarComponentsProperty:
         node on component 0 in O(log^2 n) rounds."""
         n = 10_000
         self._drive(spark, n, [(i, i + 1) for i in range(n - 1)])
+
+
+class TestSimhashConnectivityEdgesProperty:
+    """The reduced edge set (stars per identical-signature cluster + one
+    representative edge per close signature pair) must have EXACTLY the
+    same transitive closure as the full hamming<=3 pair expansion — on
+    random signature multisets with planted duplicate clusters and
+    near-miss signatures."""
+
+    @given(seed=st.integers(0, 2**32 - 1))
+    @settings(max_examples=5, deadline=None)
+    def test_closure_equals_full_pair_graph(self, spark, seed):
+        import random as _random
+
+        from local_pdftodocx_ocr_spark import seq_oracles
+        from local_pdftodocx_ocr_spark.operators import dedup as dd
+
+        rng = _random.Random(seed)
+        sigs = []
+        doc = 0
+        base_sigs = [rng.getrandbits(64) for _ in range(12)]
+        for b in base_sigs:
+            # a duplicate cluster of random size on the exact signature
+            for _ in range(rng.randint(1, 6)):
+                sigs.append((doc, b)); doc += 1
+            # a few hamming-1..4 neighbors (some inside, some outside
+            # the <=3 candidate threshold)
+            for _ in range(rng.randint(0, 3)):
+                flips = rng.sample(range(64), rng.randint(1, 4))
+                v = b
+                for f in flips:
+                    v ^= 1 << f
+                sigs.append((doc, v)); doc += 1
+        to_i64 = lambda v: v - (1 << 64) if v >= (1 << 63) else v  # noqa: E731
+        df = spark.createDataFrame(
+            [(d, to_i64(s)) for d, s in sigs], "doc_id long, simhash long")
+        nodes = spark.range(doc).selectExpr("id as doc_id")
+
+        full = dd.simhash_candidate_pairs(df).select("doc1", "doc2")
+        reduced = dd._simhash_connectivity_edges(df)
+        f_edges = [(r["doc1"], r["doc2"]) for r in full.collect()]
+        r_edges = [(r["doc1"], r["doc2"]) for r in reduced.collect()]
+        dd.release_caches()
+        exp = seq_oracles.seq_union_find(range(doc), f_edges)
+        got = seq_oracles.seq_union_find(range(doc), r_edges)
+        assert got == exp
+        # and the reduction is genuinely smaller once clusters exist
+        assert len(r_edges) <= len(f_edges)
