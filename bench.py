@@ -307,6 +307,84 @@ def _dedup_scale_section(spark, sf_dir: str, reps: int = 10) -> dict:
     return out
 
 
+def _emb_production_scale_section(spark, reps: int = 10) -> dict:
+    """Production-threshold embedding near-dup growth — the measured
+    counterpart of BENCH.md's "ladder limit" note: where sign-LSH
+    discriminates (tight clusters, cos >= 0.9, 14 bits x 40 tables),
+    the candidates -> exact-verify pipeline must grow ~linearly in the
+    corpus, with recall intact at both sizes. Corpora: K clusters x 10
+    members (base + 0.04 noise, unit-normalized), vec_id = cluster*10
+    + member so the intra-cluster truth set needs no O(n^2) oracle.
+    Opt-in with the dedup ladder (SPARK_GRAFT_DEDUP_SCALE=1)."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from local_pdftodocx_ocr_spark.operators import similarity as sim
+    from pyspark.sql import functions as F
+
+    base_dir = tempfile.mkdtemp(prefix="emb_prod_scale_")
+    out = {"reps": reps, "bits": 14, "tables": 40, "threshold": 0.9}
+    cores = spark.sparkContext.defaultParallelism
+    try:
+        for label, n_clusters in (("x1", 500), (f"x{reps}", 500 * reps)):
+            rng = np.random.RandomState(13)
+            rows = []
+            exact_intra = 0     # per-cluster exact cos>=0.9 truth (the
+            # 0.04 noise puts member pairs AT the threshold, ~0.9; the
+            # inter-cluster tail at cos>=0.9 is negligible in 64 dims)
+            for c in range(n_clusters):
+                b = rng.randn(64)
+                b /= np.linalg.norm(b)
+                mem = []
+                for m in range(10):
+                    v = b + 0.04 * rng.randn(64)
+                    v /= np.linalg.norm(v)
+                    mem.append(v)
+                    rows.append((c * 10 + m, [float(x) for x in v]))
+                M = np.asarray(mem)
+                exact_intra += int(((M @ M.T >= 0.9).sum() - 10) // 2)
+            path = f"{base_dir}/{label}"
+            spark.createDataFrame(rows, "vec_id long, embedding array<float>") \
+                .repartition(cores * 2).write.mode("overwrite").parquet(path)
+            e = spark.read.parquet(path)
+            e.count()
+            t0 = time.monotonic()
+            sigs = sim.lsh_bucket_signatures(e, bits=14, tables=40,
+                                             with_vectors=False)
+            s1 = sigs.select(F.col("vec_id").alias("id1"), "table", "bucket")
+            s2 = sigs.select(F.col("vec_id").alias("id2"), "table", "bucket")
+            cand = (s1.join(s2, ["table", "bucket"])
+                    .filter(F.col("id1") < F.col("id2"))
+                    .select("id1", "id2").distinct())
+            v1 = e.select(F.col("vec_id").alias("id1"),
+                          F.col("embedding").cast("array<double>").alias("v1"))
+            v2 = e.select(F.col("vec_id").alias("id2"),
+                          F.col("embedding").cast("array<double>").alias("v2"))
+            pairs = (cand.join(v1, "id1").join(v2, "id2")
+                     .withColumn("cos", sim._cosine(F.col("v1"), F.col("v2")))
+                     .filter(F.col("cos") >= 0.9)
+                     .select("id1", "id2"))
+            agg = pairs.agg(
+                F.count("*").alias("n_pairs"),
+                F.sum((F.floor(F.col("id1") / 10) ==
+                       F.floor(F.col("id2") / 10)).cast("long")).alias("intra"),
+                ).first()
+            wall = time.monotonic() - t0
+            out[label] = {
+                "n_vectors": n_clusters * 10,
+                "wall": round(wall, 3),
+                "verified_pairs": agg["n_pairs"],
+                "exact_pairs": exact_intra,
+                "recall": round(agg["intra"] / exact_intra, 4),
+            }
+        out["ratio"] = round(out[f"x{reps}"]["wall"] / out["x1"]["wall"], 2)
+    finally:
+        shutil.rmtree(base_dir, ignore_errors=True)
+    return out
+
+
 def _tune_env() -> None:
     """tmpfs shuffle dirs + a roomy heap: measured ~20% off both scaling
     runs on this box; harmless no-ops elsewhere."""
@@ -418,8 +496,10 @@ def main() -> int:
     # the dedup ladder — near-linear ratios are the sub-quadratic
     # evidence; kept out of the default run for timeout headroom
     dedup_scale = None
+    emb_scale = None
     if os.environ.get("SPARK_GRAFT_DEDUP_SCALE"):
         dedup_scale = _dedup_scale_section(spark, sf_dir)
+        emb_scale = _emb_production_scale_section(spark)
     spark.stop()
 
     n_small = max(1, cpus // 4)
@@ -460,6 +540,7 @@ def main() -> int:
         "headline_suite_wall_sec": total,
         "queries": queries,
         "dedup_scale": dedup_scale,
+        "emb_production_scale": emb_scale,
         "sf": sf,
         "extract_scaling": {
             f"local[{n_small}]": small,
