@@ -221,39 +221,11 @@ def _write_scaled_corpus(spark, sf_dir: str, out_dir: str, reps: int) -> int:
                     "doc_id long, text string, lang string, source string")
      .withColumn("n_chars", F.length("text"))
      .write.mode("overwrite").parquet(f"{out_dir}/documents.parquet"))
-
-    # embeddings scale alongside documents (the unified-components
-    # ladder row reads both): every replica's vectors get a small
-    # deterministic per-(rep, vec_id) perturbation — identical copies
-    # would make each vector a cos=1.0 clique across replicas and the
-    # ratio would measure degenerate duplication, not volume growth.
-    # Replica 0 is perturbed too (1x and Nx structurally identical).
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    n_emb = emb.count()
-    eparts = [emb.select((F.col("vec_id") + F.lit(r * n_emb)).alias("vec_id"),
-                         "embedding", "label", F.lit(r).alias("rep"))
-              for r in range(reps)]
-    edf = eparts[0]
-    for p in eparts[1:]:
-        edf = edf.union(p)
-
-    def perturb(batches):
-        for pdf in batches:
-            out = []
-            for vec_id, vec, rep in zip(pdf["vec_id"], pdf["embedding"],
-                                        pdf["rep"]):
-                v = np.asarray(vec, dtype=np.float32)
-                rng = np.random.RandomState(int(rep) * 7_000_003
-                                            + int(vec_id) % 7_000_003 + 1)
-                out.append((v + 0.05 * rng.standard_normal(v.shape)
-                            .astype(np.float32)).tolist())
-            yield pd.DataFrame({"vec_id": pdf["vec_id"], "embedding": out,
-                                "label": pdf["label"]})
-
-    cores = spark.sparkContext.defaultParallelism
-    (edf.repartition(cores * 2)
-     .mapInPandas(perturb, "vec_id long, embedding array<float>, label int")
-     .write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet"))
+    # no scaled embeddings: no ladder row reads them (the unified
+    # query is deliberately excluded — see _dedup_scale_section — and
+    # the production-threshold embedding growth measurement,
+    # _emb_production_scale_section, generates its own clustered
+    # corpora)
     return n * reps
 
 
@@ -339,9 +311,13 @@ def _emb_production_scale_section(spark, reps: int = 10) -> dict:
                 b /= np.linalg.norm(b)
                 mem = []
                 for m in range(10):
-                    v = b + 0.04 * rng.randn(64)
-                    v /= np.linalg.norm(v)
-                    mem.append(v)
+                    v = (b + 0.04 * rng.randn(64))
+                    v = (v / np.linalg.norm(v)).astype(np.float32)
+                    # float32 BEFORE both the truth dot products and the
+                    # parquet write: Spark verifies on float32-quantized
+                    # values, so a float64 truth set would disagree on
+                    # pairs engineered to sit AT the 0.9 threshold
+                    mem.append(v.astype(np.float64))
                     rows.append((c * 10 + m, [float(x) for x in v]))
                 M = np.asarray(mem)
                 exact_intra += int(((M @ M.T >= 0.9).sum() - 10) // 2)
@@ -377,7 +353,9 @@ def _emb_production_scale_section(spark, reps: int = 10) -> dict:
                 "wall": round(wall, 3),
                 "verified_pairs": agg["n_pairs"],
                 "exact_pairs": exact_intra,
-                "recall": round(agg["intra"] / exact_intra, 4),
+                # SUM over zero rows is NULL; an empty candidate set must
+                # report recall 0, not abort the bench after the ladder
+                "recall": round((agg["intra"] or 0) / max(exact_intra, 1), 4),
             }
         out["ratio"] = round(out[f"x{reps}"]["wall"] / out["x1"]["wall"], 2)
     finally:

@@ -47,13 +47,20 @@ SHINGLE_DF_CAP = 1000
 # runs each 4x; plan dumps and tests call them again): caches would pile
 # up in executor memory until GC happens to run. Every persist() in this
 # module therefore registers here, and materializing callers call
-# release_caches() once the plan has executed.
+# release_caches() once the plan has executed. The registry holds STRONG
+# references, so it is also self-bounding: callers that never release
+# (the driver's queries() window runs ~50 queries back-to-back) evict
+# the oldest cache once more than _MAX_LIVE_CACHES are alive — evicted
+# plans simply recompute if re-executed.
 _LIVE_CACHES: list[DataFrame] = []
+_MAX_LIVE_CACHES = 6
 
 
 def _persist_tracked(df: DataFrame) -> DataFrame:
     df = df.persist()
     _LIVE_CACHES.append(df)
+    while len(_LIVE_CACHES) > _MAX_LIVE_CACHES:
+        _LIVE_CACHES.pop(0).unpersist(False)
     return df
 
 
@@ -587,8 +594,12 @@ def _simhash_connectivity_edges(sigs: DataFrame) -> DataFrame:
     proportional to duplication^2 and one proportional to corpus size.
     The PAIRS query keeps the full expansion (its contract is every
     pair); the components oracle is unchanged (identical closure)."""
-    sigs = sigs.select("doc_id", "simhash")
-    rep = sigs.groupBy("simhash").agg(F.min("doc_id").alias("rep"))
+    # sigs feeds the intra join AND the rep aggregate; rep feeds three
+    # further branches — persist both (tracked) or the simhash pandas
+    # UDF re-scans the corpus once per branch
+    sigs = _persist_tracked(sigs.select("doc_id", "simhash"))
+    rep = _persist_tracked(
+        sigs.groupBy("simhash").agg(F.min("doc_id").alias("rep")))
     intra = (sigs.join(rep, "simhash")
              .filter(F.col("doc_id") != F.col("rep"))
              .select(F.col("rep").alias("doc1"), F.col("doc_id").alias("doc2")))
@@ -902,23 +913,17 @@ def dedup_canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def canonical_keep_sql() -> str:
     """Oracle: the unified components query as a nested CTE + the
-    quality formula verbatim from textstats.QUALITY_SQL, ROW_NUMBER
-    per component ordered (quality DESC, doc_id). Both engines round
-    quality to 4 places first, so the ordering key is bit-identical."""
-    from .textstats import _STOP_SQL_LIST
+    quality score REUSED from textstats.QUALITY_SQL as a subquery (one
+    source of truth — a hand-copied formula would drift silently when
+    the score changes), ROW_NUMBER per component ordered
+    (quality DESC, doc_id). Both engines round quality to 4 places
+    first, so the ordering key is bit-identical."""
+    from .textstats import QUALITY_SQL
 
     return f"""
 WITH comp AS ({components_unified_sql()}),
 q AS (
-  SELECT doc_id,
-         ROUND(0.5 * LEAST(length(text) / 400.0, 1.0)
-               + 0.3 * (CAST(len(list_filter(string_split(text, ' '),
-                                 x -> x IN ({_STOP_SQL_LIST}))) AS DOUBLE)
-                        / len(string_split(text, ' ')))
-               + 0.2 * ((CAST(length(text) - (len(string_split(text, ' ')) - 1)
-                              AS DOUBLE) / len(string_split(text, ' '))) / 10.0),
-               4) AS quality
-  FROM documents
+  SELECT doc_id, quality FROM ({QUALITY_SQL})
 ),
 sel AS (
   SELECT comp.component, comp.doc_id, q.quality,

@@ -283,6 +283,21 @@ def _nd_bits_for(n: int) -> int:
     return max(ND_LSH_BITS, math.ceil(math.log2(n / ND_TARGET_OCCUPANCY)))
 
 
+# The bit-width probe needs the corpus size at PLAN-CONSTRUCTION time
+# (the hyperplane tensor is baked into the UDF closure), which breaks
+# the otherwise-lazy query-builder contract with one count job. Memoize
+# it per embeddings path so the three unified-graph queries and plan
+# dumps that all construct this query pay the job once per session; at
+# warehouse scale the number comes from table statistics instead.
+_EMB_COUNT_CACHE: dict[str, int] = {}
+
+
+def _emb_count(e: DataFrame, sf_dir: str) -> int:
+    if sf_dir not in _EMB_COUNT_CACHE:
+        _EMB_COUNT_CACHE[sf_dir] = e.count()
+    return _EMB_COUNT_CACHE[sf_dir]
+
+
 def embedding_near_dup_pairs_at_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB path for embedding near-dups (mirror of
     dedup_pipeline_at_scale): LSH-bucket candidate pairs -> exact cosine
@@ -291,9 +306,7 @@ def embedding_near_dup_pairs_at_scale(spark: SparkSession, sf_dir: str) -> DataF
     vectors come from two corpus-scale equi-joins (AQE decides the
     strategy — no broadcast of anything that scales with the corpus)."""
     e = _emb(spark, sf_dir)
-    # one cheap count pins the occupancy-scaled bit width (at warehouse
-    # scale this comes from table statistics instead)
-    bits = _nd_bits_for(e.count())
+    bits = _nd_bits_for(_emb_count(e, sf_dir))
     sigs = lsh_bucket_signatures(e, bits=bits, tables=ND_LSH_TABLES,
                                  with_vectors=False)
     s1 = sigs.select(F.col("vec_id").alias("id1"), "table", "bucket")

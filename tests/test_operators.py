@@ -201,6 +201,24 @@ class TestNearDupAtScale:
                 or "BroadcastNestedLoopJoin" in allpairs_plan)
 
 
+class TestNdBitsOccupancy:
+    def test_noop_at_driver_scales_grows_with_log_n(self):
+        """The occupancy-scaled bit width must be EXACTLY ND_LSH_BITS at
+        every driver/pytest corpus size (so the full-recall set-equality
+        pins keep binding), and grow ~log2(n) past the tuned occupancy
+        so the bucket self-join stays linear in the corpus."""
+        for n in (0, 1, 50, 500, 640, 5000):   # sf0.001/0.01/0.1 sizes
+            assert similarity._nd_bits_for(n) == similarity.ND_LSH_BITS, n
+        assert similarity._nd_bits_for(50_000) == 7
+        assert similarity._nd_bits_for(640 * (1 << 10)) == 10
+        # occupancy n/2^bits never exceeds ~2x the tuned level
+        import math
+        for n in (10_000, 10**6, 10**9):
+            bits = similarity._nd_bits_for(n)
+            assert n / (1 << bits) <= 2 * similarity.ND_TARGET_OCCUPANCY
+            assert bits <= math.ceil(math.log2(n))
+
+
 class TestNearDupProductionThreshold:
     def test_clustered_embeddings_high_recall_and_pruning(self, spark):
         """The claim the at-scale near-dup tier rests on: at PRODUCTION
