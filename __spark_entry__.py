@@ -69,13 +69,14 @@ _PRIORITY = (
     # --- round-4 additions ---
     "docs_dedup_components_unified", "docs_dedup_canonical_keep",
     "docs_dedup_cluster_sizes",
-    "docs_pack_sequences", "docs_duplicated_ngram_spans",
+    "docs_pack_sequences", "docs_packed_payloads",
+    "docs_duplicated_ngram_spans",
     "docs_temperature_mix", "docs_pii_scrub",
     # --- round-4 plan changes (re-verify under the new plans;
-    # minhash_candidates is exercised inside pipeline_at_scale) ---
+    # minhash/simhash candidates are exercised inside
+    # pipeline_at_scale and the unified graph) ---
     "docs_token_budget_mix", "docs_boilerplate_ngrams",
     "orders_in_promo_windows", "docs_dedup_pipeline_at_scale",
-    "docs_dedup_simhash_candidates",
     "extract_external_detections",
     # flagship composition + golden span equality
     "pipeline_training_corpus", "extract_spans_golden",

@@ -60,6 +60,7 @@ HEADLINE = {
     # re-runs the whole unified graph plus one cheap aggregate, so its
     # cost is the unified row's cost again.
     "docs_pack_sequences": textstats.pack_sequences,
+    "docs_packed_payloads": textstats.packed_payloads,
     "docs_duplicated_ngram_spans": textstats.duplicated_ngram_spans,
     "docs_temperature_mix": textstats.temperature_mix,
     "docs_pii_scrub": textstats.pii_scrub,

@@ -741,6 +741,60 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (g % PACK_SEQ_LEN).cast("int").alias("seq_offset")))
 
 
+def packed_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The packed sequences themselves: every token lands at global
+    position global_offset + i, training sequence ``seq_id`` holds
+    positions [seq_id*L, (seq_id+1)*L). One posexplode (map-only over
+    the pack mapping joined back to text) then ONE groupBy whose groups
+    are bounded at exactly L=PACK_SEQ_LEN tokens — no skew is possible
+    by construction, at any corpus size. Output: (seq_id, n_tokens,
+    packed_text); every sequence except the final one is full."""
+    d = _docs(spark, sf_dir)
+    pack = pack_sequences(spark, sf_dir).select("doc_id", "global_offset")
+    toks = (d.join(pack, "doc_id")
+            .select("global_offset",
+                    F.posexplode(F.split(F.col("text"), " "))
+                    .alias("i", "tok"))
+            .select((F.col("global_offset") + F.col("i")).alias("pos"), "tok"))
+    return (toks.groupBy(F.floor(F.col("pos") / PACK_SEQ_LEN).cast("long")
+                         .alias("seq_id"))
+            .agg(F.count("*").alias("n_tokens"),
+                 F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(
+                             F.struct((F.col("pos") % PACK_SEQ_LEN)
+                                      .alias("o"), F.col("tok").alias("t")))),
+                         lambda s: s["t"]), " ").alias("packed_text"))
+            .select("seq_id", F.col("n_tokens").cast("int").alias("n_tokens"),
+                    "packed_text"))
+
+
+PACKED_PAYLOADS_SQL = f"""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS t,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+),
+goff AS (
+  SELECT doc_id,
+         SUM(n) OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n AS goff
+  FROM base
+),
+toks AS (
+  SELECT g.goff + u.i - 1 AS pos, b.t[u.i] AS tok
+  FROM base b JOIN goff g USING (doc_id),
+       LATERAL unnest(range(1, b.n + 1)) AS u(i)
+)
+SELECT CAST(FLOOR(pos / {PACK_SEQ_LEN}) AS BIGINT) AS seq_id,
+       CAST(COUNT(*) AS INTEGER) AS n_tokens,
+       string_agg(tok, ' ' ORDER BY pos) AS packed_text
+FROM toks
+GROUP BY 1
+"""
+
+
 PACK_SQL = f"""
 SELECT doc_id,
        CAST(n_tokens AS INTEGER) AS n_tokens,
@@ -943,6 +997,7 @@ FROM documents
 
 
 QUERIES = {
+    "docs_packed_payloads": packed_payloads,
     "docs_pii_scrub": pii_scrub,
     "docs_temperature_mix": temperature_mix,
     "docs_duplicated_ngram_spans": duplicated_ngram_spans,
@@ -964,6 +1019,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "docs_packed_payloads": PACKED_PAYLOADS_SQL,
     "docs_pii_scrub": PII_SQL,
     "docs_temperature_mix": TEMPERATURE_SQL,
     "docs_duplicated_ngram_spans": DUP_SPANS_SQL,

@@ -886,6 +886,25 @@ class TestPackSequences:
             assert r["seq_id"] == r["global_offset"] // TS.PACK_SEQ_LEN
             assert r["seq_offset"] == r["global_offset"] % TS.PACK_SEQ_LEN
 
+    def test_packed_payloads_tile_the_corpus(self, spark):
+        """Payload emission: every sequence is exactly PACK_SEQ_LEN
+        tokens except the final one; seq_ids are contiguous from 0; the
+        grand total equals the corpus token count; and group size is
+        bounded at L by construction (the skew-free groupBy claim)."""
+        from local_pdftodocx_ocr_spark.operators import textstats as TS
+        rows = sorted(((r["seq_id"], r["n_tokens"], r["packed_text"])
+                       for r in TS.packed_payloads(spark, SF_DIR).collect()))
+        ids = [s for s, _, _ in rows]
+        assert ids == list(range(len(rows)))
+        for s, n, txt in rows[:-1]:
+            assert n == TS.PACK_SEQ_LEN
+            assert len(txt.split(" ")) == n
+        total = sum(n for _, n, _ in rows)
+        corpus_tokens = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+                         .select(F.sum(F.size(F.split("text", " "))))
+                         .first()[0])
+        assert total == corpus_tokens
+
     def test_values_independent_of_partition_count(self, spark):
         """global_offset depends only on the total order, never on where
         the range boundaries fall."""
