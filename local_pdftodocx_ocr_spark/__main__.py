@@ -58,6 +58,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="with --curate: scrub the curated text (emails/"
                          "phones/IPv4 -> typed placeholder tokens) before "
                          "writing; adds an n_pii column")
+    ap.add_argument("--curate-format", choices=("parquet", "jsonl"),
+                    default="parquet",
+                    help="with --curate: output format (jsonl = one JSON "
+                         "object per line, the standard LLM-training "
+                         "delivery format)")
     ap.add_argument("--stream", action="store_true",
                     help="treat --input as a directory of interleaved "
                          "(doc_id, spans) parquet arrivals and drain it as a "
@@ -78,6 +83,9 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"error": "--pii requires --curate (it scrubs "
                                    "the curated corpus text)"}))
         return 2
+    if args.curate_format != "parquet" and not args.curate:
+        print(json.dumps({"error": "--curate-format requires --curate"}))
+        return 2
 
     def write_curated(spark, stats):
         from pyspark.sql import functions as F
@@ -95,9 +103,14 @@ def main(argv: list[str] | None = None) -> int:
             cur = cur.select("doc_id", pii_scrub_text(F.col("text")).alias("text"),
                              "n_tokens", "split",
                              n_pii.cast("int").alias("n_pii"))
-        cur.write.mode("overwrite").parquet(args.curate)
-        stats["curated_docs"] = spark.read.parquet(args.curate).count()
+        if args.curate_format == "jsonl":
+            cur.write.mode("overwrite").json(args.curate)
+            stats["curated_docs"] = spark.read.json(args.curate).count()
+        else:
+            cur.write.mode("overwrite").parquet(args.curate)
+            stats["curated_docs"] = spark.read.parquet(args.curate).count()
         stats["curate_path"] = args.curate
+        stats["curate_format"] = args.curate_format
 
     if args.local_cores:
         spark = job.build_session(args.local_cores, app="pdf2spans")

@@ -278,6 +278,45 @@ def test_cli_curate_pii_scrubs_corpus(spark, tmp_path, capsys):
     assert "--curate" in err["error"]
 
 
+def test_cli_curate_jsonl_export(spark, tmp_path, capsys):
+    """--curate-format jsonl: one JSON object per line (the standard
+    LLM-training delivery format), row-identical to the parquet path;
+    rejected without --curate."""
+    import glob
+    import json as _json
+
+    from local_pdftodocx_ocr_spark.__main__ import main
+
+    corpus = synth.gen_corpus(20)
+    in_path = str(tmp_path / "jl_in.parquet")
+    job.docs_df_from_corpus(spark, corpus).write.parquet(in_path)
+    out = str(tmp_path / "jl_out")
+    dest_p = str(tmp_path / "jl_curated_parquet")
+    dest_j = str(tmp_path / "jl_curated_jsonl")
+    assert main(["--input", in_path, "--output", out,
+                 "--partitions", "2", "--curate", dest_p]) == 0
+    assert main(["--input", in_path, "--output", out,
+                 "--partitions", "2", "--curate", dest_j,
+                 "--curate-format", "jsonl"]) == 0
+    stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["curate_format"] == "jsonl"
+    rows_j = []
+    for f in glob.glob(f"{dest_j}/part-*"):
+        with open(f, encoding="utf-8") as fh:
+            rows_j += [_json.loads(ln) for ln in fh if ln.strip()]
+    got = {(r["doc_id"], r["text"], r["n_tokens"], r["split"])
+           for r in rows_j}
+    exp = {(r["doc_id"], r["text"], r["n_tokens"], r["split"])
+           for r in spark.read.parquet(dest_p).collect()}
+    assert got == exp and got
+
+    rc = main(["--input", in_path, "--output", out,
+               "--curate-format", "jsonl"])
+    assert rc == 2
+    err = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "--curate" in err["error"]
+
+
 def test_snapshot_time_travel(spark, tmp_path):
     """read_at(snapshot_id) returns the table AS OF that commit —
     Iceberg VERSION AS OF semantics on the parquet-manifest fallback."""
