@@ -84,6 +84,33 @@ def enrich_stream_static(events: DataFrame, dim: DataFrame) -> DataFrame:
     return events.join(dim, "event_type", "left")
 
 
+CMS_STREAM_D = 4
+CMS_STREAM_W = 1024
+
+
+def cms_cells_stream(events: DataFrame, d: int = CMS_STREAM_D,
+                     w: int = CMS_STREAM_W) -> DataFrame:
+    """Streaming count-min sketch over user_id — the CONSTANT-state
+    stateful aggregation: however long the stream runs, the aggregation
+    state is at most d*w = 4096 cells (each micro-batch's partial
+    counts merge into the same bounded cell grid — complete/update
+    output, no watermark needed because state cannot grow). The batch
+    CMS (textstats.term_freq_cms) pre-aggregates term frequencies
+    before hashing, a two-level aggregate streaming cannot chain; here
+    each event hashes once on arrival — same md5 buckets, so the final
+    cell grid is IDENTICAL to the batch formula over the same rows
+    (pinned in tests)."""
+    from ..functions.hashing import md5_60bit
+
+    item = F.col("user_id").cast("string")
+    buckets = F.array(*[
+        F.pmod(md5_60bit(F.concat(item, F.lit(f"cms{i}"))), F.lit(w))
+        for i in range(d)])
+    cells = events.select(item.alias("item"),
+                          F.posexplode(buckets).alias("i", "bucket"))
+    return cells.groupBy("i", "bucket").agg(F.count("*").alias("c"))
+
+
 def run_to_memory(df: DataFrame, name: str, output_mode: str = "append"):
     """Drive a bounded stream to completion into a memory sink; returns
     the query (stopped)."""

@@ -465,6 +465,44 @@ class TestStreaming:
         for k, v in got.items():
             assert exp[k] == v
 
+    def test_cms_stream_constant_state_equals_batch(self, spark, tmp_path):
+        """Streaming count-min sketch: after draining a multi-batch
+        stream in complete mode, the cell grid is IDENTICAL to the
+        batch formula over the same rows, and the state/result is
+        bounded at d*w cells regardless of stream length."""
+        from local_pdftodocx_ocr_spark.streaming import events_stream as es
+
+        # two arrival files -> at least two micro-batches merge state
+        ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        in_dir = tmp_path / "cms_in"
+        in_dir.mkdir()
+        a, b = ev.filter(F.col("event_id") % 2 == 0), \
+            ev.filter(F.col("event_id") % 2 == 1)
+        a.coalesce(1).write.parquet(str(in_dir / "arrival=0"))
+        b.coalesce(1).write.parquet(str(in_dir / "arrival=1"))
+        stream = (spark.readStream.schema(es.EVENTS_SCHEMA)
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(str(in_dir) + "/*"))
+        es.run_to_memory(es.cms_cells_stream(stream), "cms_out",
+                         output_mode="complete")
+        got = {(r["i"], r["bucket"]): r["c"]
+               for r in spark.sql("SELECT * FROM cms_out").collect()}
+        exp = {(r["i"], r["bucket"]): r["c"]
+               for r in es.cms_cells_stream(ev).collect()}
+        assert got == exp and got
+        assert len(got) <= es.CMS_STREAM_D * es.CMS_STREAM_W
+        # CMS guarantee on the streamed grid: est >= exact for a probe
+        from local_pdftodocx_ocr_spark.functions.hashing import md5_60bit
+        probe = str(ev.select("user_id").first()["user_id"])
+        exact = ev.filter(F.col("user_id").cast("string") == probe).count()
+        buckets = [(i, r[0]) for i in range(es.CMS_STREAM_D)
+                   for r in spark.range(1).select(
+                       F.pmod(md5_60bit(F.concat(F.lit(probe),
+                                                 F.lit(f"cms{i}"))),
+                              F.lit(es.CMS_STREAM_W))).collect()]
+        est = min(got.get(k, 0) for k in buckets)
+        assert est >= exact
+
     def test_session_counts_runs(self, spark):
         from local_pdftodocx_ocr_spark.streaming import events_stream as es
         stream = es.read_events_stream(spark, SF_DIR)
