@@ -72,13 +72,19 @@ _PRIORITY = (
     "docs_pack_sequences", "docs_packed_payloads",
     "docs_duplicated_ngram_spans",
     "docs_temperature_mix", "docs_pii_scrub",
+    # --- round-4b additions (bounded-state sketches / screens) ---
+    "docs_hll_distinct_shingles", "docs_dedup_bloom_screen",
+    "docs_unigram_loglik", "docs_length_quantile_sketch",
     # --- round-4 plan changes (re-verify under the new plans;
     # minhash/simhash candidates are exercised inside
     # pipeline_at_scale and the unified graph) ---
     "docs_token_budget_mix", "docs_boilerplate_ngrams",
-    "orders_in_promo_windows", "docs_dedup_pipeline_at_scale",
     "extract_external_detections",
-    # flagship composition + golden span equality
+    # --- past the ~50-query window from here: r3-green queries whose
+    # round-4 change is plan-only and already pinned by plan/set-equality
+    # pytest (promo calendar literal, pipeline refactor), then the
+    # flagship compositions (r3-green, unchanged) ---
+    "orders_in_promo_windows", "docs_dedup_pipeline_at_scale",
     "pipeline_training_corpus", "extract_spans_golden",
 )
 

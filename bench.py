@@ -65,6 +65,11 @@ HEADLINE = {
     "docs_temperature_mix": textstats.temperature_mix,
     "docs_pii_scrub": textstats.pii_scrub,
     "docs_dedup_components_unified": dedup.dedup_components_unified,
+    # round-4b bounded-state sketches/screens
+    "docs_hll_distinct_shingles": textstats.hll_distinct_shingles,
+    "docs_dedup_bloom_screen": dedup.dedup_bloom_screen,
+    "docs_unigram_loglik": textstats.unigram_loglik,
+    "docs_length_quantile_sketch": textstats.length_quantile_sketch,
     "extract_from_documents": extraction.extract_from_documents,
 }
 

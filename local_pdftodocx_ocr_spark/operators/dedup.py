@@ -154,6 +154,105 @@ GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# Bloom-filter incremental dedup: screen an incoming batch against the
+# committed corpus with a FIXED-size broadcast bit set instead of the
+# anti-join's key shuffle. k=4 md5-derived positions in an m=8192-bit
+# filter; no false negatives by construction, so the exact anti-join
+# only ever needs to run on the (tiny) maybe_dup survivor set — at
+# 10^12 committed docs the filter is still 1 KiB of distinct positions
+# broadcast to every executor while the per-doc membership test is a
+# map-only pass. (At that scale you size m ~ 10 bits/key and build the
+# filter once as an aggregate of the committed key table the snapshot
+# sink already maintains.) The md5 positions make the filter — and its
+# false-positive *set* — deterministic, so the probabilistic screen has
+# an exact cross-engine SQL oracle.
+# ---------------------------------------------------------------------------
+
+BLOOM_M = 8192
+BLOOM_K = 4
+
+
+def _bloom_positions(key_col):
+    """The k bit positions of a content key, as an array column; the
+    salt makes the k hashes independent draws of the same md5 family
+    used everywhere else (cross-engine-exact)."""
+    from ..functions.hashing import md5_60bit
+    return F.array(*[
+        F.pmod(md5_60bit(F.concat(key_col, F.lit(f"bloom{i}"))),
+               F.lit(BLOOM_M))
+        for i in range(BLOOM_K)])
+
+
+def dedup_bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per incoming doc: maybe_dup (all k filter bits set) and is_dup
+    (exact key match, computed ONLY on the maybe_dup survivors — the
+    production composition; non-survivors are provably fresh because a
+    Bloom filter has no false negatives)."""
+    d = _docs(spark, sf_dir, spread=False)
+    key = F.md5(F.lower(F.col("text")))
+    committed = (d.filter(F.col("doc_id") % 2 == 0)
+                 .select(key.alias("content_key")))
+    # the filter: distinct set bit positions — <= m rows at ANY corpus
+    # size, the one broadcast here that is legitimately SF-independent
+    bits = (committed
+            .select(F.explode(_bloom_positions(F.col("content_key")))
+                    .alias("bit"))
+            .distinct())
+    incoming = (d.filter(F.col("doc_id") % 2 == 1)
+                .select("doc_id", key.alias("content_key")))
+    # one pass: flag each of the k probe positions against the broadcast
+    # set, then count flags per doc — counting rows (not distinct bits)
+    # stays correct when two of a doc's k hashes collide on one bit
+    probes = incoming.select(
+        "doc_id", "content_key",
+        F.explode(_bloom_positions(F.col("content_key"))).alias("bit"))
+    screened = (probes
+                .join(F.broadcast(bits.withColumn("hit", F.lit(1))),
+                      "bit", "left")
+                .groupBy("doc_id", "content_key")
+                .agg((F.count("hit") == BLOOM_K).alias("maybe_dup")))
+    # exact verify only on survivors: this join's left side is the FP+dup
+    # subset, not the batch
+    verified = (screened.filter(F.col("maybe_dup"))
+                .join(committed.distinct(), "content_key", "left_semi")
+                .select("doc_id", F.lit(True).alias("is_dup")))
+    return (screened.join(verified, "doc_id", "left")
+            .select("doc_id", "maybe_dup",
+                    F.coalesce("is_dup", F.lit(False)).alias("is_dup")))
+
+
+def _bloom_pos_sql(key_expr: str, i: int) -> str:
+    return (f"(('0x' || substr(md5({key_expr} || 'bloom{i}'), 1, 15))::BIGINT"
+            f" % {BLOOM_M})")
+
+
+DEDUP_BLOOM_SQL = f"""
+WITH committed AS (
+  SELECT md5(lower(text)) AS content_key FROM documents WHERE doc_id % 2 = 0
+),
+bits AS (
+  {" UNION ".join(f"SELECT DISTINCT {_bloom_pos_sql('content_key', i)} AS bit"
+                  " FROM committed" for i in range(BLOOM_K))}
+),
+incoming AS (
+  SELECT doc_id, md5(lower(text)) AS content_key
+  FROM documents WHERE doc_id % 2 = 1
+),
+screened AS (
+  SELECT doc_id, content_key,
+         {" AND ".join(f"{_bloom_pos_sql('content_key', i)} IN"
+                       " (SELECT bit FROM bits)" for i in range(BLOOM_K))}
+           AS maybe_dup
+  FROM incoming
+)
+SELECT s.doc_id, s.maybe_dup,
+       s.maybe_dup AND EXISTS (SELECT 1 FROM committed c
+                               WHERE c.content_key = s.content_key) AS is_dup
+FROM screened s
+"""
+
+
+# ---------------------------------------------------------------------------
 # Word-3-gram Jaccard pairwise dedup (exact; shingle inverted-index join)
 # ---------------------------------------------------------------------------
 
@@ -1014,6 +1113,7 @@ FROM documents d LEFT JOIN lbl ON d.doc_id = lbl.doc_id
 QUERIES = {
     "docs_dedup_exact": dedup_exact,
     "docs_dedup_incremental": dedup_incremental,
+    "docs_dedup_bloom_screen": dedup_bloom_screen,
     "docs_dedup_pipeline_at_scale": dedup_pipeline_at_scale,
     "docs_dedup_components_at_scale": dedup_components_at_scale,
     "docs_dedup_keep_list": dedup_keep_list,
@@ -1033,6 +1133,7 @@ def oracles() -> dict[str, str]:
     return {
         "docs_dedup_exact": DEDUP_EXACT_SQL,
         "docs_dedup_incremental": DEDUP_INCREMENTAL_SQL,
+        "docs_dedup_bloom_screen": DEDUP_BLOOM_SQL,
         "docs_dedup_keep_list": DEDUP_KEEP_SQL,
         "docs_dedup_jaccard_pairs": DEDUP_JACCARD_SQL,
         # the at-scale pipeline must land on the exact keep list (LSH

@@ -996,7 +996,241 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-count sketch (Flajolet et al. 2007) over the
+# corpus's word-3-gram shingles. m=256 registers (p=8): the aggregation
+# state is a FIXED 256 cells at any corpus size, and the per-register
+# MAX is map-side combinable — at 100 TB no partition ever holds a
+# distinct set (vs COUNT(DISTINCT)'s full dedup shuffle). Because the
+# hash is md5, the sketch is DETERMINISTIC, so (like the KMV sketch at
+# relational.py and the CMS above) a probabilistic estimator gets an
+# exact cross-engine SQL oracle. The harmonic-mean denominator is kept
+# in EXACT integer arithmetic (sum of 2^(53-M_j) as BIGINT — dyadic
+# terms whose float sum would be order-dependent); the only float ops
+# are one multiply chain + one division on identical literals, so the
+# rounded estimate is bit-identical across engines. Estimate accuracy
+# vs the exact distinct count is pytest-pinned (TestHLLSketch), not
+# part of the query: at scale you run the sketch INSTEAD of the exact.
+# ---------------------------------------------------------------------------
+
+HLL_P = 8
+HLL_M = 1 << HLL_P                  # 256 registers
+_HLL_REM_BITS = 60 - HLL_P          # md5_60bit residue width after bucketing
+_HLL_RHO_MAX = _HLL_REM_BITS + 1    # 53: all-zero residue
+
+
+def hll_distinct_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import md5_60bit
+    from .dedup import _distinct_shingles
+
+    d = _docs(spark, sf_dir)
+    sh = _distinct_shingles(d)      # same shingle semantics as every dedup tier
+    h = md5_60bit(F.col("s"))
+    # integer bucket/residue split: pmod + shiftright stay in exact
+    # 64-bit arithmetic (h / m in Spark is DOUBLE division — lossy
+    # above 2^53)
+    buckets = sh.select(F.pmod(h, F.lit(HLL_M)).alias("bucket"),
+                        F.shiftright(h, HLL_P).alias("rem"))
+    # rho = leading zeros of the (60-p)-bit residue + 1; bit length via
+    # minimal binary string (identical bin() semantics both engines)
+    rho = F.when(F.col("rem") == 0, F.lit(_HLL_RHO_MAX)) \
+           .otherwise(F.lit(_HLL_RHO_MAX) - F.length(F.bin(F.col("rem"))))
+    regs = (buckets.select("bucket", rho.alias("rho"))
+            .groupBy("bucket").agg(F.max("rho").alias("m")))
+    agg = regs.agg(
+        F.count("*").alias("n_present"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_RHO_MAX} - m)"))
+         .alias("denom_present"))
+    zeros = F.lit(HLL_M) - F.col("n_present")
+    denom = (F.col("denom_present")
+             + zeros * F.lit(1 << _HLL_RHO_MAX)).cast("double")
+    # alpha written as the same literal expression both engines
+    # constant-fold to the identical double
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(HLL_M)))
+    raw = alpha * F.lit(float(HLL_M * HLL_M)) \
+        * F.lit(float(1 << _HLL_RHO_MAX)) / denom
+    est = F.when((raw <= 2.5 * HLL_M) & (zeros > 0),
+                 F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / zeros)) \
+           .otherwise(raw)
+    return agg.select(
+        zeros.cast("int").alias("n_zero_registers"),
+        F.round(est, 4).alias("est_distinct_shingles"))
+
+
+HLL_SQL = f"""
+WITH shraw AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    range(1, GREATEST(len(string_split(text, ' ')) - 2, 0) + 1),
+    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+         || ' ' || string_split(text, ' ')[i+2]
+  ))) AS s
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+),
+sh AS (SELECT DISTINCT s FROM shraw),
+h AS (SELECT ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM sh),
+r AS (SELECT h % {HLL_M} AS bucket, h // {HLL_M} AS rem FROM h),
+rr AS (SELECT bucket,
+              CASE WHEN rem = 0 THEN {_HLL_RHO_MAX}
+                   ELSE {_HLL_RHO_MAX} - length(bin(rem)) END AS rho
+       FROM r),
+reg AS (SELECT bucket, MAX(rho) AS m FROM rr GROUP BY 1),
+agg AS (SELECT COUNT(*) AS n_present,
+               CAST(SUM(1::BIGINT << ({_HLL_RHO_MAX} - m)) AS BIGINT)
+                 AS denom_present
+        FROM reg)
+SELECT CAST({HLL_M} - n_present AS INTEGER) AS n_zero_registers,
+       ROUND(CASE WHEN (0.7213 / (1 + 1.079 / {HLL_M}.0))
+                       * {HLL_M * HLL_M}.0 * {1 << _HLL_RHO_MAX}.0
+                       / CAST(denom_present
+                              + ({HLL_M} - n_present)
+                                * (1::BIGINT << {_HLL_RHO_MAX}) AS DOUBLE)
+                    <= {2.5 * HLL_M}
+                   AND {HLL_M} - n_present > 0
+              THEN {HLL_M}.0 * ln({HLL_M}.0 / ({HLL_M} - n_present))
+              ELSE (0.7213 / (1 + 1.079 / {HLL_M}.0))
+                   * {HLL_M * HLL_M}.0 * {1 << _HLL_RHO_MAX}.0
+                   / CAST(denom_present
+                          + ({HLL_M} - n_present)
+                            * (1::BIGINT << {_HLL_RHO_MAX}) AS DOUBLE)
+         END, 4) AS est_distinct_shingles
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# Unigram language-model scoring: average per-token log2 probability
+# under an add-1-smoothed unigram model trained on the corpus itself —
+# the cheap perplexity proxy pipelines use to rank documents before the
+# expensive neural-LM quality pass (CCNet-style). Per-token log2
+# values are QUANTIZED to 1e-4 integers before the per-document sum,
+# so the sum is exact BIGINT arithmetic — order-free across engines and
+# partitions (a raw float sum would depend on Spark's nondeterministic
+# aggregation order). The vocabulary table scales with the corpus
+# (heavy-tailed), so it gets NO broadcast hint — AQE decides; corpus
+# totals (N, V) arrive as a 1-row broadcast, never a driver collect.
+# ---------------------------------------------------------------------------
+
+def unigram_loglik(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    tok = (d.select("doc_id",
+                    F.explode(F.split(F.lower("text"), " ")).alias("term"))
+           .filter(F.col("term") != ""))
+    per_doc = tok.groupBy("doc_id", "term").agg(F.count("*").alias("n"))
+    tf = per_doc.groupBy("term").agg(F.sum("n").alias("tf"))
+    totals = tf.agg(F.sum("tf").alias("big_n"),
+                    F.count("*").alias("v"))
+    # r = round(log2(p) * 1e4) as BIGINT: the only float ops are one
+    # division and one log2 on identical operands; the rounding
+    # boundary is never hit exactly (log2 of a non-power-of-2 ratio is
+    # irrational), so both engines quantize identically
+    scored = (tf.crossJoin(F.broadcast(totals))
+              .withColumn("r", F.round(
+                  F.log2((F.col("tf") + F.lit(1.0))
+                         / (F.col("big_n") + F.col("v"))) * 10000.0, 0)
+                  .cast("long")))
+    return (per_doc.join(scored.select("term", "r"), "term")
+            .groupBy("doc_id")
+            .agg(F.sum("n").cast("int").alias("n_tokens"),
+                 F.sum(F.col("n") * F.col("r")).alias("sum_r"))
+            .select("doc_id", "n_tokens",
+                    F.round(F.col("sum_r") / F.col("n_tokens") / 10000.0, 4)
+                    .alias("avg_log2_prob")))
+
+
+UNIGRAM_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+),
+per_doc AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS n
+  FROM tok WHERE term <> '' GROUP BY 1, 2
+),
+tf AS (SELECT term, CAST(SUM(n) AS BIGINT) AS tf FROM per_doc GROUP BY 1),
+totals AS (SELECT CAST(SUM(tf) AS BIGINT) AS big_n,
+                  CAST(COUNT(*) AS BIGINT) AS v FROM tf),
+scored AS (
+  SELECT term,
+         CAST(ROUND(log2((tf + 1.0) / (big_n + v)) * 10000.0, 0) AS BIGINT)
+           AS r
+  FROM tf CROSS JOIN totals
+)
+SELECT doc_id, CAST(SUM(n) AS INTEGER) AS n_tokens,
+       ROUND(CAST(SUM(n * r) AS BIGINT) / CAST(SUM(n) AS BIGINT) / 10000.0, 4)
+         AS avg_log2_prob
+FROM per_doc JOIN scored USING (term)
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Fixed-bin histogram quantile sketch over document lengths: P50/P90/P99
+# from a 128-cell histogram — constant aggregation state at any corpus
+# size and a map-side-combinable count per cell, vs an exact quantile's
+# global sort. The cumulative scan runs over <= 128 rows (bounded by
+# the histogram width, NOT the corpus), so its single-partition window
+# is safe at 100 TB. Thresholds use ceil-division in pure integer
+# arithmetic — the whole query is integer-exact cross-engine.
+# ---------------------------------------------------------------------------
+
+HIST_BIN_CHARS = 16
+HIST_MAX_BIN = 127
+HIST_PCTS = (50, 90, 99)
+
+
+def length_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = _docs(spark, sf_dir)
+    bins = (d.select(F.least(
+                F.expr(f"n_chars DIV {HIST_BIN_CHARS}"),
+                F.lit(HIST_MAX_BIN).cast("long")).alias("bin"))
+            .groupBy("bin").agg(F.count("*").alias("c")))
+    # <= 128 rows from here on: the unpartitioned window is bounded by
+    # the histogram width, not the data
+    cum = bins.withColumn(
+        "cum", F.sum("c").over(W.orderBy("bin")
+                               .rowsBetween(W.unboundedPreceding, 0)))
+    n = d.agg(F.count("*").alias("n"))
+    pcts = spark.range(1).select(
+        F.explode(F.array(*[F.lit(p) for p in HIST_PCTS])).alias("pct"))
+    thr = (pcts.crossJoin(F.broadcast(n))
+           .select("pct", F.expr("(n * pct + 99) DIV 100").alias("rank_at")))
+    return (thr.join(F.broadcast(cum), F.col("cum") >= F.col("rank_at"))
+            .groupBy("pct", "rank_at")
+            .agg(F.min("bin").alias("bin"))
+            .select(F.col("pct").cast("int").alias("pct"), "rank_at",
+                    ((F.col("bin") + 1) * HIST_BIN_CHARS).cast("int")
+                    .alias("est_chars_ub")))
+
+
+HIST_SQL = f"""
+WITH bins AS (
+  SELECT LEAST(n_chars // {HIST_BIN_CHARS}, {HIST_MAX_BIN}) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1
+),
+cum AS (
+  SELECT bin, SUM(c) OVER (ORDER BY bin
+                           ROWS UNBOUNDED PRECEDING) AS cum
+  FROM bins
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+thr AS (
+  SELECT pct, (n.n * pct + 99) // 100 AS rank_at
+  FROM (VALUES {", ".join(f"({p})" for p in HIST_PCTS)}) p(pct) CROSS JOIN n
+)
+SELECT CAST(pct AS INTEGER) AS pct, CAST(rank_at AS BIGINT) AS rank_at,
+       CAST((MIN(bin) + 1) * {HIST_BIN_CHARS} AS INTEGER) AS est_chars_ub
+FROM thr JOIN cum ON cum >= rank_at
+GROUP BY pct, rank_at
+"""
+
+
 QUERIES = {
+    "docs_hll_distinct_shingles": hll_distinct_shingles,
+    "docs_unigram_loglik": unigram_loglik,
+    "docs_length_quantile_sketch": length_quantile_sketch,
     "docs_packed_payloads": packed_payloads,
     "docs_pii_scrub": pii_scrub,
     "docs_temperature_mix": temperature_mix,
@@ -1019,6 +1253,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    "docs_hll_distinct_shingles": HLL_SQL,
+    "docs_unigram_loglik": UNIGRAM_SQL,
+    "docs_length_quantile_sketch": HIST_SQL,
     "docs_packed_payloads": PACKED_PAYLOADS_SQL,
     "docs_pii_scrub": PII_SQL,
     "docs_temperature_mix": TEMPERATURE_SQL,

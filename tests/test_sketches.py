@@ -1,0 +1,208 @@
+"""Tests for the bounded-state sketch/screen operators added in round 4b:
+
+* HyperLogLog distinct-shingle sketch  (textstats.hll_distinct_shingles)
+* Bloom-filter incremental screen      (dedup.dedup_bloom_screen)
+* unigram log-likelihood scoring       (textstats.unigram_loglik)
+* histogram quantile sketch            (textstats.length_quantile_sketch)
+
+Cross-engine value equality is covered by the oracle mirror
+(test_queries_oracle.py); these tests pin the parts an oracle can't:
+estimator accuracy vs exact, the no-false-negative Bloom guarantee on a
+fixture that actually exercises every branch (including a searched-for
+genuine false positive), model-scoring semantics, and the physical
+plans the 100-TB story depends on."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from local_pdftodocx_ocr_spark.operators import dedup, textstats
+from local_pdftodocx_ocr_spark.plans import asserts as plans
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+class TestHLLSketch:
+    def test_estimate_within_hll_error_bound(self, spark):
+        """m=256 registers -> ~1.04/sqrt(256) = 6.5% standard error;
+        allow 15% (2+ sigma) against the exact distinct-shingle count."""
+        d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        exact = dedup._distinct_shingles(d).select("s").distinct().count()
+        row = textstats.hll_distinct_shingles(spark, SF_DIR).collect()[0]
+        rel_err = abs(row["est_distinct_shingles"] - exact) / exact
+        assert rel_err < 0.15, (row["est_distinct_shingles"], exact)
+
+    def test_small_range_correction_branch(self, spark):
+        """A tiny corpus must take the linear-counting branch (zeros>0)
+        and still land within the bound — both branches are live."""
+        rows = [(i, f"alpha beta gamma delta {i}") for i in range(30)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        orig = textstats._docs
+        try:
+            textstats._docs = lambda spark, sf: df
+            row = textstats.hll_distinct_shingles(spark, SF_DIR).collect()[0]
+        finally:
+            textstats._docs = orig
+        # 5 tokens/doc -> 3 shingles: two shared across all docs
+        # ("alpha beta gamma", "beta gamma delta") + one unique
+        # ("gamma delta {i}") = 2 + 30 distinct
+        exact = 32
+        assert row["n_zero_registers"] > 0
+        est = row["est_distinct_shingles"]
+        # linear counting is very accurate at n << m
+        assert abs(est - exact) / exact < 0.15, (est, exact)
+
+    def test_plan_is_bounded_aggregation(self, spark):
+        """The sketch must be two hash aggregations (bucket max ->
+        single-row fold), never a distinct/sort on the full shingle
+        stream, and JVM-only."""
+        df = textstats.hll_distinct_shingles(spark, SF_DIR)
+        plan = plans.executed_plan(df)
+        assert "Sort" not in plan, plan
+        assert "EvalPython" not in plan, plan
+
+
+class TestBloomScreen:
+    """Planted fixture: 600 committed docs fill ~25% of the 8192-bit
+    filter; incoming rows include an exact duplicate (maybe & dup), a
+    SEARCHED-FOR genuine false positive (maybe & not dup — trial 7 of
+    the deterministic probe family), and fresh texts (not maybe). A
+    pure-Python mirror of the md5 bit arithmetic is the oracle."""
+
+    M, K = dedup.BLOOM_M, dedup.BLOOM_K
+
+    @classmethod
+    def _key(cls, text: str) -> str:
+        return hashlib.md5(text.lower().encode()).hexdigest()
+
+    @classmethod
+    def _pos(cls, key: str, i: int) -> int:
+        return int(hashlib.md5(
+            (key + f"bloom{i}").encode()).hexdigest()[:15], 16) % cls.M
+
+    @pytest.fixture()
+    def planted(self, spark, tmp_path):
+        committed = [f"committed document number {j} about spark shuffle "
+                     "and parquet tables" for j in range(600)]
+        incoming = (
+            [committed[17], committed[99]]            # true duplicates
+            + ["fresh probe text candidate 7"]        # searched false positive
+            + [f"genuinely new text {j} nothing like the rest"
+               for j in range(40)])
+        rows = ([(2 * j, t) for j, t in enumerate(committed)]
+                + [(2 * j + 1, t) for j, t in enumerate(incoming)])
+        path = str(tmp_path / "docs")
+        spark.createDataFrame(rows, "doc_id long, text string") \
+             .withColumn("lang", F.lit("en")) \
+             .withColumn("source", F.lit("src0")) \
+             .withColumn("n_chars", F.length("text")) \
+             .write.parquet(f"{path}/documents.parquet")
+        return path, committed, incoming
+
+    def test_matches_python_mirror_and_hits_every_branch(self, spark, planted):
+        path, committed, incoming = planted
+        bits = {self._pos(self._key(t), i)
+                for t in committed for i in range(self.K)}
+        keys = {self._key(t) for t in committed}
+        expect = {2 * j + 1: (all(self._pos(self._key(t), i) in bits
+                                  for i in range(self.K)),
+                              self._key(t) in keys)
+                  for j, t in enumerate(incoming)}
+        got = {r["doc_id"]: (r["maybe_dup"], r["is_dup"])
+               for r in dedup.dedup_bloom_screen(spark, path).collect()}
+        assert got == expect
+        outcomes = set(got.values())
+        assert (True, True) in outcomes      # real duplicate screened in
+        assert (True, False) in outcomes     # the planted false positive
+        assert (False, False) in outcomes    # fresh doc screened out
+        # no false negatives, ever: every true dup must be maybe_dup
+        assert all(maybe for maybe, dup in got.values() if dup)
+
+    def test_filter_is_broadcast_and_bounded(self, spark):
+        df = dedup.dedup_bloom_screen(spark, SF_DIR)
+        plan = plans.executed_plan(df)
+        assert "BroadcastHashJoin" in plan, plan
+        assert "EvalPython" not in plan, plan
+
+    def test_fp_rate_matches_fill_factor(self, spark, planted):
+        """~25% fill, k=4 -> FP rate ~0.4%; the 40 fresh docs should
+        essentially never collide except the planted one."""
+        path, _, _ = planted
+        out = dedup.dedup_bloom_screen(spark, path).collect()
+        false_pos = [r for r in out if r["maybe_dup"] and not r["is_dup"]]
+        assert len(false_pos) == 1    # exactly the searched-for fixture
+
+
+class TestUnigramLoglik:
+    def test_common_tokens_score_higher(self, spark):
+        rows = [(0, "spark spark spark spark spark spark spark spark"),
+                (1, "spark spark spark spark spark spark spark xyzzy")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        orig = textstats._docs
+        try:
+            textstats._docs = lambda spark, sf: df
+            got = {r["doc_id"]: r["avg_log2_prob"]
+                   for r in textstats.unigram_loglik(spark, SF_DIR).collect()}
+        finally:
+            textstats._docs = orig
+        assert got[0] > got[1], got
+        # model check: doc0 is pure 'spark' (tf=15 of N=16, V=2):
+        # log2(16/18) per token
+        assert got[0] == pytest.approx(
+            round(round(math.log2(16 / 18) * 10000) / 10000.0, 4), abs=1e-9)
+
+    def test_scores_negative_and_complete(self, spark):
+        out = textstats.unigram_loglik(spark, SF_DIR).collect()
+        n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+        assert len(out) == n_docs
+        assert all(r["avg_log2_prob"] < 0 for r in out)
+
+    def test_plan_jvm_only_no_forced_vocab_broadcast(self, spark):
+        """The vocabulary table scales with the corpus: the tf join must
+        NOT carry a forced broadcast hint (AQE decides); the only forced
+        broadcast is the 1-row totals."""
+        df = textstats.unigram_loglik(spark, SF_DIR)
+        plan = plans.executed_plan(df)
+        assert "EvalPython" not in plan, plan
+        from local_pdftodocx_ocr_spark.operators.textstats import unigram_loglik
+        import inspect
+        src = inspect.getsource(unigram_loglik)
+        assert src.count("F.broadcast") == 1  # totals only
+
+
+class TestLengthQuantileSketch:
+    def test_monotone_and_correct_thresholds(self, spark):
+        out = {r["pct"]: r for r in
+               textstats.length_quantile_sketch(spark, SF_DIR).collect()}
+        n = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+        for p in textstats.HIST_PCTS:
+            assert out[p]["rank_at"] == -(-n * p // 100)   # ceil
+        assert (out[50]["est_chars_ub"] <= out[90]["est_chars_ub"]
+                <= out[99]["est_chars_ub"])
+
+    def test_estimate_brackets_exact_quantile(self, spark):
+        """est_chars_ub is the upper edge of the bin holding the rank-q
+        value: exact quantile in (est - BIN, est]."""
+        lens = sorted(r["n_chars"] for r in spark.read.parquet(
+            f"{SF_DIR}/documents.parquet").select("n_chars").collect())
+        out = {r["pct"]: r["est_chars_ub"] for r in
+               textstats.length_quantile_sketch(spark, SF_DIR).collect()}
+        for p in textstats.HIST_PCTS:
+            exact = lens[-(-len(lens) * p // 100) - 1]
+            assert out[p] - textstats.HIST_BIN_CHARS < exact <= out[p], \
+                (p, exact, out[p])
+
+    def test_state_is_bounded(self, spark):
+        """The histogram can never exceed HIST_MAX_BIN+1 cells no matter
+        the corpus — the property that makes the single-partition
+        cumulative window safe at 100 TB."""
+        d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        n_bins = (d.select(F.least(
+            F.expr(f"n_chars DIV {textstats.HIST_BIN_CHARS}"),
+            F.lit(textstats.HIST_MAX_BIN).cast("long")).alias("b"))
+            .distinct().count())
+        assert n_bins <= textstats.HIST_MAX_BIN + 1
