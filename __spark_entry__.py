@@ -75,16 +75,18 @@ _PRIORITY = (
     # --- round-4b additions (bounded-state sketches / screens) ---
     "docs_hll_distinct_shingles", "docs_dedup_bloom_screen",
     "docs_unigram_loglik", "docs_length_quantile_sketch",
+    "docs_curriculum_phases",
     # --- round-4 plan changes (re-verify under the new plans;
     # minhash/simhash candidates are exercised inside
     # pipeline_at_scale and the unified graph) ---
-    "docs_token_budget_mix", "docs_boilerplate_ngrams",
-    "extract_external_detections",
+    "docs_token_budget_mix", "extract_external_detections",
     # --- past the ~50-query window from here: r3-green queries whose
     # round-4 change is plan-only and already pinned by plan/set-equality
-    # pytest (promo calendar literal, pipeline refactor), then the
-    # flagship compositions (r3-green, unchanged) ---
-    "orders_in_promo_windows", "docs_dedup_pipeline_at_scale",
+    # pytest (boilerplate hot-set broadcast, promo calendar literal,
+    # pipeline refactor), then the flagship compositions (r3-green,
+    # unchanged) ---
+    "docs_boilerplate_ngrams", "orders_in_promo_windows",
+    "docs_dedup_pipeline_at_scale",
     "pipeline_training_corpus", "extract_spans_golden",
 )
 

@@ -70,6 +70,7 @@ HEADLINE = {
     "docs_dedup_bloom_screen": dedup.dedup_bloom_screen,
     "docs_unigram_loglik": textstats.unigram_loglik,
     "docs_length_quantile_sketch": textstats.length_quantile_sketch,
+    "docs_curriculum_phases": textstats.curriculum_phases,
     "extract_from_documents": extraction.extract_from_documents,
 }
 

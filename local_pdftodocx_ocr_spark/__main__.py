@@ -34,7 +34,9 @@ def main(argv: list[str] | None = None) -> int:
                          "flat (doc_id, text) corpus in parquet/jsonl/csv")
     ap.add_argument("--format", choices=("parquet", "jsonl", "csv"), default=None,
                     help="input format (default: sniffed from the extension)")
-    ap.add_argument("--output", required=True, help="snapshot table root directory")
+    ap.add_argument("--output", default=None,
+                    help="snapshot table root directory (required except "
+                         "with --stats, which only reads)")
     ap.add_argument("--partitions", type=int, default=0,
                     help="extraction partitions (default: defaultParallelism)")
     ap.add_argument("--no-resume", action="store_true",
@@ -75,10 +77,20 @@ def main(argv: list[str] | None = None) -> int:
                     help="instead of extracting, fold all committed snapshots "
                          "under --output into one (Iceberg rewrite_data_files "
                          "analog) and exit")
+    ap.add_argument("--stats", action="store_true",
+                    help="instead of extracting, print bounded-state corpus "
+                         "statistics of the flat --input corpus as one JSON "
+                         "line (HyperLogLog distinct-shingle estimate + "
+                         "histogram-sketch length quantiles — constant "
+                         "aggregation state at any corpus size) and exit")
     args = ap.parse_args(argv)
 
     from local_pdftodocx_ocr_spark import job
 
+    if not args.output and not args.stats:
+        print(json.dumps({"error": "--output is required (only --stats "
+                                   "runs without a snapshot table)"}))
+        return 2
     if args.pii and not args.curate:
         print(json.dumps({"error": "--pii requires --curate (it scrubs "
                                    "the curated corpus text)"}))
@@ -117,6 +129,32 @@ def main(argv: list[str] | None = None) -> int:
     else:
         spark = SparkSession.builder.appName("pdf2spans").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+
+    if args.stats:
+        from pyspark.sql import functions as F
+
+        from local_pdftodocx_ocr_spark.operators.textstats import (
+            hll_distinct_shingles_df, length_quantile_sketch_df,
+        )
+        from local_pdftodocx_ocr_spark.sources.tables import read_corpus_input
+
+        d = read_corpus_input(spark, args.input, args.format)
+        if not {"doc_id", "text"} <= set(d.columns):
+            print(json.dumps({"error": "--stats needs a flat (doc_id, text) "
+                                       f"corpus; got {sorted(d.columns)}"}))
+            return 2
+        if "n_chars" not in d.columns:
+            d = d.withColumn("n_chars", F.length("text"))
+        hll = hll_distinct_shingles_df(d).collect()[0]   # 1 row
+        quant = {f"p{r['pct']}": r["est_chars_ub"]
+                 for r in length_quantile_sketch_df(spark, d).collect()}  # 3 rows
+        print(json.dumps({
+            "n_docs": d.count(),
+            "est_distinct_shingles": hll["est_distinct_shingles"],
+            "n_zero_registers": hll["n_zero_registers"],
+            "length_quantiles_ub": quant,
+        }))
+        return 0
 
     if args.compact:
         from local_pdftodocx_ocr_spark.catalog import open_table

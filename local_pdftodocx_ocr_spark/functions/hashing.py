@@ -25,3 +25,23 @@ def md5_60bit(col: Column) -> Column:
     hash.
     """
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def hll_bucket_rho(col: Column, p: int) -> tuple[Column, Column]:
+    """HyperLogLog (bucket, rho) split of md5_60bit(col) for 2^p
+    registers: bucket = low p bits, rho = leading zeros of the
+    remaining (60-p)-bit residue + 1. Integer-only (pmod + shiftright
+    + minimal-binary bit length — h / 2^p in Spark would be lossy
+    DOUBLE division above 2^53); the DuckDB mirror is
+    ``h % 2^p`` / ``CASE WHEN h // 2^p = 0 THEN 60-p+1 ELSE 60-p+1 -
+    length(bin(h // 2^p)) END``. Shared by the batch sketch
+    (textstats.hll_distinct_shingles) and the streaming register grid
+    (streaming.events_stream.hll_registers_stream) so both produce
+    identical registers over identical rows."""
+    m = 1 << p
+    rho_max = 60 - p + 1
+    h = md5_60bit(col)
+    rem = F.shiftright(h, p)
+    rho = F.when(rem == 0, F.lit(rho_max)) \
+           .otherwise(F.lit(rho_max) - F.length(F.bin(rem)))
+    return F.pmod(h, F.lit(m)), rho

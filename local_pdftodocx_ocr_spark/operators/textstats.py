@@ -86,15 +86,24 @@ FROM documents
 # Quality scoring (length / punctuation / stopword components)
 # ---------------------------------------------------------------------------
 
-def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
+def _quality_components() -> tuple[Column, Column, Column, Column]:
+    """(len_component, stop_ratio, mean_tok_len, quality) over a `text`
+    column — the single definition the scoring query, the filter chain
+    docs, and the sketch-driven curriculum operator all share."""
     toks = F.split(F.col("text"), " ")
     n_tok = F.size(toks)
     stop_hits = F.size(F.filter(toks, lambda x: x.isin(*_STOPWORDS)))
     stop_ratio = stop_hits / n_tok
     len_component = F.least(F.length("text") / F.lit(400.0), F.lit(1.0))
     mean_tok_len = (F.length("text") - (n_tok - 1)) / n_tok
-    score = F.round(0.5 * len_component + 0.3 * stop_ratio + 0.2 * (mean_tok_len / 10.0), 4)
+    score = F.round(0.5 * len_component + 0.3 * stop_ratio
+                    + 0.2 * (mean_tok_len / 10.0), 4)
+    return len_component, stop_ratio, mean_tok_len, score
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    len_component, stop_ratio, mean_tok_len, score = _quality_components()
     return d.select(
         "doc_id",
         F.round(len_component, 4).alias("len_component"),
@@ -1019,23 +1028,15 @@ _HLL_REM_BITS = 60 - HLL_P          # md5_60bit residue width after bucketing
 _HLL_RHO_MAX = _HLL_REM_BITS + 1    # 53: all-zero residue
 
 
-def hll_distinct_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.hashing import md5_60bit
+def hll_distinct_shingles_df(d: DataFrame) -> DataFrame:
+    """DataFrame-level form (shared by the driver query and the CLI
+    --stats surface)."""
+    from ..functions.hashing import hll_bucket_rho
     from .dedup import _distinct_shingles
 
-    d = _docs(spark, sf_dir)
     sh = _distinct_shingles(d)      # same shingle semantics as every dedup tier
-    h = md5_60bit(F.col("s"))
-    # integer bucket/residue split: pmod + shiftright stay in exact
-    # 64-bit arithmetic (h / m in Spark is DOUBLE division — lossy
-    # above 2^53)
-    buckets = sh.select(F.pmod(h, F.lit(HLL_M)).alias("bucket"),
-                        F.shiftright(h, HLL_P).alias("rem"))
-    # rho = leading zeros of the (60-p)-bit residue + 1; bit length via
-    # minimal binary string (identical bin() semantics both engines)
-    rho = F.when(F.col("rem") == 0, F.lit(_HLL_RHO_MAX)) \
-           .otherwise(F.lit(_HLL_RHO_MAX) - F.length(F.bin(F.col("rem"))))
-    regs = (buckets.select("bucket", rho.alias("rho"))
+    bucket, rho = hll_bucket_rho(F.col("s"), HLL_P)
+    regs = (sh.select(bucket.alias("bucket"), rho.alias("rho"))
             .groupBy("bucket").agg(F.max("rho").alias("m")))
     agg = regs.agg(
         F.count("*").alias("n_present"),
@@ -1055,6 +1056,10 @@ def hll_distinct_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         zeros.cast("int").alias("n_zero_registers"),
         F.round(est, 4).alias("est_distinct_shingles"))
+
+
+def hll_distinct_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hll_distinct_shingles_df(_docs(spark, sf_dir))
 
 
 HLL_SQL = f"""
@@ -1178,10 +1183,11 @@ HIST_MAX_BIN = 127
 HIST_PCTS = (50, 90, 99)
 
 
-def length_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+def length_quantile_sketch_df(spark: SparkSession, d: DataFrame) -> DataFrame:
+    """DataFrame-level form (shared by the driver query and the CLI
+    --stats surface). Requires an n_chars column."""
     from pyspark.sql import Window as W
 
-    d = _docs(spark, sf_dir)
     bins = (d.select(F.least(
                 F.expr(f"n_chars DIV {HIST_BIN_CHARS}"),
                 F.lit(HIST_MAX_BIN).cast("long")).alias("bin"))
@@ -1202,6 +1208,10 @@ def length_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("pct").cast("int").alias("pct"), "rank_at",
                     ((F.col("bin") + 1) * HIST_BIN_CHARS).cast("int")
                     .alias("est_chars_ub")))
+
+
+def length_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return length_quantile_sketch_df(spark, _docs(spark, sf_dir))
 
 
 HIST_SQL = f"""
@@ -1227,7 +1237,101 @@ GROUP BY pct, rank_at
 """
 
 
+# ---------------------------------------------------------------------------
+# Sketch-driven curriculum phases: approximate quality TERTILES from a
+# 128-cell histogram (the length-quantile sketch's machinery turned on
+# the quality score), then a map-only phase assignment against the two
+# broadcast bin thresholds. The usual formulation — ntile(3) over a
+# global ORDER BY quality — is a full corpus sort in ONE window
+# partition; this replaces it with constant sketch state plus one
+# map-only pass, at histogram resolution (docs sharing a boundary bin
+# share a phase — deterministic, and the trade every at-scale quantile
+# consumer makes). Integer-exact thresholds; the only float op is the
+# shared ROUND(quality,4) score both engines already agree on.
+# ---------------------------------------------------------------------------
+
+CURR_QBIN_SCALE = 64          # quality in [0,~1.5] -> bins of 1/64
+CURR_MAX_BIN = 127
+
+
+def curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = _docs(spark, sf_dir)
+    *_, score = _quality_components()
+    binned = d.select(
+        "doc_id",
+        F.least(F.floor(score * CURR_QBIN_SCALE),
+                F.lit(CURR_MAX_BIN).cast("long")).alias("qbin"))
+    hist = binned.groupBy("qbin").agg(F.count("*").alias("c"))
+    # <= 128 rows from here: bounded by histogram width, not corpus
+    cum = hist.withColumn(
+        "cum", F.sum("c").over(W.orderBy("qbin")
+                               .rowsBetween(W.unboundedPreceding, 0)))
+    n = d.agg(F.count("*").alias("n"))
+    tertiles = spark.range(1).select(
+        F.explode(F.array(F.lit(1), F.lit(2))).alias("t"))
+    cuts = (tertiles.crossJoin(F.broadcast(n))
+            .select("t", F.expr("(n * t + 2) DIV 3").alias("rank_at"))
+            .join(F.broadcast(cum), F.col("cum") >= F.col("rank_at"))
+            .groupBy("t").agg(F.min("qbin").alias("cut")))
+    thresholds = (cuts.groupBy()
+                  .agg(F.max(F.when(F.col("t") == 1, F.col("cut"))).alias("b1"),
+                       F.max(F.when(F.col("t") == 2, F.col("cut"))).alias("b2")))
+    phase = (F.when(F.col("qbin") <= F.col("b1"), "early")
+             .when(F.col("qbin") <= F.col("b2"), "mid")
+             .otherwise("late"))
+    return (binned.crossJoin(F.broadcast(thresholds))
+            .select("doc_id", F.col("qbin").cast("int").alias("qbin"),
+                    phase.alias("phase")))
+
+
+CURRICULUM_SQL = f"""
+WITH q AS (
+  SELECT doc_id,
+         LEAST(length(text) / 400.0, 1.0) AS len_component,
+         CAST(len(list_filter(string_split(text, ' '),
+                              x -> x IN ({_STOP_SQL_LIST}))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS stop_ratio,
+         CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+           / len(string_split(text, ' ')) AS mean_tok_len
+  FROM documents
+),
+binned AS (
+  SELECT doc_id,
+         LEAST(CAST(FLOOR(ROUND(0.5 * len_component + 0.3 * stop_ratio
+                                + 0.2 * (mean_tok_len / 10.0), 4)
+                          * {CURR_QBIN_SCALE}) AS BIGINT),
+               {CURR_MAX_BIN}) AS qbin
+  FROM q
+),
+hist AS (SELECT qbin, CAST(COUNT(*) AS BIGINT) AS c FROM binned GROUP BY 1),
+cum AS (SELECT qbin, SUM(c) OVER (ORDER BY qbin ROWS UNBOUNDED PRECEDING)
+                       AS cum
+        FROM hist),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+cuts AS (
+  SELECT t, MIN(qbin) AS cut
+  FROM (SELECT t, (n.n * t + 2) // 3 AS rank_at
+        FROM (VALUES (1), (2)) v(t) CROSS JOIN n) thr
+  JOIN cum ON cum >= rank_at
+  GROUP BY t
+),
+thresholds AS (
+  SELECT MAX(CASE WHEN t = 1 THEN cut END) AS b1,
+         MAX(CASE WHEN t = 2 THEN cut END) AS b2
+  FROM cuts
+)
+SELECT doc_id, CAST(qbin AS INTEGER) AS qbin,
+       CASE WHEN qbin <= b1 THEN 'early'
+            WHEN qbin <= b2 THEN 'mid'
+            ELSE 'late' END AS phase
+FROM binned CROSS JOIN thresholds
+"""
+
+
 QUERIES = {
+    "docs_curriculum_phases": curriculum_phases,
     "docs_hll_distinct_shingles": hll_distinct_shingles,
     "docs_unigram_loglik": unigram_loglik,
     "docs_length_quantile_sketch": length_quantile_sketch,
@@ -1253,6 +1357,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "docs_curriculum_phases": CURRICULUM_SQL,
     "docs_hll_distinct_shingles": HLL_SQL,
     "docs_unigram_loglik": UNIGRAM_SQL,
     "docs_length_quantile_sketch": HIST_SQL,

@@ -111,6 +111,29 @@ def cms_cells_stream(events: DataFrame, d: int = CMS_STREAM_D,
     return cells.groupBy("i", "bucket").agg(F.count("*").alias("c"))
 
 
+HLL_STREAM_P = 8
+HLL_STREAM_M = 1 << HLL_STREAM_P
+
+
+def hll_registers_stream(events: DataFrame,
+                         p: int = HLL_STREAM_P) -> DataFrame:
+    """Streaming HyperLogLog register grid over user_id — the second
+    CONSTANT-state stateful aggregation (with cms_cells_stream above):
+    state is at most 2^p = 256 register rows however long the stream
+    runs, because per-register MAX merges monotonically across
+    micro-batches (complete/update output, no watermark needed — state
+    cannot grow). Shares hll_bucket_rho with the batch sketch
+    (textstats.hll_distinct_shingles), so the drained register table is
+    IDENTICAL to the batch formula over the same rows (pinned in
+    tests); distinct-count estimation is the bounded 256-row fold the
+    batch operator applies."""
+    from ..functions.hashing import hll_bucket_rho
+
+    bucket, rho = hll_bucket_rho(F.col("user_id").cast("string"), p)
+    return (events.select(bucket.alias("bucket"), rho.alias("rho"))
+            .groupBy("bucket").agg(F.max("rho").alias("m")))
+
+
 def run_to_memory(df: DataFrame, name: str, output_mode: str = "append"):
     """Drive a bounded stream to completion into a memory sink; returns
     the query (stopped)."""

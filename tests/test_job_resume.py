@@ -394,6 +394,34 @@ def test_corpus_input_formats_agree(spark, tmp_path):
     assert checks["parquet"][0] == 60
 
 
+def test_cli_stats_matches_library_sketches(spark, capsys):
+    """--stats prints the bounded-state corpus statistics (HLL distinct
+    shingles + histogram length quantiles) equal to the library query
+    results on the same corpus; it is the one mode that runs without
+    --output, and --output stays required everywhere else."""
+    import json as _json
+
+    from local_pdftodocx_ocr_spark.__main__ import main
+    from local_pdftodocx_ocr_spark.operators import textstats
+
+    sf = "/root/testdata/sf0.001"
+    rc = main(["--input", f"{sf}/documents.parquet", "--stats"])
+    assert rc == 0
+    stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    hll = textstats.hll_distinct_shingles(spark, sf).collect()[0]
+    assert stats["est_distinct_shingles"] == hll["est_distinct_shingles"]
+    assert stats["n_zero_registers"] == hll["n_zero_registers"]
+    quant = {f"p{r['pct']}": r["est_chars_ub"]
+             for r in textstats.length_quantile_sketch(spark, sf).collect()}
+    assert stats["length_quantiles_ub"] == quant
+    assert stats["n_docs"] == 500
+
+    rc = main(["--input", f"{sf}/documents.parquet"])   # no --output, no --stats
+    assert rc == 2
+    err = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "--output" in err["error"]
+
+
 def test_cli_compact_preserves_resume(spark, tmp_path, capsys):
     """--compact folds snapshots and a subsequent resume run still sees
     every committed doc (north-rule snapshot semantics via the CLI)."""

@@ -503,6 +503,33 @@ class TestStreaming:
         est = min(got.get(k, 0) for k in buckets)
         assert est >= exact
 
+    def test_hll_stream_constant_state_equals_batch(self, spark, tmp_path):
+        """Streaming HyperLogLog: after draining a multi-batch stream in
+        complete mode, the register table is IDENTICAL to the batch
+        formula over the same rows, and is bounded at 2^p rows
+        regardless of stream length (per-register MAX merges
+        monotonically across micro-batches)."""
+        from local_pdftodocx_ocr_spark.streaming import events_stream as es
+
+        ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        in_dir = tmp_path / "hll_in"
+        in_dir.mkdir()
+        a, b = ev.filter(F.col("event_id") % 2 == 0), \
+            ev.filter(F.col("event_id") % 2 == 1)
+        a.coalesce(1).write.parquet(str(in_dir / "arrival=0"))
+        b.coalesce(1).write.parquet(str(in_dir / "arrival=1"))
+        stream = (spark.readStream.schema(es.EVENTS_SCHEMA)
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(str(in_dir) + "/*"))
+        es.run_to_memory(es.hll_registers_stream(stream), "hll_out",
+                         output_mode="complete")
+        got = {r["bucket"]: r["m"]
+               for r in spark.sql("SELECT * FROM hll_out").collect()}
+        exp = {r["bucket"]: r["m"]
+               for r in es.hll_registers_stream(ev).collect()}
+        assert got == exp and got
+        assert len(got) <= es.HLL_STREAM_M
+
     def test_session_counts_runs(self, spark):
         from local_pdftodocx_ocr_spark.streaming import events_stream as es
         stream = es.read_events_stream(spark, SF_DIR)

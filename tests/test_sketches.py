@@ -174,6 +174,43 @@ class TestUnigramLoglik:
         assert src.count("F.broadcast") == 1  # totals only
 
 
+class TestCurriculumPhases:
+    def test_phase_boundaries_are_minimal_tertile_covers(self, spark):
+        """early = all docs in bins up to the FIRST bin whose cumulative
+        count reaches ceil(N/3); likewise early+mid for ceil(2N/3) —
+        i.e. each prefix covers its tertile rank, and removing the
+        boundary bin would uncover it (minimality)."""
+        out = textstats.curriculum_phases(spark, SF_DIR).collect()
+        n = len(out)
+        r1, r2 = -(-n // 3), -(-2 * n // 3)
+        by_phase = {p: [r["qbin"] for r in out if r["phase"] == p]
+                    for p in ("early", "mid", "late")}
+        assert all(by_phase.values()), {p: len(v) for p, v in by_phase.items()}
+        # phases are ordered by quality bin
+        assert max(by_phase["early"]) < min(by_phase["mid"])
+        assert max(by_phase["mid"]) < min(by_phase["late"])
+        n_early = len(by_phase["early"])
+        n_mid = len(by_phase["mid"])
+        b1, b2 = max(by_phase["early"]), max(by_phase["mid"])
+        assert n_early >= r1                      # covers the tertile rank
+        assert n_early + n_mid >= r2
+        in_b1 = sum(1 for q in by_phase["early"] if q == b1)
+        in_b2 = sum(1 for q in by_phase["mid"] if q == b2)
+        assert n_early - in_b1 < r1               # minimal cover
+        assert n_early + n_mid - in_b2 < r2
+
+    def test_matches_exact_quality_ordering(self, spark):
+        """Phase assignment must be monotone in the exact quality score:
+        no early doc outscores any late doc."""
+        q = {r["doc_id"]: r["quality"]
+             for r in textstats.quality_score(spark, SF_DIR).collect()}
+        phases = {r["doc_id"]: r["phase"]
+                  for r in textstats.curriculum_phases(spark, SF_DIR).collect()}
+        max_early = max(q[d] for d, p in phases.items() if p == "early")
+        min_late = min(q[d] for d, p in phases.items() if p == "late")
+        assert max_early < min_late
+
+
 class TestLengthQuantileSketch:
     def test_monotone_and_correct_thresholds(self, spark):
         out = {r["pct"]: r for r in
