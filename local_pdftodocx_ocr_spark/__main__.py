@@ -136,7 +136,9 @@ def main(argv: list[str] | None = None) -> int:
         from local_pdftodocx_ocr_spark.operators.textstats import (
             hll_distinct_shingles_df, length_quantile_sketch_df,
         )
-        from local_pdftodocx_ocr_spark.sources.tables import read_corpus_input
+        from local_pdftodocx_ocr_spark.sources.tables import (
+            read_corpus_input, spread_scan,
+        )
 
         d = read_corpus_input(spark, args.input, args.format)
         if not {"doc_id", "text"} <= set(d.columns):
@@ -145,11 +147,19 @@ def main(argv: list[str] | None = None) -> int:
             return 2
         if "n_chars" not in d.columns:
             d = d.withColumn("n_chars", F.length("text"))
+        # single-file local scans are ONE partition — spread before the
+        # CPU-heavy shingle/md5 pass (no-op on a parallel scan)
+        d = spread_scan(spark, d)
+        n_docs = d.count()
         hll = hll_distinct_shingles_df(d).collect()[0]   # 1 row
+        # reuse the count: the quantile thresholds take N as a 1-row
+        # plan, so the sketch pass scans only the n_chars column once
+        n_row = spark.range(1).select(F.lit(n_docs).alias("n"))
         quant = {f"p{r['pct']}": r["est_chars_ub"]
-                 for r in length_quantile_sketch_df(spark, d).collect()}  # 3 rows
+                 for r in length_quantile_sketch_df(spark, d,
+                                                    n=n_row).collect()}
         print(json.dumps({
-            "n_docs": d.count(),
+            "n_docs": n_docs,
             "est_distinct_shingles": hll["est_distinct_shingles"],
             "n_zero_registers": hll["n_zero_registers"],
             "length_quantiles_ub": quant,

@@ -1038,10 +1038,14 @@ def hll_distinct_shingles_df(d: DataFrame) -> DataFrame:
     bucket, rho = hll_bucket_rho(F.col("s"), HLL_P)
     regs = (sh.select(bucket.alias("bucket"), rho.alias("rho"))
             .groupBy("bucket").agg(F.max("rho").alias("m")))
+    # COALESCE: on an empty corpus (or all docs < 3 tokens) regs has 0
+    # rows and SUM is NULL — which would poison the denominator and
+    # skip the linear-counting branch that correctly yields est = 0
     agg = regs.agg(
         F.count("*").alias("n_present"),
-        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_RHO_MAX} - m)"))
-         .alias("denom_present"))
+        F.coalesce(
+            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_RHO_MAX} - m)")),
+            F.lit(0).cast("long")).alias("denom_present"))
     zeros = F.lit(HLL_M) - F.col("n_present")
     denom = (F.col("denom_present")
              + zeros * F.lit(1 << _HLL_RHO_MAX)).cast("double")
@@ -1081,8 +1085,8 @@ rr AS (SELECT bucket,
        FROM r),
 reg AS (SELECT bucket, MAX(rho) AS m FROM rr GROUP BY 1),
 agg AS (SELECT COUNT(*) AS n_present,
-               CAST(SUM(1::BIGINT << ({_HLL_RHO_MAX} - m)) AS BIGINT)
-                 AS denom_present
+               CAST(COALESCE(SUM(1::BIGINT << ({_HLL_RHO_MAX} - m)), 0)
+                    AS BIGINT) AS denom_present
         FROM reg)
 SELECT CAST({HLL_M} - n_present AS INTEGER) AS n_zero_registers,
        ROUND(CASE WHEN (0.7213 / (1 + 1.079 / {HLL_M}.0))
@@ -1134,13 +1138,20 @@ def unigram_loglik(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.log2((F.col("tf") + F.lit(1.0))
                          / (F.col("big_n") + F.col("v"))) * 10000.0, 0)
                   .cast("long")))
-    return (per_doc.join(scored.select("term", "r"), "term")
-            .groupBy("doc_id")
-            .agg(F.sum("n").cast("int").alias("n_tokens"),
-                 F.sum(F.col("n") * F.col("r")).alias("sum_r"))
-            .select("doc_id", "n_tokens",
-                    F.round(F.col("sum_r") / F.col("n_tokens") / 10000.0, 4)
-                    .alias("avg_log2_prob")))
+    scored_docs = (per_doc.join(scored.select("term", "r"), "term")
+                   .groupBy("doc_id")
+                   .agg(F.sum("n").cast("int").alias("n_tokens"),
+                        F.sum(F.col("n") * F.col("r")).alias("sum_r"))
+                   .select("doc_id", "n_tokens",
+                           F.round(F.col("sum_r") / F.col("n_tokens")
+                                   / 10000.0, 4).alias("avg_log2_prob")))
+    # emit EVERY doc: a token-less document (empty/all-space text) has
+    # no exploded rows and would silently vanish — it must surface as
+    # (n_tokens=0, avg NULL) so downstream joins don't lose docs
+    return (d.select("doc_id").join(scored_docs, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+                    "avg_log2_prob"))
 
 
 UNIGRAM_SQL = """
@@ -1159,12 +1170,17 @@ scored AS (
          CAST(ROUND(log2((tf + 1.0) / (big_n + v)) * 10000.0, 0) AS BIGINT)
            AS r
   FROM tf CROSS JOIN totals
+),
+scored_docs AS (
+  SELECT doc_id, CAST(SUM(n) AS INTEGER) AS n_tokens,
+         ROUND(CAST(SUM(n * r) AS BIGINT) / CAST(SUM(n) AS BIGINT)
+               / 10000.0, 4) AS avg_log2_prob
+  FROM per_doc JOIN scored USING (term)
+  GROUP BY doc_id
 )
-SELECT doc_id, CAST(SUM(n) AS INTEGER) AS n_tokens,
-       ROUND(CAST(SUM(n * r) AS BIGINT) / CAST(SUM(n) AS BIGINT) / 10000.0, 4)
-         AS avg_log2_prob
-FROM per_doc JOIN scored USING (term)
-GROUP BY doc_id
+SELECT d.doc_id, CAST(COALESCE(s.n_tokens, 0) AS INTEGER) AS n_tokens,
+       s.avg_log2_prob
+FROM documents d LEFT JOIN scored_docs s USING (doc_id)
 """
 
 
@@ -1183,31 +1199,57 @@ HIST_MAX_BIN = 127
 HIST_PCTS = (50, 90, 99)
 
 
-def length_quantile_sketch_df(spark: SparkSession, d: DataFrame) -> DataFrame:
-    """DataFrame-level form (shared by the driver query and the CLI
-    --stats surface). Requires an n_chars column."""
+def _hist_rank_cuts(spark: SparkSession, binned: DataFrame,
+                    ranks: list[tuple[int, int, int]],
+                    n: DataFrame | None = None) -> DataFrame:
+    """The shared histogram-sketch core: given per-item bin assignments
+    (a long `bin` column) and rank specs (label, num, den), return
+    (t, rank_at, cut) where rank_at = ceil(N*num/den) (pure integer
+    ceil-division) and cut = the smallest bin whose cumulative count
+    reaches it. Used by the length-quantile sketch and the curriculum
+    tertiles — one definition of the rank/cut arithmetic. Everything
+    after the first groupBy is bounded by the histogram width (<= 128
+    rows), not the corpus. Pass a precomputed 1-row count as `n` to
+    avoid a second scan when the caller already has one."""
     from pyspark.sql import Window as W
 
-    bins = (d.select(F.least(
-                F.expr(f"n_chars DIV {HIST_BIN_CHARS}"),
-                F.lit(HIST_MAX_BIN).cast("long")).alias("bin"))
-            .groupBy("bin").agg(F.count("*").alias("c")))
-    # <= 128 rows from here on: the unpartitioned window is bounded by
-    # the histogram width, not the data
-    cum = bins.withColumn(
+    hist = binned.groupBy("bin").agg(F.count("*").alias("c"))
+    cum = hist.withColumn(
         "cum", F.sum("c").over(W.orderBy("bin")
                                .rowsBetween(W.unboundedPreceding, 0)))
-    n = d.agg(F.count("*").alias("n"))
-    pcts = spark.range(1).select(
-        F.explode(F.array(*[F.lit(p) for p in HIST_PCTS])).alias("pct"))
-    thr = (pcts.crossJoin(F.broadcast(n))
-           .select("pct", F.expr("(n * pct + 99) DIV 100").alias("rank_at")))
-    return (thr.join(F.broadcast(cum), F.col("cum") >= F.col("rank_at"))
-            .groupBy("pct", "rank_at")
-            .agg(F.min("bin").alias("bin"))
-            .select(F.col("pct").cast("int").alias("pct"), "rank_at",
-                    ((F.col("bin") + 1) * HIST_BIN_CHARS).cast("int")
-                    .alias("est_chars_ub")))
+    if n is None:
+        n = binned.agg(F.count("*").alias("n"))
+    specs = spark.range(1).select(F.explode(F.array(*[
+        F.struct(F.lit(t).alias("t"), F.lit(num).alias("num"),
+                 F.lit(den).alias("den"))
+        for t, num, den in ranks])).alias("s")).select("s.*")
+    return (specs.crossJoin(F.broadcast(n))
+            .select("t", F.expr("(n * num + den - 1) DIV den").alias("rank_at"))
+            .join(F.broadcast(cum), F.col("cum") >= F.col("rank_at"))
+            .groupBy("t", "rank_at")
+            .agg(F.min("bin").alias("cut")))
+
+
+def length_quantile_sketch_df(spark: SparkSession, d: DataFrame,
+                              n: DataFrame | None = None) -> DataFrame:
+    """DataFrame-level form (shared by the driver query and the CLI
+    --stats surface). Requires an n_chars column. The overflow bin
+    (everything past HIST_MAX_BIN) reports the EXACT corpus max as its
+    upper edge — one extra map-side-combinable MAX — so est_chars_ub
+    stays a true upper bound on corpora with documents beyond the
+    histogram range (the capped edge alone would silently under-report
+    them)."""
+    binned = d.select(F.least(
+        F.expr(f"n_chars DIV {HIST_BIN_CHARS}"),
+        F.lit(HIST_MAX_BIN).cast("long")).alias("bin"))
+    cuts = _hist_rank_cuts(
+        spark, binned, [(p, p, 100) for p in HIST_PCTS], n=n)
+    mx = d.agg(F.max("n_chars").alias("mx"))
+    est = F.when(F.col("cut") < HIST_MAX_BIN,
+                 (F.col("cut") + 1) * HIST_BIN_CHARS).otherwise(F.col("mx"))
+    return (cuts.crossJoin(F.broadcast(mx))
+            .select(F.col("t").cast("int").alias("pct"), "rank_at",
+                    est.cast("int").alias("est_chars_ub")))
 
 
 def length_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1226,14 +1268,21 @@ cum AS (
   FROM bins
 ),
 n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+mx AS (SELECT CAST(MAX(n_chars) AS BIGINT) AS mx FROM documents),
 thr AS (
-  SELECT pct, (n.n * pct + 99) // 100 AS rank_at
+  SELECT pct, (n.n * pct + 100 - 1) // 100 AS rank_at
   FROM (VALUES {", ".join(f"({p})" for p in HIST_PCTS)}) p(pct) CROSS JOIN n
+),
+cuts AS (
+  SELECT pct, rank_at, MIN(bin) AS cut
+  FROM thr JOIN cum ON cum >= rank_at
+  GROUP BY pct, rank_at
 )
 SELECT CAST(pct AS INTEGER) AS pct, CAST(rank_at AS BIGINT) AS rank_at,
-       CAST((MIN(bin) + 1) * {HIST_BIN_CHARS} AS INTEGER) AS est_chars_ub
-FROM thr JOIN cum ON cum >= rank_at
-GROUP BY pct, rank_at
+       CAST(CASE WHEN cut < {HIST_MAX_BIN}
+                 THEN (cut + 1) * {HIST_BIN_CHARS}
+                 ELSE mx END AS INTEGER) AS est_chars_ub
+FROM cuts CROSS JOIN mx
 """
 
 
@@ -1255,26 +1304,14 @@ CURR_MAX_BIN = 127
 
 
 def curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
     d = _docs(spark, sf_dir)
     *_, score = _quality_components()
     binned = d.select(
         "doc_id",
         F.least(F.floor(score * CURR_QBIN_SCALE),
                 F.lit(CURR_MAX_BIN).cast("long")).alias("qbin"))
-    hist = binned.groupBy("qbin").agg(F.count("*").alias("c"))
-    # <= 128 rows from here: bounded by histogram width, not corpus
-    cum = hist.withColumn(
-        "cum", F.sum("c").over(W.orderBy("qbin")
-                               .rowsBetween(W.unboundedPreceding, 0)))
-    n = d.agg(F.count("*").alias("n"))
-    tertiles = spark.range(1).select(
-        F.explode(F.array(F.lit(1), F.lit(2))).alias("t"))
-    cuts = (tertiles.crossJoin(F.broadcast(n))
-            .select("t", F.expr("(n * t + 2) DIV 3").alias("rank_at"))
-            .join(F.broadcast(cum), F.col("cum") >= F.col("rank_at"))
-            .groupBy("t").agg(F.min("qbin").alias("cut")))
+    cuts = _hist_rank_cuts(spark, binned.select(F.col("qbin").alias("bin")),
+                           [(1, 1, 3), (2, 2, 3)])
     thresholds = (cuts.groupBy()
                   .agg(F.max(F.when(F.col("t") == 1, F.col("cut"))).alias("b1"),
                        F.max(F.when(F.col("t") == 2, F.col("cut"))).alias("b2")))

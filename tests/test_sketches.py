@@ -56,6 +56,21 @@ class TestHLLSketch:
         # linear counting is very accurate at n << m
         assert abs(est - exact) / exact < 0.15, (est, exact)
 
+    def test_empty_corpus_estimates_zero(self, spark):
+        """Zero shingle-bearing docs -> every register empty -> the
+        linear-counting branch must yield est 0.0, not NULL (SUM over
+        zero register rows is NULL without the COALESCE)."""
+        df = spark.createDataFrame([(0, "one two")],  # < 3 tokens: no shingles
+                                   "doc_id long, text string")
+        orig = textstats._docs
+        try:
+            textstats._docs = lambda spark, sf: df
+            row = textstats.hll_distinct_shingles(spark, SF_DIR).collect()[0]
+        finally:
+            textstats._docs = orig
+        assert row["n_zero_registers"] == textstats.HLL_M
+        assert row["est_distinct_shingles"] == 0.0
+
     def test_plan_is_bounded_aggregation(self, spark):
         """The sketch must be two hash aggregations (bucket max ->
         single-row fold), never a distinct/sort on the full shingle
@@ -161,6 +176,23 @@ class TestUnigramLoglik:
         assert len(out) == n_docs
         assert all(r["avg_log2_prob"] < 0 for r in out)
 
+    def test_tokenless_docs_still_emitted(self, spark):
+        """A document with no non-empty tokens (empty / all-space text)
+        must surface as (n_tokens=0, avg NULL) rather than vanish —
+        downstream inner joins would silently lose it."""
+        rows = [(0, "alpha beta gamma"), (1, ""), (2, "   ")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        orig = textstats._docs
+        try:
+            textstats._docs = lambda spark, sf: df
+            got = {r["doc_id"]: (r["n_tokens"], r["avg_log2_prob"])
+                   for r in textstats.unigram_loglik(spark, SF_DIR).collect()}
+        finally:
+            textstats._docs = orig
+        assert set(got) == {0, 1, 2}
+        assert got[1] == (0, None) and got[2] == (0, None)
+        assert got[0][0] == 3 and got[0][1] < 0
+
     def test_plan_jvm_only_no_forced_vocab_broadcast(self, spark):
         """The vocabulary table scales with the corpus: the tf join must
         NOT carry a forced broadcast hint (AQE decides); the only forced
@@ -232,6 +264,27 @@ class TestLengthQuantileSketch:
             exact = lens[-(-len(lens) * p // 100) - 1]
             assert out[p] - textstats.HIST_BIN_CHARS < exact <= out[p], \
                 (p, exact, out[p])
+
+    def test_overflow_bin_reports_corpus_max(self, spark):
+        """Docs beyond the histogram range land in the capped bin; its
+        upper edge must be the EXACT corpus max, keeping est_chars_ub a
+        true upper bound (the capped edge alone would report 2048 for
+        any longer corpus)."""
+        rows = [(i, "x", 100 + i) for i in range(90)] + \
+               [(90 + j, "y", 5000 + j) for j in range(10)]   # >> 127*16
+        df = spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+        orig = textstats._docs
+        try:
+            textstats._docs = lambda spark, sf: df
+            out = {r["pct"]: r["est_chars_ub"] for r in
+                   textstats.length_quantile_sketch(spark, SF_DIR).collect()}
+        finally:
+            textstats._docs = orig
+        lens = sorted(r[2] for r in rows)
+        assert out[99] == 5009                      # exact corpus max
+        for p in textstats.HIST_PCTS:
+            exact = lens[-(-len(lens) * p // 100) - 1]
+            assert exact <= out[p], (p, exact, out[p])
 
     def test_state_is_bounded(self, spark):
         """The histogram can never exceed HIST_MAX_BIN+1 cells no matter
