@@ -257,6 +257,15 @@ def _dedup_scale_section(spark, sf_dir: str, reps: int = 10) -> dict:
         "docs_dedup_simhash_candidates": dedup.dedup_simhash_candidates,
         "docs_dedup_pipeline_at_scale": dedup.dedup_pipeline_at_scale,
         "docs_boilerplate_ngrams": textstats.boilerplate_ngrams,
+        # bounded-state sketch/screen rows (r4b): all four must grow
+        # ~linearly — constant aggregation state (HLL registers,
+        # histogram cells, bloom bits) means the only reps-scaled cost
+        # is the map pass itself; the permuted replicas share
+        # vocabulary, so the unigram vocab table stays ~constant too
+        "docs_hll_distinct_shingles": textstats.hll_distinct_shingles,
+        "docs_dedup_bloom_screen": dedup.dedup_bloom_screen,
+        "docs_unigram_loglik": textstats.unigram_loglik,
+        "docs_length_quantile_sketch": textstats.length_quantile_sketch,
         # docs_dedup_components_unified is deliberately NOT a ladder row:
         # its embedding tier runs the recall-stress config (threshold
         # cos>=0.4 on near-random vectors), where NO sign-LSH setting
