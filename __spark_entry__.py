@@ -74,17 +74,18 @@ _PRIORITY = (
     "docs_temperature_mix", "docs_pii_scrub",
     # --- round-4b additions (bounded-state sketches / screens) ---
     "docs_hll_distinct_shingles", "docs_dedup_bloom_screen",
+    "docs_dedup_incremental_bloom",
     "docs_unigram_loglik", "docs_length_quantile_sketch",
     "docs_curriculum_phases",
-    # --- round-4 plan changes (re-verify under the new plans;
-    # minhash/simhash candidates are exercised inside
-    # pipeline_at_scale and the unified graph) ---
-    "docs_token_budget_mix", "extract_external_detections",
+    # --- round-4 plan changes (re-verify under the new plans) ---
+    "docs_token_budget_mix",
     # --- past the ~50-query window from here: r3-green queries whose
-    # round-4 change is plan-only and already pinned by plan/set-equality
-    # pytest (boilerplate hot-set broadcast, promo calendar literal,
-    # pipeline refactor), then the flagship compositions (r3-green,
-    # unchanged) ---
+    # round-4 change is plan-only or value-invisible on this corpus and
+    # already pinned in pytest (detections total-order window:
+    # shared-anchor test; boilerplate hot-set broadcast + promo
+    # calendar + pipeline refactor: plan/set-equality tests), then the
+    # flagship compositions (r3-green, unchanged) ---
+    "extract_external_detections",
     "docs_boilerplate_ngrams", "orders_in_promo_windows",
     "docs_dedup_pipeline_at_scale",
     "pipeline_training_corpus", "extract_spans_golden",

@@ -68,6 +68,7 @@ HEADLINE = {
     # round-4b bounded-state sketches/screens
     "docs_hll_distinct_shingles": textstats.hll_distinct_shingles,
     "docs_dedup_bloom_screen": dedup.dedup_bloom_screen,
+    "docs_dedup_incremental_bloom": dedup.dedup_incremental_bloom,
     "docs_unigram_loglik": textstats.unigram_loglik,
     "docs_length_quantile_sketch": textstats.length_quantile_sketch,
     "docs_curriculum_phases": textstats.curriculum_phases,

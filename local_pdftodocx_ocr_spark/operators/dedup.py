@@ -188,6 +188,13 @@ def dedup_bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     (exact key match, computed ONLY on the maybe_dup survivors — the
     production composition; non-survivors are provably fresh because a
     Bloom filter has no false negatives)."""
+    return _bloom_screened(spark, sf_dir).select(
+        "doc_id", "maybe_dup", "is_dup")
+
+
+def _bloom_screened(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, content_key, maybe_dup, is_dup) — shared by the screen
+    query and the bloom-backed incremental keep list."""
     d = _docs(spark, sf_dir, spread=False)
     key = F.md5(F.lower(F.col("text")))
     committed = (d.filter(F.col("doc_id") % 2 == 0)
@@ -217,8 +224,24 @@ def dedup_bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .join(committed.distinct(), "content_key", "left_semi")
                 .select("doc_id", F.lit(True).alias("is_dup")))
     return (screened.join(verified, "doc_id", "left")
-            .select("doc_id", "maybe_dup",
+            .select("doc_id", "content_key", "maybe_dup",
                     F.coalesce("is_dup", F.lit(False)).alias("is_dup")))
+
+
+def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental keep list (same contract as dedup_incremental),
+    produced the at-scale way: bloom screen -> exact verify only on the
+    maybe_dup survivors -> first-wins within the batch. The oracle is
+    LITERALLY the plain anti-join's SQL — the screen must be
+    output-invisible, which is exactly the no-false-negative guarantee:
+    a doc the filter rejects cannot be committed, so dropping only
+    verified duplicates reproduces the anti-join's fresh set while the
+    shuffle-heavy exact join touches only the (FP + dup)-sized
+    survivor slice instead of the whole batch."""
+    fresh = _bloom_screened(spark, sf_dir).filter(~F.col("is_dup"))
+    return (fresh.groupBy("content_key")
+            .agg(F.min("doc_id").alias("keep_id"),
+                 F.count("*").alias("n_in_batch")))
 
 
 def _bloom_pos_sql(key_expr: str, i: int) -> str:
@@ -1114,6 +1137,7 @@ QUERIES = {
     "docs_dedup_exact": dedup_exact,
     "docs_dedup_incremental": dedup_incremental,
     "docs_dedup_bloom_screen": dedup_bloom_screen,
+    "docs_dedup_incremental_bloom": dedup_incremental_bloom,
     "docs_dedup_pipeline_at_scale": dedup_pipeline_at_scale,
     "docs_dedup_components_at_scale": dedup_components_at_scale,
     "docs_dedup_keep_list": dedup_keep_list,
@@ -1134,6 +1158,10 @@ def oracles() -> dict[str, str]:
         "docs_dedup_exact": DEDUP_EXACT_SQL,
         "docs_dedup_incremental": DEDUP_INCREMENTAL_SQL,
         "docs_dedup_bloom_screen": DEDUP_BLOOM_SQL,
+        # the bloom-screened keep list must equal the plain anti-join's
+        # answer exactly — same oracle, so the driver hash-checks the
+        # screen's output-invisibility (no false negatives)
+        "docs_dedup_incremental_bloom": DEDUP_INCREMENTAL_SQL,
         "docs_dedup_keep_list": DEDUP_KEEP_SQL,
         "docs_dedup_jaccard_pairs": DEDUP_JACCARD_SQL,
         # the at-scale pipeline must land on the exact keep list (LSH

@@ -143,6 +143,25 @@ class TestBloomScreen:
         assert "BroadcastHashJoin" in plan, plan
         assert "EvalPython" not in plan, plan
 
+    def test_incremental_bloom_equals_plain_anti_join(self, spark, planted):
+        """The bloom-backed keep list must be row-identical to the plain
+        anti-join incremental dedup — on the sf corpus AND on the
+        planted fixture whose false positive forces the verify join to
+        actually overrule the screen (the FP doc is fresh and must
+        survive into the keep list)."""
+        path, _, _ = planted
+        for src in (SF_DIR, path):
+            plain = {tuple(r) for r in
+                     dedup.dedup_incremental(spark, src).collect()}
+            bloom = {tuple(r) for r in
+                     dedup.dedup_incremental_bloom(spark, src).collect()}
+            assert bloom == plain, (src, len(plain), len(bloom))
+        # the planted FP's key is present in the keep list (it is fresh)
+        fp_key = self._key("fresh probe text candidate 7")
+        keys = {r["content_key"] for r in
+                dedup.dedup_incremental_bloom(spark, path).collect()}
+        assert fp_key in keys
+
     def test_fp_rate_matches_fill_factor(self, spark, planted):
         """~25% fill, k=4 -> FP rate ~0.4%; the 40 fresh docs should
         essentially never collide except the planted one."""
