@@ -85,6 +85,7 @@ _PRIORITY = (
     # shared-anchor test; boilerplate hot-set broadcast + promo
     # calendar + pipeline refactor: plan/set-equality tests), then the
     # flagship compositions (r3-green, unchanged) ---
+    "docs_hll_by_source",
     "extract_external_detections",
     "docs_boilerplate_ngrams", "orders_in_promo_windows",
     "docs_dedup_pipeline_at_scale",

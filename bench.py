@@ -67,6 +67,7 @@ HEADLINE = {
     "docs_dedup_components_unified": dedup.dedup_components_unified,
     # round-4b bounded-state sketches/screens
     "docs_hll_distinct_shingles": textstats.hll_distinct_shingles,
+    "docs_hll_by_source": textstats.hll_by_source,
     "docs_dedup_bloom_screen": dedup.dedup_bloom_screen,
     "docs_dedup_incremental_bloom": dedup.dedup_incremental_bloom,
     "docs_unigram_loglik": textstats.unigram_loglik,

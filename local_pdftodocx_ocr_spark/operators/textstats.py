@@ -1046,6 +1046,16 @@ def hll_distinct_shingles_df(d: DataFrame) -> DataFrame:
         F.coalesce(
             F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_RHO_MAX} - m)")),
             F.lit(0).cast("long")).alias("denom_present"))
+    zeros, est = _hll_estimate_cols()
+    return agg.select(
+        zeros.cast("int").alias("n_zero_registers"),
+        F.round(est, 4).alias("est_distinct_shingles"))
+
+
+def _hll_estimate_cols() -> tuple[Column, Column]:
+    """(zeros, est) over (n_present, denom_present) register-fold
+    columns — the one definition of the estimator, shared by the
+    whole-corpus and the per-source sketches."""
     zeros = F.lit(HLL_M) - F.col("n_present")
     denom = (F.col("denom_present")
              + zeros * F.lit(1 << _HLL_RHO_MAX)).cast("double")
@@ -1057,9 +1067,7 @@ def hll_distinct_shingles_df(d: DataFrame) -> DataFrame:
     est = F.when((raw <= 2.5 * HLL_M) & (zeros > 0),
                  F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / zeros)) \
            .otherwise(raw)
-    return agg.select(
-        zeros.cast("int").alias("n_zero_registers"),
-        F.round(est, 4).alias("est_distinct_shingles"))
+    return zeros, est
 
 
 def hll_distinct_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1089,20 +1097,80 @@ agg AS (SELECT COUNT(*) AS n_present,
                     AS BIGINT) AS denom_present
         FROM reg)
 SELECT CAST({HLL_M} - n_present AS INTEGER) AS n_zero_registers,
-       ROUND(CASE WHEN (0.7213 / (1 + 1.079 / {HLL_M}.0))
-                       * {HLL_M * HLL_M}.0 * {1 << _HLL_RHO_MAX}.0
-                       / CAST(denom_present
-                              + ({HLL_M} - n_present)
-                                * (1::BIGINT << {_HLL_RHO_MAX}) AS DOUBLE)
-                    <= {2.5 * HLL_M}
-                   AND {HLL_M} - n_present > 0
-              THEN {HLL_M}.0 * ln({HLL_M}.0 / ({HLL_M} - n_present))
-              ELSE (0.7213 / (1 + 1.079 / {HLL_M}.0))
-                   * {HLL_M * HLL_M}.0 * {1 << _HLL_RHO_MAX}.0
-                   / CAST(denom_present
-                          + ({HLL_M} - n_present)
-                            * (1::BIGINT << {_HLL_RHO_MAX}) AS DOUBLE)
-         END, 4) AS est_distinct_shingles
+       {{est}} AS est_distinct_shingles
+FROM agg
+"""
+
+# the estimator CASE as one SQL fragment over (n_present,
+# denom_present) — mirrored once, spliced into both the whole-corpus
+# and the per-source oracles
+_HLL_EST_RAW_SQL = (
+    f"(0.7213 / (1 + 1.079 / {HLL_M}.0)) * {HLL_M * HLL_M}.0"
+    f" * {1 << _HLL_RHO_MAX}.0 / CAST(denom_present"
+    f" + ({HLL_M} - n_present) * (1::BIGINT << {_HLL_RHO_MAX}) AS DOUBLE)")
+_HLL_EST_SQL = (
+    f"ROUND(CASE WHEN {_HLL_EST_RAW_SQL} <= {2.5 * HLL_M}"
+    f" AND {HLL_M} - n_present > 0"
+    f" THEN {HLL_M}.0 * ln({HLL_M}.0 / ({HLL_M} - n_present))"
+    f" ELSE {_HLL_EST_RAW_SQL} END, 4)")
+
+HLL_SQL = HLL_SQL.format(est=_HLL_EST_SQL)
+
+
+def hll_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One 256-register HLL PER SOURCE in a single pass — the sketch's
+    mergeability makes per-group distinct counting a map-side-combinable
+    (source, bucket) MAX with state bounded at n_sources x 256 rows;
+    the exact form (COUNT(DISTINCT shingle) GROUP BY source) shuffles
+    every distinct (source, shingle) pair instead. The per-source
+    corpus-composition stat a mixing pipeline reads next to
+    docs_token_budget_mix / docs_temperature_mix."""
+    from ..functions.hashing import hll_bucket_rho
+    from .dedup import _shingle_array
+
+    d = _docs(spark, sf_dir)
+    toks = (d.select("source", F.split(F.col("text"), " ").alias("toks"))
+            .filter(F.size("toks") >= 3))
+    sh = toks.select(
+        "source", F.explode(_shingle_array(F.col("toks"))).alias("s"))
+    bucket, rho = hll_bucket_rho(F.col("s"), HLL_P)
+    regs = (sh.select("source", bucket.alias("bucket"), rho.alias("rho"))
+            .groupBy("source", "bucket").agg(F.max("rho").alias("m")))
+    agg = regs.groupBy("source").agg(
+        F.count("*").alias("n_present"),
+        F.coalesce(
+            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_RHO_MAX} - m)")),
+            F.lit(0).cast("long")).alias("denom_present"))
+    zeros, est = _hll_estimate_cols()
+    return agg.select(
+        "source", zeros.cast("int").alias("n_zero_registers"),
+        F.round(est, 4).alias("est_distinct_shingles"))
+
+
+HLL_BY_SOURCE_SQL = f"""
+WITH shraw AS (
+  SELECT source, unnest(list_distinct(list_transform(
+    range(1, GREATEST(len(string_split(text, ' ')) - 2, 0) + 1),
+    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+         || ' ' || string_split(text, ' ')[i+2]
+  ))) AS s
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+),
+sh AS (SELECT DISTINCT source, s FROM shraw),
+h AS (SELECT source, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM sh),
+r AS (SELECT source, h % {HLL_M} AS bucket, h // {HLL_M} AS rem FROM h),
+rr AS (SELECT source, bucket,
+              CASE WHEN rem = 0 THEN {_HLL_RHO_MAX}
+                   ELSE {_HLL_RHO_MAX} - length(bin(rem)) END AS rho
+       FROM r),
+reg AS (SELECT source, bucket, MAX(rho) AS m FROM rr GROUP BY 1, 2),
+agg AS (SELECT source, COUNT(*) AS n_present,
+               CAST(COALESCE(SUM(1::BIGINT << ({_HLL_RHO_MAX} - m)), 0)
+                    AS BIGINT) AS denom_present
+        FROM reg GROUP BY 1)
+SELECT source, CAST({HLL_M} - n_present AS INTEGER) AS n_zero_registers,
+       {_HLL_EST_SQL} AS est_distinct_shingles
 FROM agg
 """
 
@@ -1370,6 +1438,7 @@ FROM binned CROSS JOIN thresholds
 QUERIES = {
     "docs_curriculum_phases": curriculum_phases,
     "docs_hll_distinct_shingles": hll_distinct_shingles,
+    "docs_hll_by_source": hll_by_source,
     "docs_unigram_loglik": unigram_loglik,
     "docs_length_quantile_sketch": length_quantile_sketch,
     "docs_packed_payloads": packed_payloads,
@@ -1396,6 +1465,7 @@ QUERIES = {
 ORACLES = {
     "docs_curriculum_phases": CURRICULUM_SQL,
     "docs_hll_distinct_shingles": HLL_SQL,
+    "docs_hll_by_source": HLL_BY_SOURCE_SQL,
     "docs_unigram_loglik": UNIGRAM_SQL,
     "docs_length_quantile_sketch": HIST_SQL,
     "docs_packed_payloads": PACKED_PAYLOADS_SQL,

@@ -134,6 +134,28 @@ def hll_registers_stream(events: DataFrame,
             .groupBy("bucket").agg(F.max("rho").alias("m")))
 
 
+HIST_STREAM_BIN = 8.0         # value in [0, ~1000) -> <= 128 cells
+HIST_STREAM_MAX_BIN = 127
+
+
+def value_hist_stream(events: DataFrame) -> DataFrame:
+    """Streaming histogram over event values — the third constant-state
+    stateful aggregation (with the CMS cells and HLL registers above):
+    state is at most 128 bin rows however long the stream runs, and the
+    drained cell counts equal the batch formula over the same rows
+    (pinned in tests). The sink-side reader turns the cells into
+    quantile estimates exactly like the batch length-quantile sketch —
+    streaming quantiles without ever holding the value stream."""
+    # clamp BOTH ends: a negative outlier value would otherwise mint
+    # unbounded negative bins and break the constant-state guarantee
+    bin_col = F.greatest(
+        F.least(F.floor(F.col("value") / HIST_STREAM_BIN),
+                F.lit(HIST_STREAM_MAX_BIN).cast("long")),
+        F.lit(0).cast("long"))
+    return (events.select(bin_col.alias("bin"))
+            .groupBy("bin").agg(F.count("*").alias("c")))
+
+
 def run_to_memory(df: DataFrame, name: str, output_mode: str = "append"):
     """Drive a bounded stream to completion into a memory sink; returns
     the query (stopped)."""

@@ -530,6 +530,32 @@ class TestStreaming:
         assert got == exp and got
         assert len(got) <= es.HLL_STREAM_M
 
+    def test_value_hist_stream_constant_state_equals_batch(self, spark, tmp_path):
+        """Streaming histogram: the drained cell counts equal the batch
+        formula over the same rows, bounded at 128 cells regardless of
+        stream length (counts merge additively across micro-batches)."""
+        from local_pdftodocx_ocr_spark.streaming import events_stream as es
+
+        ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        in_dir = tmp_path / "vh_in"
+        in_dir.mkdir()
+        a, b = ev.filter(F.col("event_id") % 2 == 0), \
+            ev.filter(F.col("event_id") % 2 == 1)
+        a.coalesce(1).write.parquet(str(in_dir / "arrival=0"))
+        b.coalesce(1).write.parquet(str(in_dir / "arrival=1"))
+        stream = (spark.readStream.schema(es.EVENTS_SCHEMA)
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(str(in_dir) + "/*"))
+        es.run_to_memory(es.value_hist_stream(stream), "vh_out",
+                         output_mode="complete")
+        got = {r["bin"]: r["c"]
+               for r in spark.sql("SELECT * FROM vh_out").collect()}
+        exp = {r["bin"]: r["c"]
+               for r in es.value_hist_stream(ev).collect()}
+        assert got == exp and got
+        assert len(got) <= es.HIST_STREAM_MAX_BIN + 1
+        assert sum(got.values()) == ev.count()
+
     def test_session_counts_runs(self, spark):
         from local_pdftodocx_ocr_spark.streaming import events_stream as es
         stream = es.read_events_stream(spark, SF_DIR)

@@ -56,6 +56,22 @@ class TestHLLSketch:
         # linear counting is very accurate at n << m
         assert abs(est - exact) / exact < 0.15, (est, exact)
 
+    def test_per_source_estimates_within_bound(self, spark):
+        """The grouped sketch must estimate each source's distinct
+        shingles as accurately as the global one (same m per group)."""
+        d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        sh = dedup._distinct_shingles(
+            d.withColumn("doc_id", F.col("source")))   # reuse: key by source
+        exact = {r["doc_id"]: r["n"] for r in
+                 sh.distinct().groupBy("doc_id")
+                 .agg(F.count("*").alias("n")).collect()}
+        got = {r["source"]: r["est_distinct_shingles"] for r in
+               textstats.hll_by_source(spark, SF_DIR).collect()}
+        assert set(got) == set(exact)
+        for src, est in got.items():
+            assert abs(est - exact[src]) / exact[src] < 0.2, \
+                (src, est, exact[src])
+
     def test_empty_corpus_estimates_zero(self, spark):
         """Zero shingle-bearing docs -> every register empty -> the
         linear-counting branch must yield est 0.0, not NULL (SUM over
