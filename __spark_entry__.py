@@ -76,16 +76,16 @@ _PRIORITY = (
     "docs_hll_distinct_shingles", "docs_dedup_bloom_screen",
     "docs_dedup_incremental_bloom",
     "docs_unigram_loglik", "docs_length_quantile_sketch",
-    "docs_curriculum_phases",
-    # --- round-4 plan changes (re-verify under the new plans) ---
-    "docs_token_budget_mix",
+    "docs_curriculum_phases", "docs_hll_by_source",
     # --- past the ~50-query window from here: r3-green queries whose
     # round-4 change is plan-only or value-invisible on this corpus and
-    # already pinned in pytest (detections total-order window:
-    # shared-anchor test; boilerplate hot-set broadcast + promo
+    # already pinned in pytest (token-budget window pre-limit: same
+    # values, plan test + type-strict mirror; detections total-order
+    # window: shared-anchor test; boilerplate hot-set broadcast + promo
     # calendar + pipeline refactor: plan/set-equality tests), then the
-    # flagship compositions (r3-green, unchanged) ---
-    "docs_hll_by_source",
+    # flagship compositions (r3-green, unchanged). Never-driver-checked
+    # NEW queries always outrank re-verification of green ones ---
+    "docs_token_budget_mix",
     "extract_external_detections",
     "docs_boilerplate_ngrams", "orders_in_promo_windows",
     "docs_dedup_pipeline_at_scale",

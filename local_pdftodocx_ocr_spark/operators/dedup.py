@@ -296,11 +296,16 @@ def _shingle_array(col):
     return F.array_distinct(shingles)
 
 
-def _distinct_shingles(d: DataFrame) -> DataFrame:
-    toks = (d.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+def _distinct_shingles(d: DataFrame, key: str = "doc_id") -> DataFrame:
+    """(key, s) per-row-distinct word-3-gram shingles — the ONE
+    tokenize/filter/shingle definition every dedup tier and sketch
+    shares. `key` defaults to doc_id; the per-source HLL passes
+    key='source' to build grouped sketches over identical shingle
+    semantics."""
+    toks = (d.select(key, F.split(F.col("text"), " ").alias("toks"))
             .filter(F.size("toks") >= 3))
     return toks.select(
-        "doc_id", F.explode(_shingle_array(F.col("toks"))).alias("s"))
+        key, F.explode(_shingle_array(F.col("toks"))).alias("s"))
 
 
 def _capped_shingles(d: DataFrame, cap: int = SHINGLE_DF_CAP) -> DataFrame:

@@ -1074,33 +1074,6 @@ def hll_distinct_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_distinct_shingles_df(_docs(spark, sf_dir))
 
 
-HLL_SQL = f"""
-WITH shraw AS (
-  SELECT doc_id, unnest(list_distinct(list_transform(
-    range(1, GREATEST(len(string_split(text, ' ')) - 2, 0) + 1),
-    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
-         || ' ' || string_split(text, ' ')[i+2]
-  ))) AS s
-  FROM documents
-  WHERE len(string_split(text, ' ')) >= 3
-),
-sh AS (SELECT DISTINCT s FROM shraw),
-h AS (SELECT ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM sh),
-r AS (SELECT h % {HLL_M} AS bucket, h // {HLL_M} AS rem FROM h),
-rr AS (SELECT bucket,
-              CASE WHEN rem = 0 THEN {_HLL_RHO_MAX}
-                   ELSE {_HLL_RHO_MAX} - length(bin(rem)) END AS rho
-       FROM r),
-reg AS (SELECT bucket, MAX(rho) AS m FROM rr GROUP BY 1),
-agg AS (SELECT COUNT(*) AS n_present,
-               CAST(COALESCE(SUM(1::BIGINT << ({_HLL_RHO_MAX} - m)), 0)
-                    AS BIGINT) AS denom_present
-        FROM reg)
-SELECT CAST({HLL_M} - n_present AS INTEGER) AS n_zero_registers,
-       {{est}} AS est_distinct_shingles
-FROM agg
-"""
-
 # the estimator CASE as one SQL fragment over (n_present,
 # denom_present) — mirrored once, spliced into both the whole-corpus
 # and the per-source oracles
@@ -1114,7 +1087,43 @@ _HLL_EST_SQL = (
     f" THEN {HLL_M}.0 * ln({HLL_M}.0 / ({HLL_M} - n_present))"
     f" ELSE {_HLL_EST_RAW_SQL} END, 4)")
 
-HLL_SQL = HLL_SQL.format(est=_HLL_EST_SQL)
+
+def _hll_sketch_sql(key: str = "") -> str:
+    """Generate the HLL oracle, optionally grouped by `key` — ONE
+    definition of the shingle/hash/rho/register CTE chain and the
+    estimator for both the whole-corpus and per-source sketches (a
+    hand-mirrored copy would silently drift on any rho/hash change)."""
+    k = f"{key}, " if key else ""
+    return f"""
+WITH shraw AS (
+  SELECT {k}unnest(list_distinct(list_transform(
+    range(1, GREATEST(len(string_split(text, ' ')) - 2, 0) + 1),
+    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+         || ' ' || string_split(text, ' ')[i+2]
+  ))) AS s
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+),
+sh AS (SELECT DISTINCT {k}s FROM shraw),
+h AS (SELECT {k}('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM sh),
+r AS (SELECT {k}h % {HLL_M} AS bucket, h // {HLL_M} AS rem FROM h),
+rr AS (SELECT {k}bucket,
+              CASE WHEN rem = 0 THEN {_HLL_RHO_MAX}
+                   ELSE {_HLL_RHO_MAX} - length(bin(rem)) END AS rho
+       FROM r),
+reg AS (SELECT {k}bucket, MAX(rho) AS m FROM rr
+        GROUP BY {"1, 2" if key else "1"}),
+agg AS (SELECT {k}COUNT(*) AS n_present,
+               CAST(COALESCE(SUM(1::BIGINT << ({_HLL_RHO_MAX} - m)), 0)
+                    AS BIGINT) AS denom_present
+        FROM reg{" GROUP BY 1" if key else ""})
+SELECT {k}CAST({HLL_M} - n_present AS INTEGER) AS n_zero_registers,
+       {_HLL_EST_SQL} AS est_distinct_shingles
+FROM agg
+"""
+
+
+HLL_SQL = _hll_sketch_sql()
 
 
 def hll_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1126,13 +1135,10 @@ def hll_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-composition stat a mixing pipeline reads next to
     docs_token_budget_mix / docs_temperature_mix."""
     from ..functions.hashing import hll_bucket_rho
-    from .dedup import _shingle_array
+    from .dedup import _distinct_shingles
 
     d = _docs(spark, sf_dir)
-    toks = (d.select("source", F.split(F.col("text"), " ").alias("toks"))
-            .filter(F.size("toks") >= 3))
-    sh = toks.select(
-        "source", F.explode(_shingle_array(F.col("toks"))).alias("s"))
+    sh = _distinct_shingles(d, key="source")
     bucket, rho = hll_bucket_rho(F.col("s"), HLL_P)
     regs = (sh.select("source", bucket.alias("bucket"), rho.alias("rho"))
             .groupBy("source", "bucket").agg(F.max("rho").alias("m")))
@@ -1147,32 +1153,7 @@ def hll_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(est, 4).alias("est_distinct_shingles"))
 
 
-HLL_BY_SOURCE_SQL = f"""
-WITH shraw AS (
-  SELECT source, unnest(list_distinct(list_transform(
-    range(1, GREATEST(len(string_split(text, ' ')) - 2, 0) + 1),
-    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
-         || ' ' || string_split(text, ' ')[i+2]
-  ))) AS s
-  FROM documents
-  WHERE len(string_split(text, ' ')) >= 3
-),
-sh AS (SELECT DISTINCT source, s FROM shraw),
-h AS (SELECT source, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM sh),
-r AS (SELECT source, h % {HLL_M} AS bucket, h // {HLL_M} AS rem FROM h),
-rr AS (SELECT source, bucket,
-              CASE WHEN rem = 0 THEN {_HLL_RHO_MAX}
-                   ELSE {_HLL_RHO_MAX} - length(bin(rem)) END AS rho
-       FROM r),
-reg AS (SELECT source, bucket, MAX(rho) AS m FROM rr GROUP BY 1, 2),
-agg AS (SELECT source, COUNT(*) AS n_present,
-               CAST(COALESCE(SUM(1::BIGINT << ({_HLL_RHO_MAX} - m)), 0)
-                    AS BIGINT) AS denom_present
-        FROM reg GROUP BY 1)
-SELECT source, CAST({HLL_M} - n_present AS INTEGER) AS n_zero_registers,
-       {_HLL_EST_SQL} AS est_distinct_shingles
-FROM agg
-"""
+HLL_BY_SOURCE_SQL = _hll_sketch_sql("source")
 
 
 # ---------------------------------------------------------------------------

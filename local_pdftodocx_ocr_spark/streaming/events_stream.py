@@ -147,12 +147,16 @@ def value_hist_stream(events: DataFrame) -> DataFrame:
     quantile estimates exactly like the batch length-quantile sketch —
     streaming quantiles without ever holding the value stream."""
     # clamp BOTH ends: a negative outlier value would otherwise mint
-    # unbounded negative bins and break the constant-state guarantee
+    # unbounded negative bins and break the constant-state guarantee.
+    # NULL values are dropped BEFORE binning — least/greatest skip
+    # nulls, so an unfiltered NULL would land in the top bin and read
+    # as a maximal outlier to the quantile consumer
     bin_col = F.greatest(
         F.least(F.floor(F.col("value") / HIST_STREAM_BIN),
                 F.lit(HIST_STREAM_MAX_BIN).cast("long")),
         F.lit(0).cast("long"))
-    return (events.select(bin_col.alias("bin"))
+    return (events.filter(F.col("value").isNotNull())
+            .select(bin_col.alias("bin"))
             .groupBy("bin").agg(F.count("*").alias("c")))
 
 

@@ -465,16 +465,18 @@ class TestStreaming:
         for k, v in got.items():
             assert exp[k] == v
 
-    def test_cms_stream_constant_state_equals_batch(self, spark, tmp_path):
-        """Streaming count-min sketch: after draining a multi-batch
-        stream in complete mode, the cell grid is IDENTICAL to the
-        batch formula over the same rows, and the state/result is
-        bounded at d*w cells regardless of stream length."""
+    @staticmethod
+    def _drain_two_batch_stream(spark, tmp_path, name, transform, key_cols,
+                                val_col="c"):
+        """Shared scaffold for the constant-state streaming sketches:
+        split the events table into two arrival files (so at least two
+        micro-batches merge state), drain `transform(stream)` to a
+        memory sink in complete mode, and return (streamed, batch)
+        dicts keyed by `key_cols` for equality comparison."""
         from local_pdftodocx_ocr_spark.streaming import events_stream as es
 
-        # two arrival files -> at least two micro-batches merge state
         ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
-        in_dir = tmp_path / "cms_in"
+        in_dir = tmp_path / f"{name}_in"
         in_dir.mkdir()
         a, b = ev.filter(F.col("event_id") % 2 == 0), \
             ev.filter(F.col("event_id") % 2 == 1)
@@ -483,12 +485,23 @@ class TestStreaming:
         stream = (spark.readStream.schema(es.EVENTS_SCHEMA)
                   .option("maxFilesPerTrigger", 1)
                   .parquet(str(in_dir) + "/*"))
-        es.run_to_memory(es.cms_cells_stream(stream), "cms_out",
+        es.run_to_memory(transform(stream), f"{name}_out",
                          output_mode="complete")
-        got = {(r["i"], r["bucket"]): r["c"]
-               for r in spark.sql("SELECT * FROM cms_out").collect()}
-        exp = {(r["i"], r["bucket"]): r["c"]
-               for r in es.cms_cells_stream(ev).collect()}
+        key = lambda r: tuple(r[c] for c in key_cols)  # noqa: E731
+        got = {key(r): r[val_col]
+               for r in spark.sql(f"SELECT * FROM {name}_out").collect()}
+        exp = {key(r): r[val_col] for r in transform(ev).collect()}
+        return got, exp, ev
+
+    def test_cms_stream_constant_state_equals_batch(self, spark, tmp_path):
+        """Streaming count-min sketch: after draining a multi-batch
+        stream in complete mode, the cell grid is IDENTICAL to the
+        batch formula over the same rows, and the state/result is
+        bounded at d*w cells regardless of stream length."""
+        from local_pdftodocx_ocr_spark.streaming import events_stream as es
+
+        got, exp, ev = self._drain_two_batch_stream(
+            spark, tmp_path, "cms", es.cms_cells_stream, ("i", "bucket"))
         assert got == exp and got
         assert len(got) <= es.CMS_STREAM_D * es.CMS_STREAM_W
         # CMS guarantee on the streamed grid: est >= exact for a probe
@@ -511,22 +524,9 @@ class TestStreaming:
         monotonically across micro-batches)."""
         from local_pdftodocx_ocr_spark.streaming import events_stream as es
 
-        ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
-        in_dir = tmp_path / "hll_in"
-        in_dir.mkdir()
-        a, b = ev.filter(F.col("event_id") % 2 == 0), \
-            ev.filter(F.col("event_id") % 2 == 1)
-        a.coalesce(1).write.parquet(str(in_dir / "arrival=0"))
-        b.coalesce(1).write.parquet(str(in_dir / "arrival=1"))
-        stream = (spark.readStream.schema(es.EVENTS_SCHEMA)
-                  .option("maxFilesPerTrigger", 1)
-                  .parquet(str(in_dir) + "/*"))
-        es.run_to_memory(es.hll_registers_stream(stream), "hll_out",
-                         output_mode="complete")
-        got = {r["bucket"]: r["m"]
-               for r in spark.sql("SELECT * FROM hll_out").collect()}
-        exp = {r["bucket"]: r["m"]
-               for r in es.hll_registers_stream(ev).collect()}
+        got, exp, _ = self._drain_two_batch_stream(
+            spark, tmp_path, "hll", es.hll_registers_stream, ("bucket",),
+            val_col="m")
         assert got == exp and got
         assert len(got) <= es.HLL_STREAM_M
 
@@ -536,25 +536,17 @@ class TestStreaming:
         stream length (counts merge additively across micro-batches)."""
         from local_pdftodocx_ocr_spark.streaming import events_stream as es
 
-        ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
-        in_dir = tmp_path / "vh_in"
-        in_dir.mkdir()
-        a, b = ev.filter(F.col("event_id") % 2 == 0), \
-            ev.filter(F.col("event_id") % 2 == 1)
-        a.coalesce(1).write.parquet(str(in_dir / "arrival=0"))
-        b.coalesce(1).write.parquet(str(in_dir / "arrival=1"))
-        stream = (spark.readStream.schema(es.EVENTS_SCHEMA)
-                  .option("maxFilesPerTrigger", 1)
-                  .parquet(str(in_dir) + "/*"))
-        es.run_to_memory(es.value_hist_stream(stream), "vh_out",
-                         output_mode="complete")
-        got = {r["bin"]: r["c"]
-               for r in spark.sql("SELECT * FROM vh_out").collect()}
-        exp = {r["bin"]: r["c"]
-               for r in es.value_hist_stream(ev).collect()}
+        got, exp, ev = self._drain_two_batch_stream(
+            spark, tmp_path, "vh", es.value_hist_stream, ("bin",))
         assert got == exp and got
         assert len(got) <= es.HIST_STREAM_MAX_BIN + 1
-        assert sum(got.values()) == ev.count()
+        assert sum(got.values()) == ev.filter(F.col("value").isNotNull()).count()
+        # NULL values are dropped, not binned as maximal outliers;
+        # negative values clamp to bin 0
+        tiny = spark.createDataFrame(
+            [(1, 5.0), (2, None), (3, -3.0)], "event_id long, value double")
+        bins = {r["bin"]: r["c"] for r in es.value_hist_stream(tiny).collect()}
+        assert bins == {0: 2}
 
     def test_session_counts_runs(self, spark):
         from local_pdftodocx_ocr_spark.streaming import events_stream as es
