@@ -367,3 +367,54 @@ class TestSimhashConnectivityEdgesProperty:
         assert got == exp
         # and the reduction is genuinely smaller once clusters exist
         assert len(r_edges) <= len(f_edges)
+
+
+class TestMd5MirrorProperties:
+    """The engine's cross-engine determinism rests on md5-derived
+    integer expressions hashing IDENTICALLY in Spark, DuckDB, and
+    hashlib. The query oracles pin the Spark-vs-DuckDB leg on the test
+    corpora; these properties pin the Spark-vs-hashlib leg on random
+    unicode keys — the sequential-mirror contract the seq_oracles and
+    fixture tests (bloom python mirror, HLL estimator) assume."""
+
+    _keys = st.lists(
+        st.text(alphabet=st.characters(blacklist_categories=("Cs",)),
+                max_size=60),
+        min_size=1, max_size=40, unique=True)
+
+    @given(_keys)
+    @settings(max_examples=4, deadline=None)
+    def test_hll_bucket_rho_matches_hashlib(self, spark, keys):
+        import hashlib
+
+        from pyspark.sql import functions as F
+
+        from local_pdftodocx_ocr_spark.functions.hashing import hll_bucket_rho
+
+        df = spark.createDataFrame([(k,) for k in keys], "s string")
+        bucket, rho = hll_bucket_rho(F.col("s"), 8)
+        got = {r["s"]: (r["b"], r["r"]) for r in
+               df.select("s", bucket.alias("b"), rho.alias("r")).collect()}
+        for k in keys:
+            h = int(hashlib.md5(k.encode()).hexdigest()[:15], 16)
+            rem = h >> 8
+            exp_rho = 53 if rem == 0 else 53 - rem.bit_length()
+            assert got[k] == (h % 256, exp_rho), k
+
+    @given(_keys)
+    @settings(max_examples=4, deadline=None)
+    def test_bloom_positions_match_hashlib(self, spark, keys):
+        import hashlib
+
+        from pyspark.sql import functions as F
+
+        from local_pdftodocx_ocr_spark.operators import dedup
+
+        df = spark.createDataFrame([(k,) for k in keys], "k string")
+        out = df.select(
+            "k", dedup._bloom_positions(F.col("k")).alias("pos")).collect()
+        for r in out:
+            exp = [int(hashlib.md5((r["k"] + f"bloom{i}").encode())
+                       .hexdigest()[:15], 16) % dedup.BLOOM_M
+                   for i in range(dedup.BLOOM_K)]
+            assert list(r["pos"]) == exp, r["k"]
