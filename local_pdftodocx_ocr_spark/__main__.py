@@ -134,7 +134,8 @@ def main(argv: list[str] | None = None) -> int:
         from pyspark.sql import functions as F
 
         from local_pdftodocx_ocr_spark.operators.textstats import (
-            hll_distinct_shingles_df, length_quantile_sketch_df,
+            hll_by_source_df, hll_distinct_shingles_df,
+            length_quantile_sketch_df,
         )
         from local_pdftodocx_ocr_spark.sources.tables import (
             read_corpus_input, spread_scan,
@@ -158,12 +159,17 @@ def main(argv: list[str] | None = None) -> int:
         quant = {f"p{r['pct']}": r["est_chars_ub"]
                  for r in length_quantile_sketch_df(spark, d,
                                                     n=n_row).collect()}
-        print(json.dumps({
+        out = {
             "n_docs": n_docs,
             "est_distinct_shingles": hll["est_distinct_shingles"],
             "n_zero_registers": hll["n_zero_registers"],
             "length_quantiles_ub": quant,
-        }))
+        }
+        if "source" in d.columns:   # per-source composition, if declared
+            out["sources"] = {
+                r["source"]: r["est_distinct_shingles"]
+                for r in hll_by_source_df(d).collect()}   # n_sources rows
+        print(json.dumps(out))
         return 0
 
     if args.compact:

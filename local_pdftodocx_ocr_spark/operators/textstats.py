@@ -1126,7 +1126,7 @@ FROM agg
 HLL_SQL = _hll_sketch_sql()
 
 
-def hll_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+def hll_by_source_df(d: DataFrame) -> DataFrame:
     """One 256-register HLL PER SOURCE in a single pass — the sketch's
     mergeability makes per-group distinct counting a map-side-combinable
     (source, bucket) MAX with state bounded at n_sources x 256 rows;
@@ -1137,7 +1137,6 @@ def hll_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.hashing import hll_bucket_rho
     from .dedup import _distinct_shingles
 
-    d = _docs(spark, sf_dir)
     sh = _distinct_shingles(d, key="source")
     bucket, rho = hll_bucket_rho(F.col("s"), HLL_P)
     regs = (sh.select("source", bucket.alias("bucket"), rho.alias("rho"))
@@ -1151,6 +1150,10 @@ def hll_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "source", zeros.cast("int").alias("n_zero_registers"),
         F.round(est, 4).alias("est_distinct_shingles"))
+
+
+def hll_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hll_by_source_df(_docs(spark, sf_dir))
 
 
 HLL_BY_SOURCE_SQL = _hll_sketch_sql("source")

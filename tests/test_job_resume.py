@@ -415,6 +415,9 @@ def test_cli_stats_matches_library_sketches(spark, capsys):
              for r in textstats.length_quantile_sketch(spark, sf).collect()}
     assert stats["length_quantiles_ub"] == quant
     assert stats["n_docs"] == 500
+    by_src = {r["source"]: r["est_distinct_shingles"]
+              for r in textstats.hll_by_source(spark, sf).collect()}
+    assert stats["sources"] == by_src
 
     rc = main(["--input", f"{sf}/documents.parquet"])   # no --output, no --stats
     assert rc == 2
