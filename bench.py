@@ -72,6 +72,7 @@ HEADLINE = {
     "docs_dedup_incremental_bloom": dedup.dedup_incremental_bloom,
     "docs_unigram_loglik": textstats.unigram_loglik,
     "docs_length_quantile_sketch": textstats.length_quantile_sketch,
+    "events_value_quantile_sketch": relational.events_value_quantile_sketch,
     "docs_curriculum_phases": textstats.curriculum_phases,
     "extract_from_documents": extraction.extract_from_documents,
 }

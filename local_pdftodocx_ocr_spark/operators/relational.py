@@ -596,6 +596,86 @@ FROM events GROUP BY event_type
 """
 
 
+# The SCALE path for the query above: events_quantiles is exact
+# (percentile = a full per-group sort); this sketch answers the same
+# question from a per-group 128-cell histogram — constant aggregation
+# state per group, map-side-combinable counts, the cumulative window
+# bounded at 128 rows PER GROUP (partitioned, unlike a global sort).
+# Same histogram geometry as the streaming value_hist_stream, so the
+# streaming cells feed the identical estimator. Rank thresholds in
+# pure integer ceil-division; the only doubles are the bin edges
+# ((cut+1)*8.0, dyadic-exact) and the per-group MAX for the overflow
+# bin — integer-exact cross-engine throughout.
+
+EVQ_BIN = 8.0            # matches streaming.events_stream.HIST_STREAM_BIN
+EVQ_MAX_BIN = 127
+EVQ_PCTS = (50, 90, 99)
+
+
+def events_value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    bin_col = F.greatest(
+        F.least(F.floor(F.col("value") / EVQ_BIN),
+                F.lit(EVQ_MAX_BIN).cast("long")),
+        F.lit(0).cast("long"))
+    hist = (e.select("event_type", bin_col.alias("bin"))
+            .groupBy("event_type", "bin").agg(F.count("*").alias("c")))
+    cum = hist.withColumn(
+        "cum", F.sum("c").over(W.partitionBy("event_type").orderBy("bin")
+                               .rowsBetween(W.unboundedPreceding, 0)))
+    stats = e.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.max("value").alias("mx"))
+    pcts = spark.range(1).select(
+        F.explode(F.array(*[F.lit(p) for p in EVQ_PCTS])).alias("pct"))
+    thr = (stats.crossJoin(F.broadcast(pcts))
+           .select("event_type", "pct", "mx",
+                   F.expr("(n * pct + 99) DIV 100").alias("rank_at")))
+    cuts = (thr.join(cum, ["event_type"])
+            .filter(F.col("cum") >= F.col("rank_at"))
+            .groupBy("event_type", "pct", "rank_at", "mx")
+            .agg(F.min("bin").alias("cut")))
+    est = F.when(F.col("cut") < EVQ_MAX_BIN, (F.col("cut") + 1) * EVQ_BIN) \
+           .otherwise(F.col("mx"))
+    return cuts.select("event_type", F.col("pct").cast("int").alias("pct"),
+                       "rank_at", est.alias("est_value_ub"))
+
+
+EVQ_SQL = f"""
+WITH e AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+hist AS (
+  SELECT event_type,
+         GREATEST(LEAST(CAST(FLOOR(value / {EVQ_BIN}) AS BIGINT),
+                        {EVQ_MAX_BIN}), 0) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM e GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, bin,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY bin
+                      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM hist
+),
+stats AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                 MAX(value) AS mx
+          FROM e GROUP BY 1),
+thr AS (
+  SELECT event_type, pct, mx, (n * pct + 99) // 100 AS rank_at
+  FROM stats CROSS JOIN (VALUES {", ".join(f"({p})" for p in EVQ_PCTS)}) p(pct)
+),
+cuts AS (
+  SELECT t.event_type, pct, rank_at, mx, MIN(bin) AS cut
+  FROM thr t JOIN cum ON t.event_type = cum.event_type
+  WHERE cum >= rank_at
+  GROUP BY 1, 2, 3, 4
+)
+SELECT event_type, CAST(pct AS INTEGER) AS pct,
+       CAST(rank_at AS BIGINT) AS rank_at,
+       CASE WHEN cut < {EVQ_MAX_BIN} THEN (cut + 1) * {EVQ_BIN}
+            ELSE mx END AS est_value_ub
+FROM cuts
+"""
+
+
 _EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
@@ -1188,6 +1268,7 @@ QUERIES = {
     "part_type_stats": part_type_stats,
     "events_value_buckets": events_value_buckets,
     "events_quantiles": events_quantiles,
+    "events_value_quantile_sketch": events_value_quantile_sketch,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q4_order_priority": q4_order_priority,
     "q12_priority_shipping": q12_priority_shipping,
@@ -1228,6 +1309,7 @@ ORACLES = {
     "part_type_stats": PART_TYPE_SQL,
     "events_value_buckets": VALUE_BUCKETS_SQL,
     "events_quantiles": QUANTILES_SQL,
+    "events_value_quantile_sketch": EVQ_SQL,
     "q6_forecast_revenue": Q6_SQL,
     "q4_order_priority": Q4_SQL,
     "q12_priority_shipping": Q12_SQL,

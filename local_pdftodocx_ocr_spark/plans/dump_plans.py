@@ -95,6 +95,10 @@ def main(sf_dir: str = "/root/testdata/sf0.01", out_path: str = "PLANS.md") -> i
         "docs_hll_by_source (grouped sketch: (source, bucket) MAX, "
         "state n_sources x 256)":
             textstats.hll_by_source(spark, sf_dir),
+        "events_value_quantile_sketch (grouped 128-cell histogram; "
+        "partitioned bounded window — the scale path for the exact "
+        "per-group percentile sort)":
+            relational.events_value_quantile_sketch(spark, sf_dir),
     }
 
     lines = ["# PLANS — executed physical plans (generated by "

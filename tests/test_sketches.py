@@ -321,6 +321,29 @@ class TestLengthQuantileSketch:
             exact = lens[-(-len(lens) * p // 100) - 1]
             assert exact <= out[p], (p, exact, out[p])
 
+    def test_events_grouped_sketch_brackets_exact(self, spark):
+        """The per-event-type value-quantile sketch (the scale path for
+        events_quantiles' exact per-group sort) must bracket the exact
+        rank-quantile of every group: order-stat in (est - BIN, est]
+        (or est = group max for the overflow bin)."""
+        from local_pdftodocx_ocr_spark.operators import relational
+
+        vals = {}
+        for r in spark.read.parquet(f"{SF_DIR}/events.parquet") \
+                .select("event_type", "value").collect():
+            if r["value"] is not None:
+                vals.setdefault(r["event_type"], []).append(r["value"])
+        for v in vals.values():
+            v.sort()
+        out = relational.events_value_quantile_sketch(spark, SF_DIR).collect()
+        assert {r["event_type"] for r in out} == set(vals)
+        for r in out:
+            exact = vals[r["event_type"]][r["rank_at"] - 1]
+            est = r["est_value_ub"]
+            mx = vals[r["event_type"]][-1]
+            assert exact <= est, r
+            assert est - exact <= relational.EVQ_BIN or est == mx, r
+
     def test_state_is_bounded(self, spark):
         """The histogram can never exceed HIST_MAX_BIN+1 cells no matter
         the corpus — the property that makes the single-partition
