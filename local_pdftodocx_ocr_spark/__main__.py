@@ -134,7 +134,7 @@ def main(argv: list[str] | None = None) -> int:
         from pyspark.sql import functions as F
 
         from local_pdftodocx_ocr_spark.operators.textstats import (
-            hll_by_source_df, hll_distinct_shingles_df,
+            hll_distinct_shingles_df, hll_fold, hll_registers,
             length_quantile_sketch_df,
         )
         from local_pdftodocx_ocr_spark.sources.tables import (
@@ -152,7 +152,21 @@ def main(argv: list[str] | None = None) -> int:
         # CPU-heavy shingle/md5 pass (no-op on a parallel scan)
         d = spread_scan(spark, d)
         n_docs = d.count()
-        hll = hll_distinct_shingles_df(d).collect()[0]   # 1 row
+        if "source" in d.columns:
+            # ONE shingle/hash pass: keyed registers fold to the global
+            # ones exactly (max is associative), so the per-source and
+            # whole-corpus estimates share the pass; the persisted
+            # register table is <= n_sources x 256 rows
+            regs = hll_registers(d, key="source").persist()
+            hll = hll_fold(
+                regs.groupBy("bucket").agg(F.max("m").alias("m"))
+            ).collect()[0]
+            sources = {r["source"]: r["est_distinct_shingles"]
+                       for r in hll_fold(regs, group=("source",)).collect()}
+            regs.unpersist(False)
+        else:
+            hll = hll_distinct_shingles_df(d).collect()[0]   # 1 row
+            sources = None
         # reuse the count: the quantile thresholds take N as a 1-row
         # plan, so the sketch pass scans only the n_chars column once
         n_row = spark.range(1).select(F.lit(n_docs).alias("n"))
@@ -165,10 +179,8 @@ def main(argv: list[str] | None = None) -> int:
             "n_zero_registers": hll["n_zero_registers"],
             "length_quantiles_ub": quant,
         }
-        if "source" in d.columns:   # per-source composition, if declared
-            out["sources"] = {
-                r["source"]: r["est_distinct_shingles"]
-                for r in hll_by_source_df(d).collect()}   # n_sources rows
+        if sources is not None:
+            out["sources"] = sources
         print(json.dumps(out))
         return 0
 

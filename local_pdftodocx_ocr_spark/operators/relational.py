@@ -601,43 +601,37 @@ FROM events GROUP BY event_type
 # question from a per-group 128-cell histogram — constant aggregation
 # state per group, map-side-combinable counts, the cumulative window
 # bounded at 128 rows PER GROUP (partitioned, unlike a global sort).
-# Same histogram geometry as the streaming value_hist_stream, so the
-# streaming cells feed the identical estimator. Rank thresholds in
+# Geometry (bin width / cap) and the bin expression are IMPORTED from
+# the streaming value_hist_stream, and the rank/cut arithmetic from
+# textstats._hist_rank_cuts — the streamed cells feed the identical
+# estimator by construction, not by convention. Rank thresholds in
 # pure integer ceil-division; the only doubles are the bin edges
 # ((cut+1)*8.0, dyadic-exact) and the per-group MAX for the overflow
 # bin — integer-exact cross-engine throughout.
 
-EVQ_BIN = 8.0            # matches streaming.events_stream.HIST_STREAM_BIN
-EVQ_MAX_BIN = 127
+from ..streaming.events_stream import (  # noqa: E402  (one geometry)
+    HIST_STREAM_BIN as EVQ_BIN,
+    HIST_STREAM_MAX_BIN as EVQ_MAX_BIN,
+)
+
 EVQ_PCTS = (50, 90, 99)
 
 
 def events_value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events_stream import value_bin_col
+    from .textstats import _hist_rank_cuts
+
     e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    bin_col = F.greatest(
-        F.least(F.floor(F.col("value") / EVQ_BIN),
-                F.lit(EVQ_MAX_BIN).cast("long")),
-        F.lit(0).cast("long"))
-    hist = (e.select("event_type", bin_col.alias("bin"))
-            .groupBy("event_type", "bin").agg(F.count("*").alias("c")))
-    cum = hist.withColumn(
-        "cum", F.sum("c").over(W.partitionBy("event_type").orderBy("bin")
-                               .rowsBetween(W.unboundedPreceding, 0)))
-    stats = e.groupBy("event_type").agg(
-        F.count("*").alias("n"), F.max("value").alias("mx"))
-    pcts = spark.range(1).select(
-        F.explode(F.array(*[F.lit(p) for p in EVQ_PCTS])).alias("pct"))
-    thr = (stats.crossJoin(F.broadcast(pcts))
-           .select("event_type", "pct", "mx",
-                   F.expr("(n * pct + 99) DIV 100").alias("rank_at")))
-    cuts = (thr.join(cum, ["event_type"])
-            .filter(F.col("cum") >= F.col("rank_at"))
-            .groupBy("event_type", "pct", "rank_at", "mx")
-            .agg(F.min("bin").alias("cut")))
+    binned = e.select("event_type", value_bin_col().alias("bin"))
+    cuts = _hist_rank_cuts(spark, binned,
+                           [(p, p, 100) for p in EVQ_PCTS],
+                           group=("event_type",))
+    mx = e.groupBy("event_type").agg(F.max("value").alias("mx"))
     est = F.when(F.col("cut") < EVQ_MAX_BIN, (F.col("cut") + 1) * EVQ_BIN) \
            .otherwise(F.col("mx"))
-    return cuts.select("event_type", F.col("pct").cast("int").alias("pct"),
-                       "rank_at", est.alias("est_value_ub"))
+    return (cuts.join(mx, "event_type")
+            .select("event_type", F.col("t").cast("int").alias("pct"),
+                    "rank_at", est.alias("est_value_ub")))
 
 
 EVQ_SQL = f"""

@@ -1028,28 +1028,45 @@ _HLL_REM_BITS = 60 - HLL_P          # md5_60bit residue width after bucketing
 _HLL_RHO_MAX = _HLL_REM_BITS + 1    # 53: all-zero residue
 
 
-def hll_distinct_shingles_df(d: DataFrame) -> DataFrame:
-    """DataFrame-level form (shared by the driver query and the CLI
-    --stats surface)."""
+def hll_registers(d: DataFrame, key: str | None = None) -> DataFrame:
+    """(key?, bucket, m) shingle HLL registers — the sketch STATE. A
+    keyed register table folds to the global one exactly (max is
+    associative: groupBy(bucket).max(m)), so one shingle pass can serve
+    both the per-group and whole-corpus estimates (the CLI --stats path
+    does exactly that)."""
     from ..functions.hashing import hll_bucket_rho
     from .dedup import _distinct_shingles
 
-    sh = _distinct_shingles(d)      # same shingle semantics as every dedup tier
+    # same shingle semantics as every dedup tier
+    sh = _distinct_shingles(d, key=key) if key else _distinct_shingles(d)
+    keys = [key] if key else []
     bucket, rho = hll_bucket_rho(F.col("s"), HLL_P)
-    regs = (sh.select(bucket.alias("bucket"), rho.alias("rho"))
-            .groupBy("bucket").agg(F.max("rho").alias("m")))
+    return (sh.select(*keys, bucket.alias("bucket"), rho.alias("rho"))
+            .groupBy(*keys, "bucket").agg(F.max("rho").alias("m")))
+
+
+def hll_fold(regs: DataFrame, group: tuple[str, ...] = ()) -> DataFrame:
+    """Fold a register table into (group..., n_zero_registers,
+    est_distinct_shingles) — the one estimator application."""
     # COALESCE: on an empty corpus (or all docs < 3 tokens) regs has 0
     # rows and SUM is NULL — which would poison the denominator and
     # skip the linear-counting branch that correctly yields est = 0
-    agg = regs.agg(
-        F.count("*").alias("n_present"),
-        F.coalesce(
-            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_RHO_MAX} - m)")),
-            F.lit(0).cast("long")).alias("denom_present"))
+    sum_expr = F.coalesce(
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_RHO_MAX} - m)")),
+        F.lit(0).cast("long")).alias("denom_present")
+    cnt = F.count("*").alias("n_present")
+    agg = (regs.groupBy(*group).agg(cnt, sum_expr) if group
+           else regs.agg(cnt, sum_expr))
     zeros, est = _hll_estimate_cols()
     return agg.select(
-        zeros.cast("int").alias("n_zero_registers"),
+        *group, zeros.cast("int").alias("n_zero_registers"),
         F.round(est, 4).alias("est_distinct_shingles"))
+
+
+def hll_distinct_shingles_df(d: DataFrame) -> DataFrame:
+    """DataFrame-level form (shared by the driver query and the CLI
+    --stats surface)."""
+    return hll_fold(hll_registers(d))
 
 
 def _hll_estimate_cols() -> tuple[Column, Column]:
@@ -1134,22 +1151,7 @@ def hll_by_source_df(d: DataFrame) -> DataFrame:
     every distinct (source, shingle) pair instead. The per-source
     corpus-composition stat a mixing pipeline reads next to
     docs_token_budget_mix / docs_temperature_mix."""
-    from ..functions.hashing import hll_bucket_rho
-    from .dedup import _distinct_shingles
-
-    sh = _distinct_shingles(d, key="source")
-    bucket, rho = hll_bucket_rho(F.col("s"), HLL_P)
-    regs = (sh.select("source", bucket.alias("bucket"), rho.alias("rho"))
-            .groupBy("source", "bucket").agg(F.max("rho").alias("m")))
-    agg = regs.groupBy("source").agg(
-        F.count("*").alias("n_present"),
-        F.coalesce(
-            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_RHO_MAX} - m)")),
-            F.lit(0).cast("long")).alias("denom_present"))
-    zeros, est = _hll_estimate_cols()
-    return agg.select(
-        "source", zeros.cast("int").alias("n_zero_registers"),
-        F.round(est, 4).alias("est_distinct_shingles"))
+    return hll_fold(hll_registers(d, key="source"), group=("source",))
 
 
 def hll_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1253,32 +1255,41 @@ HIST_PCTS = (50, 90, 99)
 
 def _hist_rank_cuts(spark: SparkSession, binned: DataFrame,
                     ranks: list[tuple[int, int, int]],
-                    n: DataFrame | None = None) -> DataFrame:
+                    n: DataFrame | None = None,
+                    group: tuple[str, ...] = ()) -> DataFrame:
     """The shared histogram-sketch core: given per-item bin assignments
-    (a long `bin` column) and rank specs (label, num, den), return
-    (t, rank_at, cut) where rank_at = ceil(N*num/den) (pure integer
-    ceil-division) and cut = the smallest bin whose cumulative count
-    reaches it. Used by the length-quantile sketch and the curriculum
-    tertiles — one definition of the rank/cut arithmetic. Everything
-    after the first groupBy is bounded by the histogram width (<= 128
-    rows), not the corpus. Pass a precomputed 1-row count as `n` to
-    avoid a second scan when the caller already has one."""
+    (a long `bin` column, plus optional `group` key columns) and rank
+    specs (label, num, den), return (group..., t, rank_at, cut) where
+    rank_at = ceil(N_group*num/den) (pure integer ceil-division) and
+    cut = the smallest bin whose cumulative count reaches it. ONE
+    definition of the rank/cut arithmetic for the length-quantile
+    sketch, the curriculum tertiles, and the per-event-type value
+    sketch. Everything after the first groupBy is bounded by the
+    histogram width (<= 128 rows per group), not the corpus — grouped,
+    the cumulative window is PARTITIONED by the keys. Pass a
+    precomputed count as `n` (1 row, or one per group) to avoid a
+    second scan when the caller already has one."""
     from pyspark.sql import Window as W
 
-    hist = binned.groupBy("bin").agg(F.count("*").alias("c"))
+    g = list(group)
+    hist = binned.groupBy(*g, "bin").agg(F.count("*").alias("c"))
+    w = (W.partitionBy(*g) if g else W).orderBy("bin")
     cum = hist.withColumn(
-        "cum", F.sum("c").over(W.orderBy("bin")
-                               .rowsBetween(W.unboundedPreceding, 0)))
+        "cum", F.sum("c").over(w.rowsBetween(W.unboundedPreceding, 0)))
     if n is None:
-        n = binned.agg(F.count("*").alias("n"))
+        n = (binned.groupBy(*g).agg(F.count("*").alias("n")) if g
+             else binned.agg(F.count("*").alias("n")))
     specs = spark.range(1).select(F.explode(F.array(*[
         F.struct(F.lit(t).alias("t"), F.lit(num).alias("num"),
                  F.lit(den).alias("den"))
         for t, num, den in ranks])).alias("s")).select("s.*")
-    return (specs.crossJoin(F.broadcast(n))
-            .select("t", F.expr("(n * num + den - 1) DIV den").alias("rank_at"))
-            .join(F.broadcast(cum), F.col("cum") >= F.col("rank_at"))
-            .groupBy("t", "rank_at")
+    thr = (n.crossJoin(F.broadcast(specs))
+           .select(*g, "t",
+                   F.expr("(n * num + den - 1) DIV den").alias("rank_at")))
+    joined = (thr.join(cum, g).filter(F.col("cum") >= F.col("rank_at")) if g
+              else thr.join(F.broadcast(cum),
+                            F.col("cum") >= F.col("rank_at")))
+    return (joined.groupBy(*g, "t", "rank_at")
             .agg(F.min("bin").alias("cut")))
 
 

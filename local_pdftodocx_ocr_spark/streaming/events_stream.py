@@ -138,6 +138,20 @@ HIST_STREAM_BIN = 8.0         # value in [0, ~1000) -> <= 128 cells
 HIST_STREAM_MAX_BIN = 127
 
 
+def value_bin_col() -> "F.Column":
+    """The histogram bin of `value` — ONE definition of the geometry,
+    shared by this streaming grid and the batch per-group sketch
+    (relational.events_value_quantile_sketch), so the streamed cells
+    always feed the identical estimator. Clamps BOTH ends (a negative
+    outlier would mint unbounded negative bins); callers must filter
+    NULL values first (least/greatest skip nulls, so an unfiltered NULL
+    would land in the top bin as a maximal outlier)."""
+    return F.greatest(
+        F.least(F.floor(F.col("value") / HIST_STREAM_BIN),
+                F.lit(HIST_STREAM_MAX_BIN).cast("long")),
+        F.lit(0).cast("long"))
+
+
 def value_hist_stream(events: DataFrame) -> DataFrame:
     """Streaming histogram over event values — the third constant-state
     stateful aggregation (with the CMS cells and HLL registers above):
@@ -146,17 +160,8 @@ def value_hist_stream(events: DataFrame) -> DataFrame:
     (pinned in tests). The sink-side reader turns the cells into
     quantile estimates exactly like the batch length-quantile sketch —
     streaming quantiles without ever holding the value stream."""
-    # clamp BOTH ends: a negative outlier value would otherwise mint
-    # unbounded negative bins and break the constant-state guarantee.
-    # NULL values are dropped BEFORE binning — least/greatest skip
-    # nulls, so an unfiltered NULL would land in the top bin and read
-    # as a maximal outlier to the quantile consumer
-    bin_col = F.greatest(
-        F.least(F.floor(F.col("value") / HIST_STREAM_BIN),
-                F.lit(HIST_STREAM_MAX_BIN).cast("long")),
-        F.lit(0).cast("long"))
     return (events.filter(F.col("value").isNotNull())
-            .select(bin_col.alias("bin"))
+            .select(value_bin_col().alias("bin"))
             .groupBy("bin").agg(F.count("*").alias("c")))
 
 

@@ -344,7 +344,34 @@ class TestLengthQuantileSketch:
             assert exact <= est, r
             assert est - exact <= relational.EVQ_BIN or est == mx, r
 
-    def test_state_is_bounded(self, spark):
+    def test_events_sketch_overflow_and_negative_branches(self, spark, tmp_path):
+        """sf values never reach the overflow bin or go negative, so
+        those branches are dead in every oracle run — drive them on a
+        planted corpus and pin Spark == DuckDB on the same rows: a
+        rank that lands on a negative value clamps to bin 0 (est = the
+        first bin edge), a rank in the overflow bin reports the exact
+        group max."""
+        import duckdb
+
+        from local_pdftodocx_ocr_spark.operators import relational
+
+        rows = ([(i, "A", float(v)) for i, v in
+                 enumerate((-9, -8, -7, -6, -5, 2000, 3000))]
+                + [(10 + j, "B", 50.0) for j in range(4)])
+        path = str(tmp_path / "evq")
+        spark.createDataFrame(
+            rows, "event_id long, event_type string, value double") \
+            .write.parquet(f"{path}/events.parquet")
+        out = relational.events_value_quantile_sketch(spark, path).collect()
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                    f"read_parquet('{path}/events.parquet/*.parquet')")
+        orows = con.sql(relational.EVQ_SQL).fetchall()
+        assert sorted(tuple(r) for r in out) == sorted(orows)
+        a = {r["pct"]: r["est_value_ub"] for r in out
+             if r["event_type"] == "A"}
+        assert a[50] == 8.0        # negative clamps to bin 0 -> first edge
+        assert a[99] == 3000.0     # overflow bin -> exact group max
         """The histogram can never exceed HIST_MAX_BIN+1 cells no matter
         the corpus — the property that makes the single-partition
         cumulative window safe at 100 TB."""
