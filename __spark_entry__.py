@@ -85,7 +85,7 @@ _PRIORITY = (
     # calendar + pipeline refactor: plan/set-equality tests), then the
     # flagship compositions (r3-green, unchanged). Never-driver-checked
     # NEW queries always outrank re-verification of green ones ---
-    "events_value_quantile_sketch",
+    "events_value_quantile_sketch", "docs_token_entropy",
     "docs_token_budget_mix",
     "extract_external_detections",
     "docs_boilerplate_ngrams", "orders_in_promo_windows",

@@ -71,6 +71,7 @@ HEADLINE = {
     "docs_dedup_bloom_screen": dedup.dedup_bloom_screen,
     "docs_dedup_incremental_bloom": dedup.dedup_incremental_bloom,
     "docs_unigram_loglik": textstats.unigram_loglik,
+    "docs_token_entropy": textstats.token_entropy,
     "docs_length_quantile_sketch": textstats.length_quantile_sketch,
     "events_value_quantile_sketch": relational.events_value_quantile_sketch,
     "docs_curriculum_phases": textstats.curriculum_phases,

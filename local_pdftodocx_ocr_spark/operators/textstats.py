@@ -1239,6 +1239,78 @@ FROM documents d LEFT JOIN scored_docs s USING (doc_id)
 
 
 # ---------------------------------------------------------------------------
+# Token-distribution Shannon entropy per document — the information-
+# theoretic repetitiveness signal next to the Gopher counters
+# (quality_repetition): H = -sum_t (n_t/N) log2(n_t/N). Low entropy =
+# degenerate/repetitive text; H = log2(N) = all-distinct. Entirely
+# per-document (two map-side-combinable aggregations, no vocab join,
+# no shuffle that grows with corpus width). Per-term contributions are
+# QUANTIZED to 1e-4-scaled BIGINTs before the per-doc sum (same
+# discipline as unigram_loglik): the aggregate is order-free exact, so
+# the rounded entropy is bit-identical cross-engine.
+# ---------------------------------------------------------------------------
+
+def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    tok = (d.select("doc_id",
+                    F.explode(F.split(F.lower("text"), " ")).alias("term"))
+           .filter(F.col("term") != ""))
+    per_doc = tok.groupBy("doc_id", "term").agg(F.count("*").alias("n"))
+    totals = per_doc.groupBy("doc_id").agg(F.sum("n").alias("big_n"))
+    # r = round(n * log2(n/N) * 1e4): n/N is one exact double division,
+    # log2 irrational off the n=N point so the .5 rounding boundary is
+    # never hit; n = N gives log2(1) = 0 exactly on both engines
+    scored = (per_doc.join(totals, "doc_id")
+              .withColumn("r", F.round(
+                  F.col("n") * F.log2(F.col("n") / F.col("big_n"))
+                  * 10000.0, 0).cast("long")))
+    ent = (scored.groupBy("doc_id")
+           .agg(F.sum("n").cast("int").alias("n_tokens"),
+                F.count("*").cast("int").alias("n_distinct"),
+                F.sum("r").alias("sum_r"))
+           .select("doc_id", "n_tokens", "n_distinct",
+                   F.round(-F.col("sum_r") / F.col("n_tokens") / 10000.0, 4)
+                   .alias("entropy_bits")))
+    # emit EVERY doc: token-less text surfaces as (0, 0, NULL), not a
+    # silently dropped row
+    return (d.select("doc_id").join(ent, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+                    F.coalesce("n_distinct", F.lit(0)).alias("n_distinct"),
+                    "entropy_bits"))
+
+
+ENTROPY_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+),
+per_doc AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS n
+  FROM tok WHERE term <> '' GROUP BY 1, 2
+),
+totals AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS big_n
+           FROM per_doc GROUP BY 1),
+scored AS (
+  SELECT p.doc_id, n,
+         CAST(ROUND(n * log2(CAST(n AS DOUBLE) / big_n) * 10000.0, 0)
+              AS BIGINT) AS r
+  FROM per_doc p JOIN totals USING (doc_id)
+),
+ent AS (
+  SELECT doc_id, CAST(SUM(n) AS INTEGER) AS n_tokens,
+         CAST(COUNT(*) AS INTEGER) AS n_distinct,
+         ROUND(-CAST(SUM(r) AS BIGINT) / CAST(SUM(n) AS BIGINT)
+               / 10000.0, 4) AS entropy_bits
+  FROM scored GROUP BY 1
+)
+SELECT d.doc_id, CAST(COALESCE(e.n_tokens, 0) AS INTEGER) AS n_tokens,
+       CAST(COALESCE(e.n_distinct, 0) AS INTEGER) AS n_distinct,
+       e.entropy_bits
+FROM documents d LEFT JOIN ent e USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Fixed-bin histogram quantile sketch over document lengths: P50/P90/P99
 # from a 128-cell histogram — constant aggregation state at any corpus
 # size and a map-side-combinable count per cell, vs an exact quantile's
@@ -1435,6 +1507,7 @@ QUERIES = {
     "docs_hll_distinct_shingles": hll_distinct_shingles,
     "docs_hll_by_source": hll_by_source,
     "docs_unigram_loglik": unigram_loglik,
+    "docs_token_entropy": token_entropy,
     "docs_length_quantile_sketch": length_quantile_sketch,
     "docs_packed_payloads": packed_payloads,
     "docs_pii_scrub": pii_scrub,
@@ -1462,6 +1535,7 @@ ORACLES = {
     "docs_hll_distinct_shingles": HLL_SQL,
     "docs_hll_by_source": HLL_BY_SOURCE_SQL,
     "docs_unigram_loglik": UNIGRAM_SQL,
+    "docs_token_entropy": ENTROPY_SQL,
     "docs_length_quantile_sketch": HIST_SQL,
     "docs_packed_payloads": PACKED_PAYLOADS_SQL,
     "docs_pii_scrub": PII_SQL,

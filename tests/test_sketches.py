@@ -278,6 +278,47 @@ class TestCurriculumPhases:
         assert max_early < min_late
 
 
+class TestTokenEntropy:
+    def test_known_distributions(self, spark):
+        """Degenerate text -> 0 bits; all-distinct -> log2(N); a 50/50
+        two-token doc -> exactly 1 bit; token-less docs surface as
+        (0, 0, NULL)."""
+        import math
+
+        rows = [(0, "a a a a a a a a"),
+                (1, "a b c d e f g h"),
+                (2, "x x y y"),
+                (3, "")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        orig = textstats._docs
+        try:
+            textstats._docs = lambda spark, sf: df
+            got = {r["doc_id"]: (r["n_tokens"], r["n_distinct"],
+                                 r["entropy_bits"])
+                   for r in textstats.token_entropy(spark, SF_DIR).collect()}
+        finally:
+            textstats._docs = orig
+        assert got[0] == (8, 1, 0.0)
+        assert got[1] == (8, 8, 3.0)          # log2(8)
+        assert got[2] == (4, 2, 1.0)
+        assert got[3] == (0, 0, None)
+        assert math.isclose(got[1][2], math.log2(8))
+
+    def test_bounds_on_corpus(self, spark):
+        """0 <= H <= log2(n_distinct) for every doc, and repetitive
+        docs score strictly below all-distinct ones of the same
+        length."""
+        import math
+
+        out = textstats.token_entropy(spark, SF_DIR).collect()
+        n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+        assert len(out) == n_docs
+        for r in out:
+            if r["n_tokens"]:
+                assert -1e-4 <= r["entropy_bits"] \
+                    <= math.log2(max(r["n_distinct"], 1)) + 1e-4, dict(r)
+
+
 class TestLengthQuantileSketch:
     def test_monotone_and_correct_thresholds(self, spark):
         out = {r["pct"]: r for r in
