@@ -1174,12 +1174,29 @@ HLL_BY_SOURCE_SQL = _hll_sketch_sql("source")
 # totals (N, V) arrive as a 1-row broadcast, never a driver collect.
 # ---------------------------------------------------------------------------
 
-def unigram_loglik(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
+def _term_counts(d: DataFrame) -> DataFrame:
+    """(doc_id, term, n) lowercase whitespace-token counts — ONE
+    tokenization definition shared by the LM-scoring signals
+    (unigram_loglik, token_entropy), mirrored in SQL by
+    _TERM_COUNT_CTES; by-construction agreement, not convention."""
     tok = (d.select("doc_id",
                     F.explode(F.split(F.lower("text"), " ")).alias("term"))
            .filter(F.col("term") != ""))
-    per_doc = tok.groupBy("doc_id", "term").agg(F.count("*").alias("n"))
+    return tok.groupBy("doc_id", "term").agg(F.count("*").alias("n"))
+
+
+_TERM_COUNT_CTES = """tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+),
+per_doc AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS n
+  FROM tok WHERE term <> '' GROUP BY 1, 2
+)"""
+
+
+def unigram_loglik(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    per_doc = _term_counts(d)
     tf = per_doc.groupBy("term").agg(F.sum("n").alias("tf"))
     totals = tf.agg(F.sum("tf").alias("big_n"),
                     F.count("*").alias("v"))
@@ -1208,14 +1225,8 @@ def unigram_loglik(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "avg_log2_prob"))
 
 
-UNIGRAM_SQL = """
-WITH tok AS (
-  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
-),
-per_doc AS (
-  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS n
-  FROM tok WHERE term <> '' GROUP BY 1, 2
-),
+UNIGRAM_SQL = f"""
+WITH {_TERM_COUNT_CTES},
 tf AS (SELECT term, CAST(SUM(n) AS BIGINT) AS tf FROM per_doc GROUP BY 1),
 totals AS (SELECT CAST(SUM(tf) AS BIGINT) AS big_n,
                   CAST(COUNT(*) AS BIGINT) AS v FROM tf),
@@ -1252,10 +1263,7 @@ FROM documents d LEFT JOIN scored_docs s USING (doc_id)
 
 def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
-    tok = (d.select("doc_id",
-                    F.explode(F.split(F.lower("text"), " ")).alias("term"))
-           .filter(F.col("term") != ""))
-    per_doc = tok.groupBy("doc_id", "term").agg(F.count("*").alias("n"))
+    per_doc = _term_counts(d)      # same token stream as unigram_loglik
     totals = per_doc.groupBy("doc_id").agg(F.sum("n").alias("big_n"))
     # r = round(n * log2(n/N) * 1e4): n/N is one exact double division,
     # log2 irrational off the n=N point so the .5 rounding boundary is
@@ -1280,14 +1288,8 @@ def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "entropy_bits"))
 
 
-ENTROPY_SQL = """
-WITH tok AS (
-  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
-),
-per_doc AS (
-  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS n
-  FROM tok WHERE term <> '' GROUP BY 1, 2
-),
+ENTROPY_SQL = f"""
+WITH {_TERM_COUNT_CTES},
 totals AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS big_n
            FROM per_doc GROUP BY 1),
 scored AS (

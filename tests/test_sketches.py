@@ -413,6 +413,8 @@ class TestLengthQuantileSketch:
              if r["event_type"] == "A"}
         assert a[50] == 8.0        # negative clamps to bin 0 -> first edge
         assert a[99] == 3000.0     # overflow bin -> exact group max
+
+    def test_state_is_bounded(self, spark):
         """The histogram can never exceed HIST_MAX_BIN+1 cells no matter
         the corpus — the property that makes the single-partition
         cumulative window safe at 100 TB."""
