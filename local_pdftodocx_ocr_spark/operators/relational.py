@@ -578,7 +578,13 @@ FROM events GROUP BY 1
 def events_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles per group (linear interpolation — Spark's exact
     percentile() and DuckDB's quantile_cont agree bit-for-bit; the
-    approx_percentile/t-digest sketches would not cross engines)."""
+    approx_percentile/t-digest sketches would not cross engines).
+
+    ORACLE-BASELINE ONLY (VERDICT r4 #7): exact percentile() buffers
+    every group value in the aggregation buffer, so this form is the
+    small-SF correctness anchor, never the 100-TB plan. The registered
+    scale path for the same question is events_value_quantile_sketch
+    (128-cell constant-state histogram, map-side combinable)."""
     e = _t(spark, sf_dir, "events")
     return (e.groupBy("event_type").agg(
         F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
@@ -629,9 +635,13 @@ def events_value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     mx = e.groupBy("event_type").agg(F.max("value").alias("mx"))
     est = F.when(F.col("cut") < EVQ_MAX_BIN, (F.col("cut") + 1) * EVQ_BIN) \
            .otherwise(F.col("mx"))
+    # ROUND(...,4) discipline (ADVICE r4 #2): today est is exact anyway
+    # (dyadic bin edges, stored-value mx passthrough), but a future
+    # non-dyadic EVQ_BIN would silently break cross-engine hash
+    # equality without the round — applied in BOTH engines
     return (cuts.join(mx, "event_type")
             .select("event_type", F.col("t").cast("int").alias("pct"),
-                    "rank_at", est.alias("est_value_ub")))
+                    "rank_at", F.round(est, 4).alias("est_value_ub")))
 
 
 EVQ_SQL = f"""
@@ -664,8 +674,8 @@ cuts AS (
 )
 SELECT event_type, CAST(pct AS INTEGER) AS pct,
        CAST(rank_at AS BIGINT) AS rank_at,
-       CASE WHEN cut < {EVQ_MAX_BIN} THEN (cut + 1) * {EVQ_BIN}
-            ELSE mx END AS est_value_ub
+       ROUND(CASE WHEN cut < {EVQ_MAX_BIN} THEN (cut + 1) * {EVQ_BIN}
+                  ELSE mx END, 4) AS est_value_ub
 FROM cuts
 """
 
@@ -1042,10 +1052,54 @@ GROUP BY 1, 2
 
 def customer_balance_ntiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NTILE window coverage: quartile buckets of customer balances with
-    per-bucket aggregates (deterministic: ties broken by c_custkey)."""
-    c = _t(spark, sf_dir, "customer")
-    w = W.orderBy(F.col("c_acctbal"), F.col("c_custkey"))
-    return (c.withColumn("q", F.ntile(4).over(w))
+    per-bucket aggregates (deterministic: ties broken by c_custkey).
+
+    EXACT NTILE semantics without the scale-killer plan (VERDICT r4 #1):
+    a bare ``ntile(4) OVER (ORDER BY ...)`` — empty PARTITION BY —
+    executes as Exchange SinglePartition + ONE task sorting the whole
+    customer table, which scales with SF. The global rank is instead
+    computed with the same two-phase distributed prefix sum as
+    textstats.pack_sequences: range-repartition on the sort key (total
+    order across partitions; (c_acctbal, c_custkey) is unique, so the
+    order is total) -> partition-local row_number -> per-partition
+    counts to the driver (P rows, bounded by the partition count, not
+    the data) -> exclusive offsets broadcast back. The quartile is then
+    pure arithmetic on the exact 1-based global rank — NTILE gives the
+    first n%4 buckets one extra row — so the DuckDB oracle stays the
+    plain NTILE window and hashes identically."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    ranged = (c.repartitionByRange("c_acctbal", "c_custkey")
+              .withColumn("pid", F.spark_partition_id()))
+    w_local = W.partitionBy("pid").orderBy("c_acctbal", "c_custkey")
+    # localCheckpoint: the totals collect AND the final join both read
+    # this — one range shuffle, and the pid -> offset mapping can never
+    # race a re-sampled boundary set (same rationale as pack_sequences)
+    local = (ranged.withColumn("lr", F.row_number().over(w_local))
+             .localCheckpoint(eager=True))
+    totals = local.groupBy("pid").agg(F.count("*").alias("tot")).collect()
+    offsets, acc = [], 0
+    for row in sorted(totals, key=lambda r: r["pid"]):
+        offsets.append((row["pid"], acc))
+        acc += row["tot"]
+    if not offsets:  # degenerate empty input: keep the output contract
+        return spark.createDataFrame([], "q int, n long, avg_bal double")
+    n = acc
+    base, rem = divmod(n, 4)
+    big = rem * (base + 1)      # rows living in the size-(base+1) buckets
+    off = spark.range(1).select(F.explode(F.array(*[
+        F.struct(F.lit(p).alias("pid"), F.lit(o).alias("part_offset"))
+        for p, o in offsets])).alias("o")).select("o.*")
+    r = F.col("part_offset") + F.col("lr")   # exact global rank, 1-based
+    if rem:
+        # `base or 1`: when n < 4 the first branch covers every row and
+        # the otherwise-branch is never selected; the guard only keeps
+        # the unevaluated divisor non-zero
+        q = (F.when(r <= big, F.floor((r - 1) / (base + 1)) + 1)
+             .otherwise(rem + F.floor((r - big - 1) / (base or 1)) + 1))
+    else:
+        q = F.floor((r - 1) / base) + 1
+    return (local.join(F.broadcast(off), "pid")
+            .withColumn("q", q.cast("int"))
             .groupBy("q")
             .agg(F.count("*").alias("n"),
                  F.round(F.avg(F.col("c_acctbal").cast("decimal(24,8)"))

@@ -1004,6 +1004,54 @@ class TestPackSequences:
         assert a == b
 
 
+class TestNtilesPlan:
+    """VERDICT r4 #1: customer_balance_ntiles must never run NTILE over
+    a global (empty-PARTITION-BY) window — Exchange SinglePartition +
+    one task sorting the whole SF-scaling customer table. The rewrite
+    computes the exact global rank with the pack_sequences two-phase
+    prefix sum and derives the quartile arithmetically."""
+
+    def test_no_single_partition_exchange(self, spark):
+        from local_pdftodocx_ocr_spark.operators import relational as R
+        df = R.customer_balance_ntiles(spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange SinglePartition" not in plan, plan[:2000]
+        # the only window is partition-local (keyed on pid)
+        for ln in plan.splitlines():
+            if "Window [" in ln:
+                assert "pid" in ln, ln
+
+    def test_exact_ntile_semantics(self, spark):
+        """The arithmetic bucket must equal Spark's own ntile(4) (the
+        semantics anchor) including the uneven-remainder layout, and be
+        independent of where the range boundaries fall."""
+        from pyspark.sql import Window as W
+
+        from local_pdftodocx_ocr_spark.operators import relational as R
+        got = {r["q"]: (r["n"], r["avg_bal"])
+               for r in R.customer_balance_ntiles(spark, SF_DIR).collect()}
+        c = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+        w = W.orderBy(F.col("c_acctbal"), F.col("c_custkey"))
+        ref = {r["q"]: (r["n"], r["avg_bal"])
+               for r in (c.withColumn("q", F.ntile(4).over(w))
+                         .groupBy("q")
+                         .agg(F.count("*").alias("n"),
+                              F.round(F.avg(F.col("c_acctbal")
+                                            .cast("decimal(24,8)"))
+                                      .cast("double"), 4).alias("avg_bal"))
+                         ).collect()}
+        assert got == ref
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "5")
+            again = {r["q"]: (r["n"], r["avg_bal"])
+                     for r in R.customer_balance_ntiles(spark, SF_DIR)
+                     .collect()}
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+        assert again == ref
+
+
 class TestPIIScrub:
     def test_planted_pii_redacted_and_counted(self, spark):
         """Planted emails/phones/IPs: counts and byte-exact redaction,
