@@ -847,9 +847,10 @@ def _star_components(d: DataFrame, pairs: DataFrame) -> DataFrame:
       onto m = min(N<(u) ∪ {u})
 
     Fixpoint: the edge multiset stops changing; edges then form stars
-    rooted at each component's minimum. The convergence probe is one
-    2-value aggregate (count + xxhash sum) per round — no driver-side
-    edge materialization."""
+    rooted at each component's minimum. The convergence probe is a
+    count per round (cheap: the edges are already checkpointed) with
+    the xxhash multiset sum computed only when consecutive counts
+    match — no driver-side edge materialization."""
     # localCheckpoint throughout this loop (not persist): each round's
     # edges build on the previous round's, so without lineage
     # truncation the logical plan doubles per iteration and the driver
@@ -860,16 +861,22 @@ def _star_components(d: DataFrame, pairs: DataFrame) -> DataFrame:
                      F.greatest("a", "b").alias("hi"))
              .distinct().localCheckpoint(eager=True))
 
-    def _sig(e: DataFrame) -> tuple:
+    def _hash(e: DataFrame):
         # decimal sum: ANSI mode overflows a long sum of 2^63-range hashes
-        row = e.agg(F.count("*").alias("n"),
-                    F.sum(F.xxhash64("lo", "hi").cast("decimal(38,0)"))
-                    .alias("h")).first()
-        return row["n"], row["h"]
+        return e.agg(F.sum(F.xxhash64("lo", "hi").cast("decimal(38,0)"))
+                     .alias("h")).first()["h"]
 
+    # Convergence probe (VERDICT r4 #4): the edge COUNT is the cheap
+    # necessary condition — one job over already-checkpointed blocks,
+    # no shuffle — and it changes every non-converged round in
+    # practice. The multiset hash (which distinguishes same-count
+    # different-edge rounds) is computed only when consecutive counts
+    # match, so the extra full aggregation the old probe paid every
+    # round is now paid ~twice per run, at the convergence tail.
     global LAST_STAR_ROUNDS
     LAST_STAR_ROUNDS = 0
-    prev = _sig(edges)
+    n_prev = edges.count()
+    h_prev = None                 # hash of `edges`, lazily computed
     converged = False
     for _ in range(64):           # >> log^2 of any conceivable corpus
         LAST_STAR_ROUNDS += 1
@@ -897,14 +904,21 @@ def _star_components(d: DataFrame, pairs: DataFrame) -> DataFrame:
                      .filter(F.col("lo") != F.col("hi"))
                      .distinct().localCheckpoint(eager=True))
         e1.unpersist()
-        cur = _sig(new_edges)
+        n_cur = new_edges.count()
+        if n_cur == n_prev:
+            if h_prev is None:    # old edges still persisted here
+                h_prev = _hash(edges)
+            h_cur = _hash(new_edges)
+            converged = h_cur == h_prev
+            h_prev = h_cur
+        else:
+            h_prev = None
+        n_prev = n_cur
         edges.unpersist()
         edges = new_edges
-        if cur == prev:
-            converged = True
+        if converged:
             break
-        prev = cur
-    if not converged and prev[0] > 0:
+    if not converged:
         raise RuntimeError("star components did not converge in 64 rounds")
     roots = edges.select(F.col("hi").alias("doc_id"), F.col("lo").alias("component"))
     out = (d.select("doc_id")
@@ -982,6 +996,31 @@ def dedup_pipeline_at_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.join(dups, "doc_id", "left_anti").select("doc_id", "lang", "source")
 
 
+# The unified component labels are the single most expensive artifact
+# in the suite (three candidates->verify tiers + iterative star-CC) and
+# THREE registered queries consume them (components_unified itself,
+# canonical_keep, cluster_sizes). Recomputing the graph per caller paid
+# that wall cost 3x per session (VERDICT r4 #3). The labels are instead
+# computed once per (application, sf_dir) and shared via an eager
+# localCheckpoint — the in-sandbox stand-in for what a production
+# pipeline would do at 100 TB: write the labels table once and have
+# downstream stages read it. Values are unaffected (the checkpoint just
+# truncates lineage); correctness stays pinned by all three oracles.
+# Bounded: at most _UNIFIED_MEMO_MAX label tables stay referenced;
+# evicted/stale checkpoint blocks are freed by the ContextCleaner once
+# the reference drops.
+_UNIFIED_MEMO: dict[tuple[str, str], DataFrame] = {}
+_UNIFIED_MEMO_MAX = 4
+# observability for tests: counts actual graph computations (memo misses)
+UNIFIED_GRAPH_RUNS = 0
+
+
+def clear_unified_memo() -> None:
+    """Drop memoized unified-component labels (bench ladder: a timed
+    repeat must recompute, not read the checkpoint)."""
+    _UNIFIED_MEMO.clear()
+
+
 def dedup_components_unified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the UNION of all three near-dup signal
     tiers — the production "any-signal near-dup cluster" shape a real
@@ -1000,9 +1039,16 @@ def dedup_components_unified(spark: SparkSession, sf_dir: str) -> DataFrame:
     join, the union is one distinct over (doc1, doc2), and the cluster
     formation is the large-star/small-star loop (O(log^2 n) rounds at
     any diameter). Oracle: recursive CTE over the identically unioned
-    edges (COMPONENTS_UNIFIED SQL via components_unified_sql())."""
+    edges (COMPONENTS_UNIFIED SQL via components_unified_sql()).
+
+    Computed once per (application, sf_dir); see _UNIFIED_MEMO above."""
     from .similarity import embedding_near_dup_pairs_at_scale
 
+    global UNIFIED_GRAPH_RUNS
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _UNIFIED_MEMO.get(key)
+    if hit is not None:
+        return hit
     d = _docs(spark, sf_dir)
     jac = _verified_jaccard_pairs(d, dedup_minhash_candidates(spark, sf_dir))
     # simhash tier: connectivity-preserving reduced edges (cluster-
@@ -1012,7 +1058,16 @@ def dedup_components_unified(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = (embedding_near_dup_pairs_at_scale(spark, sf_dir)
            .select(F.col("id1").alias("doc1"), F.col("id2").alias("doc2")))
     edges = jac.unionByName(sim).unionByName(emb).distinct()
-    return _star_components(d.select("doc_id"), edges)
+    UNIFIED_GRAPH_RUNS += 1
+    out = (_star_components(d.select("doc_id"), edges)
+           .localCheckpoint(eager=True))
+    # drop stale sessions first, then oldest-insertion within this one
+    for k in [k for k in _UNIFIED_MEMO if k[0] != key[0]]:
+        del _UNIFIED_MEMO[k]
+    while len(_UNIFIED_MEMO) >= _UNIFIED_MEMO_MAX:
+        del _UNIFIED_MEMO[next(iter(_UNIFIED_MEMO))]
+    _UNIFIED_MEMO[key] = out
+    return out
 
 
 def dedup_canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1213,6 +1213,36 @@ class TestDedupComponents:
         assert n_unified < n_lex, (n_unified, n_lex)
 
 
+class TestUnifiedMemo:
+    """VERDICT r4 #3: the three-tier candidate graph + star-CC must run
+    ONCE per session when all three consumers (components, canonical
+    keep, cluster sizes) execute back-to-back — the labels are shared
+    via a per-(application, sf_dir) localCheckpoint memo."""
+
+    def test_graph_computed_once_for_trio(self, spark):
+        dedup.clear_unified_memo()
+        before = dedup.UNIFIED_GRAPH_RUNS
+        comp = dedup.dedup_components_unified(spark, SF_DIR).collect()
+        keep = dedup.dedup_canonical_keep(spark, SF_DIR).collect()
+        sizes = dedup.dedup_cluster_sizes(spark, SF_DIR).collect()
+        assert dedup.UNIFIED_GRAPH_RUNS - before == 1
+        # the consumers genuinely read the shared labels
+        comps = {r["component"] for r in comp}
+        assert {r["component"] for r in keep} == comps
+        assert sum(r["n_docs"] for r in sizes) == len(comp)
+
+    def test_memo_cleared_forces_recompute(self, spark):
+        dedup.clear_unified_memo()
+        before = dedup.UNIFIED_GRAPH_RUNS
+        a = {tuple(r) for r in
+             dedup.dedup_components_unified(spark, SF_DIR).collect()}
+        dedup.clear_unified_memo()
+        b = {tuple(r) for r in
+             dedup.dedup_components_unified(spark, SF_DIR).collect()}
+        assert dedup.UNIFIED_GRAPH_RUNS - before == 2
+        assert a == b   # recompute is value-identical
+
+
 class TestStarComponents:
     """Large-star/small-star CC (the 10^12-doc path, O(log^2) rounds)."""
 
