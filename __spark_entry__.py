@@ -41,56 +41,48 @@ def entry(spark: SparkSession) -> DataFrame:
 # Iteration order matters: the driver verifies queries() in order with
 # a bounded window (~50 per round). _PRIORITY rotates each round
 # (VERDICT r3 #2) so no query's driver-grade check goes >2 rounds
-# stale: round 4 pins (a) the 35 queries whose last green row is
-# r01/r02 (the relational/extraction tail — guarded since only by the
-# type-strict pytest mirror), (b) every round-4 addition, and (c) every
-# query whose PLAN changed this round (token budget window pre-limit,
-# boilerplate broadcast, promo-calendar literal, pipeline refactor,
-# persist tracking, detections window order). The remaining slots fill
-# in module order.
+# stale. Round 5 pins, in order: (a) the two queries that have NEVER
+# had a driver-grade row (landed past the round-4 window — VERDICT r4
+# #2 / ADVICE r4 #1), (b) every query whose PLAN changed this round
+# (exact-distributed NTILE rewrite; unified-components memo + cheaper
+# star-CC convergence probe feeding the trio; est_value_ub ROUND),
+# then (c) the 50 queries whose last green row is r03. The r4-green
+# remainder fills in module order past the window.
 _MODULE_ORDER = (dedup, similarity, multimodal, textstats, extraction, relational)
 
 _PRIORITY = (
-    # --- r3-unchecked (r01/r02-green, now >=2 rounds stale) ---
-    "extract_page_stats", "extract_html_render", "extract_from_documents",
-    "q1_pricing_summary", "q9_product_profit", "customer_balance_ntiles",
-    "events_funnel", "events_retention_cohorts", "q7_volume_shipping",
-    "q10_returned_items", "q13_customer_order_distribution",
-    "q16_supplier_part_types", "q18_large_orders", "q19_disjunctive_revenue",
-    "q22_idle_rich_customers", "events_pivot_by_user",
-    "semi_join_active_customers", "anti_join_idle_customers",
-    "except_big_spenders", "part_type_stats", "events_value_buckets",
-    "events_quantiles", "q6_forecast_revenue", "q4_order_priority",
-    "q12_priority_shipping", "q14_promo_effect",
-    "q17_small_quantity_revenue", "q3_shipping_priority",
-    "q5_local_supplier", "topk_orders_per_customer", "rollup_revenue",
-    "sessionize_events", "events_hourly",
-    "asof_last_click_before_purchase", "distinct_users_per_type",
-    # --- round-4 additions ---
+    # --- never driver-checked (r4b landed past the window) ---
+    "events_value_quantile_sketch", "docs_token_entropy",
+    # --- plan changed this round ---
+    "customer_balance_ntiles",
     "docs_dedup_components_unified", "docs_dedup_canonical_keep",
     "docs_dedup_cluster_sizes",
-    "docs_pack_sequences", "docs_packed_payloads",
-    "docs_duplicated_ngram_spans",
-    "docs_temperature_mix", "docs_pii_scrub",
-    # --- round-4b additions (bounded-state sketches / screens) ---
-    "docs_hll_distinct_shingles", "docs_dedup_bloom_screen",
-    "docs_dedup_incremental_bloom",
-    "docs_unigram_loglik", "docs_length_quantile_sketch",
-    "docs_curriculum_phases", "docs_hll_by_source",
-    # --- past the ~50-query window from here: r3-green queries whose
-    # round-4 change is plan-only or value-invisible on this corpus and
-    # already pinned in pytest (token-budget window pre-limit: same
-    # values, plan test + type-strict mirror; detections total-order
-    # window: shared-anchor test; boilerplate hot-set broadcast + promo
-    # calendar + pipeline refactor: plan/set-equality tests), then the
-    # flagship compositions (r3-green, unchanged). Never-driver-checked
-    # NEW queries always outrank re-verification of green ones ---
-    "events_value_quantile_sketch", "docs_token_entropy",
-    "docs_token_budget_mix",
-    "extract_external_detections",
-    "docs_boilerplate_ngrams", "orders_in_promo_windows",
+    # --- last green r03 (50 queries; the tail past the ~50-query
+    # window rotates to round 6). emb_near_dup_pairs (last green r01)
+    # is no longer registered: emb_near_dup_pairs_at_scale replaced it
+    # and pytest pins their set equality every run ---
+    "extract_spans_golden", "extract_clean_text", "extract_txt_render",
+    "extract_boilerplate_html", "extract_segments_to_lines",
+    "extract_complementary_merge", "extract_marker_recovery",
+    "extract_table_grid", "extract_page_segmentation",
+    "extract_recognize_media", "extract_external_detections",
+    "extract_lineage_totals", "pipeline_training_corpus",
+    "docs_dedup_exact", "docs_dedup_incremental", "docs_dedup_keep_list",
+    "docs_dedup_jaccard_pairs", "docs_dedup_minhash_candidates",
+    "docs_dedup_simhash_candidates", "docs_simhash64",
+    "docs_dedup_components", "docs_dedup_components_at_scale",
     "docs_dedup_pipeline_at_scale",
-    "pipeline_training_corpus", "extract_spans_golden",
+    "emb_cosine_topk", "emb_ann_lsh_topk", "emb_ann_ivf_topk",
+    "emb_knn_label_vote", "emb_near_dup_pairs_at_scale",
+    "multimodal_features", "multimodal_frame_samples", "multimodal_resize",
+    "docs_token_count", "docs_lang_id", "docs_quality_score",
+    "docs_quality_repetition", "docs_quality_filter_chain",
+    "docs_fingerprint", "docs_tfidf_top_terms", "docs_boilerplate_ngrams",
+    "docs_train_test_split", "docs_benchmark_contamination",
+    "docs_stratified_sample", "docs_token_budget_mix",
+    "docs_chunk_for_training", "docs_term_freq_cms",
+    "events_kmv_distinct", "events_error_rate_hours",
+    "orders_in_promo_windows", "q8_market_share", "q15_top_supplier",
 )
 
 

@@ -1070,6 +1070,45 @@ def dedup_components_unified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def components_unified_production_embeddings(
+        spark: SparkSession, sf_dir: str, *,
+        cos_threshold: float = 0.9, bits: int = 14,
+        tables: int = 40) -> DataFrame:
+    """Growth-ladder variant of dedup_components_unified (VERDICT r4
+    #5): same three-tier union + star-CC, but the embedding tier runs
+    at the PRODUCTION near-dup threshold (cos >= 0.9, 14 bits x 40
+    tables — the config TestNearDupProductionThreshold pins at >=98%
+    recall with >=99% of the non-pair space pruned). The registered
+    query keeps the recall-stress config (cos >= 0.4 on near-random
+    vectors, full-recall oracle-pinned), where NO sign-LSH setting
+    discriminates — that config is the documented "ladder limit", not
+    the 100-TB plan. This composition is what the ladder measures for
+    the any-signal CC path; it is deliberately unmemoized (a timed
+    repeat must recompute)."""
+    from .similarity import _cosine, _emb, lsh_bucket_signatures
+
+    d = _docs(spark, sf_dir)
+    jac = _verified_jaccard_pairs(d, dedup_minhash_candidates(spark, sf_dir))
+    sim = _simhash_connectivity_edges(simhash64(spark, sf_dir))
+    e = _emb(spark, sf_dir)
+    sigs = lsh_bucket_signatures(e, bits=bits, tables=tables,
+                                 with_vectors=False)
+    s1 = sigs.select(F.col("vec_id").alias("doc1"), "table", "bucket")
+    s2 = sigs.select(F.col("vec_id").alias("doc2"), "table", "bucket")
+    cand = (s1.join(s2, ["table", "bucket"])
+            .filter(F.col("doc1") < F.col("doc2"))
+            .select("doc1", "doc2").distinct())
+    v1 = e.select(F.col("vec_id").alias("doc1"),
+                  F.col("embedding").cast("array<double>").alias("v1"))
+    v2 = e.select(F.col("vec_id").alias("doc2"),
+                  F.col("embedding").cast("array<double>").alias("v2"))
+    emb = (cand.join(v1, "doc1").join(v2, "doc2")
+           .filter(_cosine(F.col("v1"), F.col("v2")) >= cos_threshold)
+           .select("doc1", "doc2"))
+    edges = jac.unionByName(sim).unionByName(emb).distinct()
+    return _star_components(d.select("doc_id"), edges)
+
+
 def dedup_canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware canonicalization — the keep-list selection real
     pipelines run over the any-signal cluster graph: from each unified
