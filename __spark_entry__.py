@@ -51,6 +51,9 @@ def entry(spark: SparkSession) -> DataFrame:
 _MODULE_ORDER = (dedup, similarity, multimodal, textstats, extraction, relational)
 
 _PRIORITY = (
+    # --- never driver-checked: NEW round-5 queries first ---
+    "docs_span_removal", "docs_dsir_weights", "docs_bigram_loglik",
+    "docs_classifier_score", "revenue_cube", "events_running_user_value",
     # --- never driver-checked (r4b landed past the window) ---
     "events_value_quantile_sketch", "docs_token_entropy",
     # --- plan changed this round ---

@@ -307,6 +307,68 @@ FROM events GROUP BY event_type
 """
 
 
+def revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets: order revenue by customer nation x order year
+    with every subtotal plane (nation-only, year-only, grand total) in
+    ONE pass — Spark expands the grouping sets inside a single shuffle
+    vs four separate groupBy+union jobs. grouping_id disambiguates
+    generated NULLs from data NULLs (both engines use the standard
+    first-column-most-significant bit layout). nation is the fixed
+    25-row dimension -> broadcast is scale-safe; the orders-customer
+    join shuffles on its key and AQE picks the strategy at any SF."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    df = (o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+          .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+          .select(F.col("n_name").alias("nation"),
+                  F.year("o_orderdate").cast("int").alias("yr"),
+                  "o_totalprice"))
+    return (df.cube("nation", "yr")
+            .agg(F.round(_dec_sum(F.col("o_totalprice")).cast("double"), 4)
+                 .alias("revenue"),
+                 F.count("*").alias("n"),
+                 F.grouping_id().cast("int").alias("gid")))
+
+
+REVENUE_CUBE_SQL = """
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS yr,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(24,8))) AS DOUBLE), 4)
+         AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(GROUPING(n_name, year(o_orderdate)) AS INTEGER) AS gid
+FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+GROUP BY CUBE (n_name, year(o_orderdate))
+"""
+
+
+def events_running_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running value total — the PARTITIONED cumulative window:
+    each window partition is bounded by ONE user's events (the key
+    scales out with the corpus), in contrast to the global-ORDER-BY
+    windows this repo systematically replaces (customer_balance_ntiles,
+    token_budget_mix). Deterministic: event_id breaks ts ties, and the
+    running sum is decimal-exact before the final round."""
+    e = _t(spark, sf_dir, "events")
+    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return e.select("user_id", "event_id",
+                    F.round(F.sum(F.col("value").cast("decimal(24,8)"))
+                            .over(w).cast("double"), 4)
+                    .alias("running_value"))
+
+
+RUNNING_VALUE_SQL = """
+SELECT user_id, event_id,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(24,8)))
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS DOUBLE), 4) AS running_value
+FROM events
+"""
+
+
 # ---------------------------------------------------------------------------
 # KMV (k-minimum-values) distinct-count sketch. Beyer et al. 2007's
 # unbiased estimator (k-1)/h_(k): because the hash is md5, the sketch is
@@ -1330,6 +1392,8 @@ QUERIES = {
     "events_hourly": events_hourly,
     "asof_last_click_before_purchase": asof_last_click_before_purchase,
     "distinct_users_per_type": distinct_users_per_type,
+    "revenue_cube": revenue_cube,
+    "events_running_user_value": events_running_user_value,
 }
 
 ORACLES = {
@@ -1371,4 +1435,6 @@ ORACLES = {
     "events_hourly": EVENTS_HOURLY_SQL,
     "asof_last_click_before_purchase": ASOF_SQL,
     "distinct_users_per_type": DISTINCT_SQL,
+    "revenue_cube": REVENUE_CUBE_SQL,
+    "events_running_user_value": RUNNING_VALUE_SQL,
 }

@@ -1504,7 +1504,399 @@ FROM binned CROSS JOIN thresholds
 """
 
 
+# ---------------------------------------------------------------------------
+# Duplicated-span REMOVAL — the rewrite half of substring-level dedup
+# (Lee et al. 2022 "Deduplicating Training Data Makes Language Models
+# Better"): docs_duplicated_ngram_spans *detects* cross-document
+# repeated 10-gram windows; this operator actually rewrites the corpus.
+# Policy: for every window string seen in >1 distinct document, the
+# lowest-doc_id owner keeps its text; every other document drops ALL
+# token positions covered by any occurrence of that window. Tokens are
+# reassembled in order and the rewritten text is emitted as md5 (the
+# pii_scrub precedent: a byte-exact cross-engine check of the full
+# rewrite without shipping the corpus through the compare).
+#
+# Plan shape (all corpus-LINEAR, nothing quadratic):
+#   windows (n rows/doc) -> ownership groupBy on a 60-bit hashed key
+#   (8-byte shuffle keys, the repo's shingle-join discipline; md5 is
+#   bit-identical cross-engine so both engines see the same collisions)
+#   -> removal starts -> covered positions via a 10-wide explode
+#   (bounded by DUP_WINDOW x removals) -> anti-join against the token
+#   positions -> per-doc ordered reassembly (group bounded by ONE
+#   document's length).
+# ---------------------------------------------------------------------------
+
+def duplicated_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import md5_60bit
+
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    base = d.select("doc_id", toks.alias("t"), F.size(toks).alias("n"))
+    wins = (base.filter(F.col("n") >= DUP_WINDOW)
+            .select("doc_id", F.posexplode(F.expr(
+                f"transform(sequence(1, n - {DUP_WINDOW} + 1), "
+                f"s -> array_join(slice(t, s, {DUP_WINDOW}), ' '))"))
+                .alias("s0", "w"))
+            .select("doc_id", (F.col("s0") + 1).alias("s"),
+                    md5_60bit(F.col("w")).alias("k")))
+    own = wins.groupBy("k").agg(F.min("doc_id").alias("mn"),
+                                F.max("doc_id").alias("mx"))
+    rem = (wins.join(own, "k")   # both sides corpus-scale: AQE decides
+           .filter((F.col("mn") != F.col("mx"))
+                   & (F.col("doc_id") != F.col("mn")))
+           .select("doc_id", "s"))
+    covered = (rem.select("doc_id", F.explode(
+        F.sequence(F.col("s"), F.col("s") + DUP_WINDOW - 1)).alias("p"))
+               .distinct())
+    pos = (base.select("doc_id", F.posexplode("t").alias("p0", "tok"))
+           .select("doc_id", (F.col("p0") + 1).alias("p"), "tok"))
+    kept = pos.join(covered, ["doc_id", "p"], "left_anti")
+    rebuilt = (kept.groupBy("doc_id")
+               .agg(F.count("*").alias("n_after"),
+                    F.array_join(F.transform(
+                        F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                        lambda x: x["tok"]), " ").alias("txt")))
+    # emit EVERY doc: fully-removed text surfaces as md5(''), short docs
+    # (< DUP_WINDOW tokens) pass through rebuilt-but-unchanged
+    return (base.select("doc_id", F.col("n").cast("long").alias("n_tokens"))
+            .join(rebuilt, "doc_id", "left")
+            .select("doc_id", "n_tokens",
+                    (F.col("n_tokens")
+                     - F.coalesce(F.col("n_after"), F.lit(0)))
+                    .cast("long").alias("n_removed"),
+                    F.md5(F.coalesce(F.col("txt"), F.lit("")))
+                    .alias("scrubbed_md5")))
+
+
+SPAN_REMOVAL_SQL = f"""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS t,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+),
+wins AS (
+  SELECT doc_id, s,
+         CAST(('0x' || substr(md5(array_to_string(
+              list_slice(t, s, s + {DUP_WINDOW - 1}), ' ')), 1, 15))
+              AS BIGINT) AS k
+  FROM (SELECT doc_id, t, unnest(range(1, n - {DUP_WINDOW} + 2)) AS s
+        FROM base WHERE n >= {DUP_WINDOW})
+),
+own AS (SELECT k, MIN(doc_id) AS mn, MAX(doc_id) AS mx FROM wins GROUP BY 1),
+rem AS (
+  SELECT DISTINCT w.doc_id, w.s
+  FROM wins w JOIN own USING (k)
+  WHERE mn <> mx AND w.doc_id <> mn
+),
+cov AS (
+  SELECT DISTINCT doc_id, p
+  FROM (SELECT doc_id, unnest(range(s, s + {DUP_WINDOW})) AS p FROM rem)
+),
+pos AS (
+  SELECT doc_id, pp AS p, t[pp] AS tok
+  FROM (SELECT doc_id, t, unnest(range(1, n + 1)) AS pp FROM base)
+),
+kept AS (
+  SELECT pos.doc_id, pos.p, pos.tok
+  FROM pos ANTI JOIN cov ON pos.doc_id = cov.doc_id AND pos.p = cov.p
+),
+reb AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_after,
+         string_agg(tok, ' ' ORDER BY p) AS txt
+  FROM kept GROUP BY 1
+)
+SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_tokens,
+       CAST(b.n - COALESCE(r.n_after, 0) AS BIGINT) AS n_removed,
+       md5(COALESCE(r.txt, '')) AS scrubbed_md5
+FROM base b LEFT JOIN reb r USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (Xie et al. 2023 "Data Selection for Language
+# Models via Importance Resampling"): score every raw document by the
+# log-likelihood ratio between a TARGET unigram LM (here: the
+# quality_filter_chain survivors — the small high-quality set a real
+# run would point at Wikipedia/books) and the RAW-corpus unigram LM,
+# both add-1 smoothed over the raw vocabulary. High ratio = looks like
+# the target domain; the weights feed importance resampling
+# (stratified_sample / temperature_mix are the sampling seams).
+#
+# Exactness: per-term ratio computed as ONE log2 of ONE exact ratio —
+# (tf_tgt+1)(N_raw+V) / (tf_raw+1)(N_tgt+V), both products exact
+# BIGINTs well under 2^53 at oracle scales — quantized to 1e-4-scaled
+# BIGINTs before the per-doc sum (the unigram_loglik discipline:
+# order-free exact aggregation, bit-identical cross-engine). At
+# warehouse scale the same plan runs with the two-log difference
+# instead of the product ratio.
+# Plan: two term aggs + one left join on term (vocab scales with the
+# corpus -> AQE-decided, NOT broadcast) + a 1-row totals broadcast.
+# ---------------------------------------------------------------------------
+
+def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    per_doc = _term_counts(d)
+    tgt_ids = quality_filter_chain(spark, sf_dir).select("doc_id")
+    tf_raw = per_doc.groupBy("term").agg(F.sum("n").alias("tf_raw"))
+    tf_tgt = (per_doc.join(tgt_ids, "doc_id")
+              .groupBy("term").agg(F.sum("n").alias("tf_tgt")))
+    vocab = (tf_raw.join(tf_tgt, "term", "left")
+             .select("term", "tf_raw",
+                     F.coalesce("tf_tgt", F.lit(0)).alias("tf_tgt")))
+    totals = vocab.agg(F.sum("tf_raw").alias("n_raw"),
+                       F.sum("tf_tgt").alias("n_tgt"),
+                       F.count("*").alias("v"))
+    num = ((F.col("tf_tgt") + 1) * (F.col("n_raw") + F.col("v"))).cast("double")
+    den = ((F.col("tf_raw") + 1) * (F.col("n_tgt") + F.col("v"))).cast("double")
+    scored = (vocab.crossJoin(F.broadcast(totals))
+              .select("term", F.round(F.log2(num / den) * 10000.0, 0)
+                      .cast("long").alias("r")))
+    # final 4-decimal quantization in EXACT integer arithmetic: sum_r is
+    # in 1e-4-per-token units, so round-half-away(sum_r/n) followed by
+    # one exact /1e4 IS round(avg, 4) — but immune to the double-ROUND
+    # boundary split (Spark rounds the shortest decimal rendering of a
+    # double, DuckDB rounds the binary value; sum_r/n landing exactly on
+    # a .00005 boundary — observed at sf0.01 — sends them apart)
+    sd = (per_doc.join(scored, "term")
+          .groupBy("doc_id")
+          .agg(F.sum("n").cast("long").alias("n_tok"),
+               F.sum(F.col("n") * F.col("r")).alias("sum_r"))
+          .withColumn("q", F.expr("(2 * abs(sum_r) + n_tok) DIV (2 * n_tok)"))
+          .select("doc_id", F.col("n_tok").cast("int").alias("n_tokens"),
+                  (F.when(F.col("sum_r") < 0, -F.col("q"))
+                   .otherwise(F.col("q")) / F.lit(10000.0))
+                  .alias("dsir_logratio")))
+    return (d.select("doc_id").join(sd, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+                    "dsir_logratio"))
+
+
+DSIR_SQL = f"""
+WITH {_TERM_COUNT_CTES},
+tgt AS (
+  SELECT doc_id FROM documents
+  WHERE length(text) BETWEEN 80 AND 5000
+    AND CAST(len(list_filter(string_split(text, ' '),
+                             x -> x IN ({_STOP_SQL_LIST}))) AS DOUBLE)
+        / len(string_split(text, ' ')) >= 0.01
+    AND CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+        / len(string_split(text, ' ')) BETWEEN 2.5 AND 12.0
+),
+tf_raw AS (SELECT term, CAST(SUM(n) AS BIGINT) AS tf_raw
+           FROM per_doc GROUP BY 1),
+tf_tgt AS (SELECT term, CAST(SUM(n) AS BIGINT) AS tf_tgt
+           FROM per_doc JOIN tgt USING (doc_id) GROUP BY 1),
+vocab AS (
+  SELECT r.term, r.tf_raw, COALESCE(t.tf_tgt, 0) AS tf_tgt
+  FROM tf_raw r LEFT JOIN tf_tgt t USING (term)
+),
+totals AS (SELECT CAST(SUM(tf_raw) AS BIGINT) AS n_raw,
+                  CAST(SUM(tf_tgt) AS BIGINT) AS n_tgt,
+                  CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
+scored AS (
+  SELECT term,
+         CAST(ROUND(log2(CAST((tf_tgt + 1) * (n_raw + v) AS DOUBLE)
+                         / CAST((tf_raw + 1) * (n_tgt + v) AS DOUBLE))
+                    * 10000.0, 0) AS BIGINT) AS r
+  FROM vocab CROSS JOIN totals
+),
+sd AS (
+  SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_tok,
+         CAST(SUM(n * r) AS BIGINT) AS sum_r
+  FROM per_doc JOIN scored USING (term) GROUP BY 1
+),
+fin AS (
+  SELECT doc_id, n_tok,
+         (CASE WHEN sum_r < 0
+               THEN -((2 * abs(sum_r) + n_tok) // (2 * n_tok))
+               ELSE (2 * abs(sum_r) + n_tok) // (2 * n_tok) END)
+           / 10000.0 AS dsir_logratio
+  FROM sd
+)
+SELECT d.doc_id, CAST(COALESCE(f.n_tok, 0) AS INTEGER) AS n_tokens,
+       f.dsir_logratio
+FROM documents d LEFT JOIN fin f USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM log-likelihood — the next-order LM signal above
+# unigram_loglik: per-doc average log2 p(t_i | t_{i-1}), add-1 smoothed
+# over the corpus bigram table with context counts c(prev) = number of
+# bigrams starting with prev (= occurrences of prev in non-final
+# position) and V = the raw unigram vocabulary (the same _term_counts
+# token stream). Catches locally-incoherent text that unigram stats
+# miss. Same exactness discipline: one log2 of one exact BIGINT ratio
+# per bigram, 1e-4-quantized before the order-free per-doc sum; bigram
+# vocab scales with the corpus so its joins are AQE-decided, never
+# broadcast.
+# ---------------------------------------------------------------------------
+
+def bigram_loglik(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.lower(F.col("text")), " ")
+    base = d.select("doc_id", toks.alias("ts"), F.size(toks).alias("nn"))
+    bg = (base.filter(F.col("nn") >= 2)
+          .select("doc_id", F.explode(F.expr(
+              "transform(sequence(1, size(ts) - 1), "
+              "i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))"))
+              .alias("bg")))
+    per_doc = bg.groupBy("doc_id", "bg").agg(F.count("*").alias("n"))
+    btf = (per_doc.groupBy("bg").agg(F.sum("n").alias("btf"))
+           .withColumn("prev", F.split(F.col("bg"), " ").getItem(0)))
+    ctx = btf.groupBy("prev").agg(F.sum("btf").alias("c"))
+    vocab = (_term_counts(d).select("term").distinct()
+             .agg(F.count("*").alias("v")))
+    scored = (btf.join(ctx, "prev").crossJoin(F.broadcast(vocab))
+              .select("bg", F.round(F.log2(
+                  (F.col("btf") + F.lit(1)).cast("double")
+                  / (F.col("c") + F.col("v")).cast("double")) * 10000.0, 0)
+                  .cast("long").alias("r")))
+    # integer-exact 4-decimal quantization (see dsir_weights: the
+    # double-ROUND .00005 boundary splits the engines)
+    sd = (per_doc.join(scored, "bg")
+          .groupBy("doc_id")
+          .agg(F.sum("n").cast("long").alias("n_bg"),
+               F.sum(F.col("n") * F.col("r")).alias("sum_r"))
+          .withColumn("q", F.expr("(2 * abs(sum_r) + n_bg) DIV (2 * n_bg)"))
+          .select("doc_id", F.col("n_bg").cast("int").alias("n_bigrams"),
+                  (F.when(F.col("sum_r") < 0, -F.col("q"))
+                   .otherwise(F.col("q")) / F.lit(10000.0))
+                  .alias("avg_log2_prob")))
+    # docs with < 2 tokens have no bigrams: surface as (0, NULL)
+    return (d.select("doc_id").join(sd, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+                    "avg_log2_prob"))
+
+
+BIGRAM_SQL = f"""
+WITH {_TERM_COUNT_CTES},
+vocab AS (SELECT CAST(COUNT(DISTINCT term) AS BIGINT) AS v FROM per_doc),
+bbase AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS ts,
+         len(string_split(lower(text), ' ')) AS nn
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, unnest(list_transform(range(1, nn),
+                        i -> ts[i] || ' ' || ts[i + 1])) AS bg
+  FROM bbase WHERE nn >= 2
+),
+bpd AS (SELECT doc_id, bg, CAST(COUNT(*) AS BIGINT) AS n FROM bg GROUP BY 1, 2),
+btf AS (SELECT bg, CAST(SUM(n) AS BIGINT) AS btf FROM bpd GROUP BY 1),
+ctx AS (SELECT string_split(bg, ' ')[1] AS prev, CAST(SUM(btf) AS BIGINT) AS c
+        FROM btf GROUP BY 1),
+scored AS (
+  SELECT bg, CAST(ROUND(log2(CAST(btf + 1 AS DOUBLE) / (c + v)) * 10000.0, 0)
+                  AS BIGINT) AS r
+  FROM btf JOIN ctx ON string_split(btf.bg, ' ')[1] = ctx.prev
+  CROSS JOIN vocab
+),
+sd AS (
+  SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bg,
+         CAST(SUM(n * r) AS BIGINT) AS sum_r
+  FROM bpd JOIN scored USING (bg) GROUP BY 1
+),
+fin AS (
+  SELECT doc_id, n_bg,
+         (CASE WHEN sum_r < 0
+               THEN -((2 * abs(sum_r) + n_bg) // (2 * n_bg))
+               ELSE (2 * abs(sum_r) + n_bg) // (2 * n_bg) END)
+           / 10000.0 AS avg_log2_prob
+  FROM sd
+)
+SELECT d.doc_id, CAST(COALESCE(f.n_bg, 0) AS INTEGER) AS n_bigrams,
+       f.avg_log2_prob
+FROM documents d LEFT JOIN fin f USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Hashing-trick linear classifier score — the model-based quality-filter
+# stage (fastText-style: CCNet, GPT-3's WebText classifier, FineWeb-Edu)
+# expressed in its at-scale serving shape: tokens hash into CLF_BUCKETS
+# feature buckets, each bucket carries a fixed weight, the doc score is
+# the count-weighted mean bucket weight — pure JVM expressions, one
+# map-side-combinable agg, NOTHING broadcast (the "model" lives in the
+# hash function; a trained coefficient table would be a small broadcast
+# joined on bucket id). Training can't run in this sandbox, so the
+# weights are deterministic md5-derived stand-ins in [-1, 1] — the
+# scoring plumbing (bucketing, integer-exact accumulation, margin
+# threshold) is the production form and is what this query pins.
+# Integer-exact: wint in [-1000, 1000], score = SUM(n*wint)/(N*1000) —
+# one correctly-rounded division at the end.
+# ---------------------------------------------------------------------------
+
+CLF_BUCKETS = 256
+CLF_WSPAN = 2001   # integer weights in [-1000, 1000] -> w = wint/1000
+
+
+def classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import md5_60bit
+
+    d = _docs(spark, sf_dir)
+    per_doc = _term_counts(d)
+    bucket = F.pmod(md5_60bit(F.col("term")), F.lit(CLF_BUCKETS))
+    wint = (F.pmod(md5_60bit(F.concat(F.lit("w"), bucket.cast("string"))),
+                   F.lit(CLF_WSPAN)) - 1000)
+    # margin = sw/(1000n) to 4 decimals via integer-exact rounding
+    # (sw*10/n in 1e-4 units; the double-ROUND boundary split was
+    # observed live on this query at sf0.01 — see dsir_weights)
+    sd = (per_doc.withColumn("wint", wint)
+          .groupBy("doc_id")
+          .agg(F.sum("n").cast("long").alias("n_tok"),
+               F.sum(F.col("n") * F.col("wint")).alias("sw"))
+          .withColumn("q", F.expr("(2 * abs(sw * 10) + n_tok) DIV (2 * n_tok)"))
+          .select("doc_id", F.col("n_tok").cast("int").alias("n_tokens"),
+                  (F.when(F.col("sw") < 0, -F.col("q"))
+                   .otherwise(F.col("q")) / F.lit(10000.0))
+                  .alias("clf_margin")))
+    # token-less docs keep by convention (margin 0 is on the keep side)
+    return (d.select("doc_id").join(sd, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+                    "clf_margin",
+                    (F.coalesce(F.col("clf_margin"), F.lit(0.0)) >= 0.0)
+                    .alias("clf_keep")))
+
+
+CLF_SQL = f"""
+WITH {_TERM_COUNT_CTES},
+w AS (
+  SELECT doc_id, n,
+         CAST(('0x' || substr(md5('w' || CAST(
+             CAST(('0x' || substr(md5(term), 1, 15)) AS BIGINT)
+             % {CLF_BUCKETS} AS VARCHAR)), 1, 15)) AS BIGINT)
+           % {CLF_WSPAN} - 1000 AS wint
+  FROM per_doc
+),
+sd AS (
+  SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_tok,
+         CAST(SUM(n * wint) AS BIGINT) AS sw
+  FROM w GROUP BY 1
+),
+fin AS (
+  SELECT doc_id, n_tok,
+         (CASE WHEN sw < 0
+               THEN -((2 * abs(sw * 10) + n_tok) // (2 * n_tok))
+               ELSE (2 * abs(sw * 10) + n_tok) // (2 * n_tok) END)
+           / 10000.0 AS clf_margin
+  FROM sd
+)
+SELECT d.doc_id, CAST(COALESCE(f.n_tok, 0) AS INTEGER) AS n_tokens,
+       f.clf_margin,
+       COALESCE(f.clf_margin, 0.0) >= 0.0 AS clf_keep
+FROM documents d LEFT JOIN fin f USING (doc_id)
+"""
+
+
 QUERIES = {
+    "docs_span_removal": duplicated_span_removal,
+    "docs_dsir_weights": dsir_weights,
+    "docs_bigram_loglik": bigram_loglik,
+    "docs_classifier_score": classifier_score,
     "docs_curriculum_phases": curriculum_phases,
     "docs_hll_distinct_shingles": hll_distinct_shingles,
     "docs_hll_by_source": hll_by_source,
@@ -1533,6 +1925,10 @@ QUERIES = {
 }
 
 ORACLES = {
+    "docs_span_removal": SPAN_REMOVAL_SQL,
+    "docs_dsir_weights": DSIR_SQL,
+    "docs_bigram_loglik": BIGRAM_SQL,
+    "docs_classifier_score": CLF_SQL,
     "docs_curriculum_phases": CURRICULUM_SQL,
     "docs_hll_distinct_shingles": HLL_SQL,
     "docs_hll_by_source": HLL_BY_SOURCE_SQL,

@@ -99,6 +99,27 @@ def main(sf_dir: str = "/root/testdata/sf0.01", out_path: str = "PLANS.md") -> i
         "partitioned bounded window — the scale path for the exact "
         "per-group percentile sort)":
             relational.events_value_quantile_sketch(spark, sf_dir),
+        "customer_balance_ntiles (r5: exact NTILE via two-phase "
+        "distributed prefix sum — no SinglePartition window)":
+            relational.customer_balance_ntiles(spark, sf_dir),
+        "docs_span_removal (r5: hashed window-ownership agg; covered-"
+        "position anti-join; per-doc bounded reassembly)":
+            textstats.duplicated_span_removal(spark, sf_dir),
+        "docs_dsir_weights (r5: target-vs-raw LM ratio; vocab joins "
+        "AQE-decided, 1-row totals broadcast)":
+            textstats.dsir_weights(spark, sf_dir),
+        "docs_bigram_loglik (r5: bigram LM; bigram-vocab joins "
+        "AQE-decided, 1-row V broadcast)":
+            textstats.bigram_loglik(spark, sf_dir),
+        "docs_classifier_score (r5: hashing-trick linear scorer; one "
+        "combinable agg, zero broadcasts)":
+            textstats.classifier_score(spark, sf_dir),
+        "revenue_cube (r5: CUBE grouping sets in one shuffle; fixed-dim "
+        "nation broadcast)":
+            relational.revenue_cube(spark, sf_dir),
+        "events_running_user_value (r5: partitioned cumulative window — "
+        "per-user bounded state)":
+            relational.events_running_user_value(spark, sf_dir),
     }
 
     lines = ["# PLANS — executed physical plans (generated by "

@@ -1289,3 +1289,268 @@ class TestDedupPipeline:
         a = {r["doc_id"] for r in dedup.dedup_pipeline_at_scale(spark, SF_DIR).collect()}
         b = {r["doc_id"] for r in dedup.dedup_keep_list(spark, SF_DIR).collect()}
         assert a == b
+
+
+class TestSpanRemoval:
+    """Substring-dedup rewrite (docs_span_removal): planted cross-doc
+    duplicated 10-grams must vanish from every non-owner doc, byte-exact."""
+
+    def _run(self, spark, rows):
+        from local_pdftodocx_ocr_spark.operators import textstats as TS
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        df.createOrReplaceTempView("_span_docs")
+        orig = TS._docs
+        try:
+            TS._docs = lambda spark, sf: spark.table("_span_docs")
+            return {r["doc_id"]: r
+                    for r in TS.duplicated_span_removal(spark, "x").collect()}
+        finally:
+            TS._docs = orig
+
+    def test_planted_spans_removed_owner_keeps(self, spark):
+        import hashlib
+
+        shared = " ".join(f"w{i}" for i in range(10))
+        rows = [
+            (1, shared),                               # owner: keeps all
+            (2, f"x1 x2 {shared} y1 y2"),              # loses the 10-gram
+            (3, "short doc under window"),             # < 10 tokens: untouched
+            (4, f"{shared} z {shared}"),               # loses BOTH copies
+        ]
+        got = self._run(spark, rows)
+        exp_text = {1: shared, 2: "x1 x2 y1 y2",
+                    3: "short doc under window", 4: "z"}
+        exp_removed = {1: 0, 2: 10, 3: 0, 4: 20}
+        for d, (tid, txt) in zip(sorted(exp_text), sorted(exp_text.items())):
+            assert got[tid]["scrubbed_md5"] == \
+                hashlib.md5(exp_text[tid].encode()).hexdigest(), tid
+            assert got[tid]["n_removed"] == exp_removed[tid], tid
+
+    def test_every_doc_emitted_and_counts_consistent(self, spark):
+        from local_pdftodocx_ocr_spark.operators import textstats as TS
+        out = TS.duplicated_span_removal(spark, SF_DIR).collect()
+        n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+        assert len(out) == n_docs
+        for r in out:
+            assert 0 <= r["n_removed"] <= r["n_tokens"], r
+
+
+class TestDSIRWeights:
+    def test_mirror_on_planted_corpus(self, spark):
+        """Full Python mirror of the integer-quantized DSIR arithmetic on
+        a planted corpus: one gate-passing target-ish doc, one junk doc.
+        The target-vocabulary doc must outscore the junk doc AND both
+        must equal the sequential recomputation bit-for-bit."""
+        import math
+        from collections import Counter
+
+        from local_pdftodocx_ocr_spark.operators import textstats as TS
+
+        tgt_text = ("the quality corpus signal tokens flow here and "
+                    "the writing is clean for the reader today ") * 3
+        rows = [(1, tgt_text.strip()),
+                (2, "junk junk junk zz"),
+                (3, "the quality signal is clean for the reader and flows"),
+                (4, "zz junk zz junk zz")]
+        df = spark.createDataFrame([(d, t, "en") for d, t in rows],
+                                   "doc_id long, text string, lang string")
+        df.createOrReplaceTempView("_dsir_docs")
+        orig = TS._docs
+        try:
+            TS._docs = lambda spark, sf: spark.table("_dsir_docs")
+            got = {r["doc_id"]: r for r in TS.dsir_weights(spark, "x").collect()}
+            tgt_ids = {r["doc_id"]
+                       for r in TS.quality_filter_chain(spark, "x").collect()}
+        finally:
+            TS._docs = orig
+        assert 1 in tgt_ids and 2 not in tgt_ids  # the planting worked
+
+        toks = {d: [t for t in txt.lower().split(" ") if t] for d, txt in rows}
+        raw = Counter()
+        tgt = Counter()
+        for d, ts in toks.items():
+            raw.update(ts)
+            if d in tgt_ids:
+                tgt.update(ts)
+        v = len(raw)
+        n_raw, n_tgt = sum(raw.values()), sum(tgt.values())
+        r = {t: round(math.log2((tgt[t] + 1) * (n_raw + v)
+                                / ((raw[t] + 1) * (n_tgt + v))) * 10000.0)
+             for t in raw}
+        for d, ts in toks.items():
+            sum_r = sum(r[t] for t in ts)
+            n = len(ts)
+            q = (2 * abs(sum_r) + n) // (2 * n)
+            exp = (-q if sum_r < 0 else q) / 10000.0
+            assert got[d]["dsir_logratio"] == exp, d
+            assert got[d]["n_tokens"] == n, d
+        assert got[1]["dsir_logratio"] > got[2]["dsir_logratio"]
+        assert got[3]["dsir_logratio"] > got[4]["dsir_logratio"]
+
+
+class TestBigramLoglik:
+    def test_mirror_on_planted_corpus(self, spark):
+        import math
+        from collections import Counter
+
+        from local_pdftodocx_ocr_spark.operators import textstats as TS
+
+        rows = [(1, "a b a b a"), (2, "a b c"), (3, "x"), (4, "c a b")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        df.createOrReplaceTempView("_bg_docs")
+        orig = TS._docs
+        try:
+            TS._docs = lambda spark, sf: spark.table("_bg_docs")
+            got = {r["doc_id"]: r for r in TS.bigram_loglik(spark, "x").collect()}
+        finally:
+            TS._docs = orig
+
+        toks = {d: txt.lower().split(" ") for d, txt in rows}
+        bgs = {d: [f"{ts[i]} {ts[i+1]}" for i in range(len(ts) - 1)]
+               for d, ts in toks.items()}
+        btf = Counter(b for bs in bgs.values() for b in bs)
+        ctx = Counter()
+        for b, n in btf.items():
+            ctx[b.split(" ")[0]] += n
+        v = len({t for ts in toks.values() for t in ts if t})
+        r = {b: round(math.log2((n + 1) / (ctx[b.split(" ")[0]] + v)) * 10000.0)
+             for b, n in btf.items()}
+        for d, bs in bgs.items():
+            if not bs:
+                assert got[d]["n_bigrams"] == 0 and \
+                    got[d]["avg_log2_prob"] is None, d
+                continue
+            sum_r = sum(r[b] for b in bs)
+            n = len(bs)
+            q = (2 * abs(sum_r) + n) // (2 * n)
+            exp = (-q if sum_r < 0 else q) / 10000.0
+            assert got[d]["avg_log2_prob"] == exp, d
+            assert got[d]["n_bigrams"] == n, d
+
+    def test_repetitive_doc_scores_higher_than_rare_sequence(self, spark):
+        """On the real corpus: common-bigram docs sit above the add-1
+        floor assigned to singleton bigrams (directional sanity)."""
+        from local_pdftodocx_ocr_spark.operators import textstats as TS
+        out = [r for r in TS.bigram_loglik(spark, SF_DIR).collect()
+               if r["avg_log2_prob"] is not None]
+        assert len(out) > 0
+        assert all(r["avg_log2_prob"] < 0 for r in out)
+
+
+class TestClassifierScore:
+    def test_mirror_on_planted_corpus(self, spark):
+        import hashlib
+        from collections import Counter
+
+        from local_pdftodocx_ocr_spark.operators import textstats as TS
+
+        rows = [(1, "Alpha beta GAMMA alpha"), (2, ""), (3, "delta")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        df.createOrReplaceTempView("_clf_docs")
+        orig = TS._docs
+        try:
+            TS._docs = lambda spark, sf: spark.table("_clf_docs")
+            got = {r["doc_id"]: r
+                   for r in TS.classifier_score(spark, "x").collect()}
+        finally:
+            TS._docs = orig
+
+        def md5_60(s: str) -> int:
+            return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+        def wint(term: str) -> int:
+            b = md5_60(term) % TS.CLF_BUCKETS
+            return md5_60(f"w{b}") % TS.CLF_WSPAN - 1000
+
+        for d, txt in rows:
+            cnt = Counter(t for t in txt.lower().split(" ") if t)
+            n = sum(cnt.values())
+            if n == 0:
+                assert got[d]["n_tokens"] == 0
+                assert got[d]["clf_margin"] is None
+                assert got[d]["clf_keep"] is True
+                continue
+            sw = sum(c * wint(t) for t, c in cnt.items())
+            q = (2 * abs(sw * 10) + n) // (2 * n)
+            exp = (-q if sw < 0 else q) / 10000.0
+            assert got[d]["clf_margin"] == exp, d
+            assert got[d]["clf_keep"] == (exp >= 0.0), d
+
+
+class TestRevenueCube:
+    def test_cube_equals_union_of_planes(self, spark):
+        """The one-pass CUBE must equal the four explicit grouping
+        planes (nation+yr, nation, yr, grand total) with the standard
+        grouping_id bit layout."""
+        from local_pdftodocx_ocr_spark.operators import relational as R
+        got = {(r["nation"], r["yr"], r["gid"]): (r["revenue"], r["n"])
+               for r in R.revenue_cube(spark, SF_DIR).collect()}
+        o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        c = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+        n = spark.read.parquet(f"{SF_DIR}/nation.parquet")
+        j = (o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+             .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+             .select(F.col("n_name").alias("nation"),
+                     F.year("o_orderdate").cast("int").alias("yr"),
+                     "o_totalprice"))
+        agg = [F.round(F.sum(F.col("o_totalprice").cast("decimal(24,8)"))
+                       .cast("double"), 4).alias("revenue"),
+               F.count("*").alias("n")]
+        exp = {}
+        for keys, gid in ((["nation", "yr"], 0), (["nation"], 1),
+                          (["yr"], 2), ([], 3)):
+            grouped = j.groupBy(*keys).agg(*agg) if keys else j.agg(*agg)
+            for r in grouped.collect():
+                exp[(r["nation"] if "nation" in keys else None,
+                     r["yr"] if "yr" in keys else None, gid)] = \
+                    (r["revenue"], r["n"])
+        assert got == exp
+
+
+class TestRunningUserValue:
+    def test_equals_sequential_cumsum(self, spark):
+        from collections import defaultdict
+
+        from local_pdftodocx_ocr_spark.operators import relational as R
+        got = {r["event_id"]: r["running_value"]
+               for r in R.events_running_user_value(spark, SF_DIR).collect()}
+        ev = sorted(spark.read.parquet(f"{SF_DIR}/events.parquet")
+                    .select("user_id", "event_id", "ts", "value").collect(),
+                    key=lambda r: (r["user_id"], r["ts"], r["event_id"]))
+        acc = defaultdict(float)
+        for r in ev:
+            acc[r["user_id"]] += r["value"]
+            assert abs(got[r["event_id"]] - round(acc[r["user_id"]], 4)) < 1e-9, \
+                r["event_id"]
+
+
+class TestRound5BroadcastHints:
+    """The round-5 queries may hint broadcast ONLY on bounded sides:
+    nation (25 rows, SF-invariant) in revenue_cube; the 1-row totals /
+    vocab aggregates in dsir_weights / bigram_loglik. Everything that
+    scales with the corpus (target ids, term tables, window strings)
+    must stay AQE-decided."""
+
+    @staticmethod
+    def _n_hints(df) -> int:
+        return df._jdf.queryExecution().analyzed().toString().count(
+            "ResolvedHint (strategy=broadcast)")
+
+    def test_hint_counts(self, spark):
+        from local_pdftodocx_ocr_spark.operators import relational as R
+        from local_pdftodocx_ocr_spark.operators import textstats as TS
+        assert self._n_hints(R.revenue_cube(spark, SF_DIR)) == 1
+        assert self._n_hints(TS.dsir_weights(spark, SF_DIR)) == 1
+        assert self._n_hints(TS.bigram_loglik(spark, SF_DIR)) == 1
+        assert self._n_hints(TS.classifier_score(spark, SF_DIR)) == 0
+        assert self._n_hints(TS.duplicated_span_removal(spark, SF_DIR)) == 0
+        assert self._n_hints(R.events_running_user_value(spark, SF_DIR)) == 0
+
+    def test_running_window_is_partitioned(self, spark):
+        from local_pdftodocx_ocr_spark.operators import relational as R
+        plan = (R.events_running_user_value(spark, SF_DIR)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "Exchange SinglePartition" not in plan, plan[:2000]
+        for ln in plan.splitlines():
+            if "Window [" in ln:
+                assert "user_id" in ln, ln
