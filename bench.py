@@ -78,6 +78,14 @@ HEADLINE = {
     "docs_length_quantile_sketch": textstats.length_quantile_sketch,
     "events_value_quantile_sketch": relational.events_value_quantile_sketch,
     "docs_curriculum_phases": textstats.curriculum_phases,
+    # round-5 additions
+    "docs_span_removal": textstats.duplicated_span_removal,
+    "docs_dsir_weights": textstats.dsir_weights,
+    "docs_bigram_loglik": textstats.bigram_loglik,
+    "docs_classifier_score": textstats.classifier_score,
+    "revenue_cube": relational.revenue_cube,
+    "events_running_user_value": relational.events_running_user_value,
+    "customer_balance_ntiles": relational.customer_balance_ntiles,
     "extract_from_documents": extraction.extract_from_documents,
 }
 
@@ -91,34 +99,40 @@ HEADLINE = {
 # that are pinned in PLANS.md and the plan tests. Updated whenever the
 # suite is re-measured on a quiet host.
 CALM_REFERENCE: dict = {
-    "recorded": "round-5 builder session, sf0.1 local[32], min of repeats",
+    "recorded": ("round-5 builder session, sf0.1 local[32], element-wise "
+                 "min across repeated calm-window runs"),
     "queries": {
-        "q1_pricing_summary": 7.105, "q3_shipping_priority": 4.758,
-        "q5_local_supplier": 3.953, "topk_orders_per_customer": 2.116,
-        "sessionize_events": 2.238, "events_hourly": 1.262,
-        "q18_large_orders": 2.295, "docs_dedup_exact": 2.406,
+        "q1_pricing_summary": 4.645, "q3_shipping_priority": 2.769,
+        "q5_local_supplier": 1.901, "topk_orders_per_customer": 1.094,
+        "sessionize_events": 1.349, "events_hourly": 0.749,
+        "q18_large_orders": 1.574, "docs_dedup_exact": 1.818,
         "docs_dedup_jaccard_pairs": 3.65,
-        "docs_dedup_minhash_candidates": 7.62,
-        "docs_dedup_simhash_candidates": 11.55, "docs_simhash64": 1.361,
+        "docs_dedup_minhash_candidates": 4.859,
+        "docs_dedup_simhash_candidates": 3.305, "docs_simhash64": 1.361,
         "docs_tfidf_top_terms": 2.515, "docs_fingerprint": 0.634,
         "docs_quality_score": 0.476, "docs_quality_repetition": 1.4,
-        "docs_boilerplate_ngrams": 3.466, "docs_chunk_for_training": 0.45,
+        "docs_boilerplate_ngrams": 3.308, "docs_chunk_for_training": 0.45,
         "docs_term_freq_cms": 1.362, "docs_dedup_incremental": 0.56,
         "events_kmv_distinct": 0.695, "emb_cosine_topk": 1.01,
         "emb_ann_lsh_topk": 3.326, "docs_pack_sequences": 1.259,
-        "docs_packed_payloads": 1.808, "docs_duplicated_ngram_spans": 14.826,
+        "docs_packed_payloads": 1.808, "docs_duplicated_ngram_spans": 3.652,
         "docs_temperature_mix": 0.905, "docs_pii_scrub": 0.481,
-        # ~72 s is the honest cold cost of the three-tier graph: the
-        # recall-stress embedding tier is ~59 s of it (documented
-        # "ladder limit" config), star-CC itself is ~6 s / 5 rounds
-        "docs_dedup_components_unified": 72.01,
-        "docs_dedup_canonical_keep": 1.505, "docs_dedup_cluster_sizes": 0.471,
-        "docs_hll_distinct_shingles": 1.049, "docs_hll_by_source": 2.832,
-        "docs_dedup_bloom_screen": 1.025, "docs_dedup_incremental_bloom": 1.069,
+        # honest cold cost of the three-tier graph: the recall-stress
+        # embedding tier dominates (documented "ladder limit" config),
+        # star-CC itself is ~6 s / 5 rounds
+        "docs_dedup_components_unified": 33.245,
+        "docs_dedup_canonical_keep": 0.86, "docs_dedup_cluster_sizes": 0.298,
+        "docs_hll_distinct_shingles": 1.049, "docs_hll_by_source": 1.142,
+        "docs_dedup_bloom_screen": 1.025, "docs_dedup_incremental_bloom": 1.057,
         "docs_unigram_loglik": 2.058, "docs_token_entropy": 1.324,
         "docs_length_quantile_sketch": 0.822,
         "events_value_quantile_sketch": 0.656, "docs_curriculum_phases": 0.875,
-        "extract_from_documents": 8.604,
+        # round-5 additions (min of 2 calm reps)
+        "docs_span_removal": 3.06, "docs_dsir_weights": 2.131,
+        "docs_bigram_loglik": 2.844, "docs_classifier_score": 1.234,
+        "revenue_cube": 1.191, "events_running_user_value": 0.607,
+        "customer_balance_ntiles": 1.032,
+        "extract_from_documents": 1.92,
     },
 }
 
