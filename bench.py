@@ -86,6 +86,8 @@ HEADLINE = {
     "revenue_cube": relational.revenue_cube,
     "events_running_user_value": relational.events_running_user_value,
     "customer_balance_ntiles": relational.customer_balance_ntiles,
+    "docs_decontaminate_containment": textstats.decontaminate_containment,
+    "events_value_zscore": relational.events_value_zscore,
     "extract_from_documents": extraction.extract_from_documents,
 }
 
@@ -132,6 +134,7 @@ CALM_REFERENCE: dict = {
         "docs_bigram_loglik": 2.844, "docs_classifier_score": 1.234,
         "revenue_cube": 1.191, "events_running_user_value": 0.607,
         "customer_balance_ntiles": 1.032,
+        "docs_decontaminate_containment": 3.0, "events_value_zscore": 1.555,
         "extract_from_documents": 1.92,
     },
 }

@@ -343,6 +343,60 @@ GROUP BY CUBE (n_name, year(o_orderdate))
 """
 
 
+ZSCORE_FLAG = 3.0
+
+
+def events_value_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score anomaly screen: |z| >= 3 outliers against
+    the type's own mean/std. The moments come from decimal-exact sums
+    (sum, sum of squares, n — all order-free and map-side combinable;
+    variance = E[x^2] - E[x]^2 needs no second pass), broadcast back as
+    a per-type row (bounded by the type cardinality, not the corpus);
+    the scoring is a map-only projection. Emits ONLY the anomalies —
+    the output scales with the outlier rate, not the event count.
+    Cross-engine: both engines evaluate the identical (v - m)/s double
+    expression on identical operands; sqrt and division are correctly
+    rounded, and the ROUND(...,4) boundary needs a rational z, which
+    the irrational sigma rules out."""
+    e = _t(spark, sf_dir, "events")
+    stats = (e.groupBy("event_type")
+             .agg(_dec_sum(F.col("value")).alias("s1"),
+                  _dec_sum(F.col("value") * F.col("value")).alias("s2"),
+                  F.count("*").alias("n")))
+    # cast the EXACT decimal sums to double FIRST, then divide — the
+    # identical operation order as the SQL oracle (decimal division
+    # would round at decimal scale before the cast and drift)
+    mean = F.col("s1").cast("double") / F.col("n")
+    var = (F.col("s2").cast("double") / F.col("n") - mean * mean)
+    stats = stats.select("event_type", mean.alias("m"),
+                         F.sqrt(var).alias("sd"))
+    z = (F.col("value") - F.col("m")) / F.col("sd")
+    return (e.join(F.broadcast(stats), "event_type")
+            .withColumn("z", F.round(z, 4))
+            .filter(F.abs(F.col("z")) >= ZSCORE_FLAG)
+            .select("event_type", "event_id", "value", "z"))
+
+
+ZSCORE_SQL = f"""
+WITH stats AS (
+  SELECT event_type,
+         CAST(SUM(CAST(value AS DECIMAL(24,8))) AS DOUBLE) / COUNT(*) AS m,
+         SQRT(CAST(SUM(CAST(value * value AS DECIMAL(24,8))) AS DOUBLE)
+                / COUNT(*)
+              - (CAST(SUM(CAST(value AS DECIMAL(24,8))) AS DOUBLE)
+                 / COUNT(*))
+                * (CAST(SUM(CAST(value AS DECIMAL(24,8))) AS DOUBLE)
+                   / COUNT(*))) AS sd
+  FROM events GROUP BY 1
+)
+SELECT event_type, event_id, value, z
+FROM (SELECT e.event_type, e.event_id, e.value,
+             ROUND((e.value - s.m) / s.sd, 4) AS z
+      FROM events e JOIN stats s USING (event_type))
+WHERE ABS(z) >= {ZSCORE_FLAG}
+"""
+
+
 def events_running_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user running value total — the PARTITIONED cumulative window:
     each window partition is bounded by ONE user's events (the key
@@ -1394,6 +1448,7 @@ QUERIES = {
     "distinct_users_per_type": distinct_users_per_type,
     "revenue_cube": revenue_cube,
     "events_running_user_value": events_running_user_value,
+    "events_value_zscore": events_value_zscore,
 }
 
 ORACLES = {
@@ -1437,4 +1492,5 @@ ORACLES = {
     "distinct_users_per_type": DISTINCT_SQL,
     "revenue_cube": REVENUE_CUBE_SQL,
     "events_running_user_value": RUNNING_VALUE_SQL,
+    "events_value_zscore": ZSCORE_SQL,
 }

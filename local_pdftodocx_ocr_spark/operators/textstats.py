@@ -1814,6 +1814,122 @@ FROM documents d LEFT JOIN fin f USING (doc_id)
 
 
 # ---------------------------------------------------------------------------
+# Near-dup benchmark decontamination — the GPT-3/Lee-style CONTAINMENT
+# screen (docs_benchmark_contamination counts exact fixed-gram hits;
+# this measures, per document, the fraction of a benchmark text's
+# 3-gram shingles the document contains, and flags >= 50%). Benchmark
+# set: the 10-token prefixes of the 3 lowest doc_ids — deterministic at
+# every SF, self-hits guarantee both branches are exercised (the 3
+# source docs contain their own prefix at containment 1.0; unrelated
+# docs sit near 0). The benchmark side is FIXED-size (3 prefixes,
+# <= 8 shingles each) at any corpus scale -> its broadcast is
+# legitimate; the screen itself is one equi-join of the corpus shingle
+# stream against that broadcast + a per-(doc,bench) count — nothing
+# quadratic. Containment = inter/n_bench with n_bench <= 8: the ROUND
+# boundary is unreachable (20000/n_bench keeps a factor of 2, so
+# inter*20000 = n_bench*(2k+1) has no solution) — plain ROUND(...,4)
+# is exact cross-engine here.
+# ---------------------------------------------------------------------------
+
+DECON_N_BENCH = 3
+DECON_PREFIX_TOKENS = 10
+DECON_THRESHOLD = 0.5
+
+
+def _shingle3_expr(arr: str, n: str) -> str:
+    """Distinct word-3-gram shingles of token-array column `arr` as a
+    SQL expression string (Spark side; callers gate on n >= 3)."""
+    return (f"array_distinct(transform(sequence(1, {n} - 2), "
+            f"s -> array_join(slice({arr}, s, 3), ' ')))")
+
+
+def decontaminate_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import md5_60bit
+
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    base = d.select("doc_id", toks.alias("t"), F.size(toks).alias("n"))
+    dsh = (base.filter(F.col("n") >= 3)
+           .select("doc_id",
+                   F.explode(F.expr(_shingle3_expr("t", "n"))).alias("s"))
+           .select("doc_id", md5_60bit(F.col("s")).alias("k")))
+    bench = (base.filter(F.col("doc_id") < DECON_N_BENCH)
+             .select(F.col("doc_id").alias("bench_id"),
+                     F.slice("t", 1, DECON_PREFIX_TOKENS).alias("bt"))
+             .select("bench_id", "bt", F.size("bt").alias("bn")))
+    bsh = (bench.filter(F.col("bn") >= 3)
+           .select("bench_id",
+                   F.explode(F.expr(_shingle3_expr("bt", "bn"))).alias("s"))
+           .select("bench_id", md5_60bit(F.col("s")).alias("k")))
+    bn = bsh.groupBy("bench_id").agg(F.count("*").alias("n_b"))
+    inter = (dsh.join(F.broadcast(bsh), "k")
+             .groupBy("doc_id", "bench_id").agg(F.count("*").alias("inter")))
+    scored = (inter.join(F.broadcast(bn), "bench_id")
+              .select("doc_id", "bench_id",
+                      F.round(F.col("inter") / F.col("n_b"), 4)
+                      .alias("containment")))
+    best = (scored.groupBy("doc_id")
+            .agg(F.max(F.struct(F.col("containment"),
+                                (-F.col("bench_id")).alias("neg"))).alias("m"))
+            .select("doc_id", F.col("m.containment").alias("max_containment"),
+                    (-F.col("m.neg")).cast("int").alias("best_bench_id")))
+    # emit EVERY doc; shingle-less or zero-overlap docs are clean
+    return (d.select("doc_id").join(best, "doc_id", "left")
+            .select("doc_id", "best_bench_id", "max_containment",
+                    (F.coalesce("max_containment", F.lit(0.0))
+                     >= DECON_THRESHOLD).alias("contaminated")))
+
+
+DECON_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+),
+dsh AS (
+  SELECT DISTINCT doc_id,
+         CAST(('0x' || substr(md5(array_to_string(
+              list_slice(t, s, s + 2), ' ')), 1, 15)) AS BIGINT) AS k
+  FROM (SELECT doc_id, t, unnest(range(1, n - 1)) AS s
+        FROM toks WHERE n >= 3)
+),
+bench AS (
+  SELECT doc_id AS bench_id, list_slice(t, 1, {DECON_PREFIX_TOKENS}) AS bt,
+         len(list_slice(t, 1, {DECON_PREFIX_TOKENS})) AS bn
+  FROM toks WHERE doc_id < {DECON_N_BENCH}
+),
+bsh AS (
+  SELECT DISTINCT bench_id,
+         CAST(('0x' || substr(md5(array_to_string(
+              list_slice(bt, s, s + 2), ' ')), 1, 15)) AS BIGINT) AS k
+  FROM (SELECT bench_id, bt, unnest(range(1, bn - 1)) AS s
+        FROM bench WHERE bn >= 3)
+),
+bn AS (SELECT bench_id, CAST(COUNT(*) AS BIGINT) AS n_b FROM bsh GROUP BY 1),
+inter AS (
+  SELECT d.doc_id, b.bench_id, CAST(COUNT(*) AS BIGINT) AS inter
+  FROM dsh d JOIN bsh b USING (k) GROUP BY 1, 2
+),
+scored AS (
+  SELECT doc_id, bench_id,
+         ROUND(CAST(inter AS DOUBLE) / n_b, 4) AS containment,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY ROUND(CAST(inter AS DOUBLE) / n_b, 4)
+                            DESC, bench_id ASC) AS rn
+  FROM inter JOIN bn USING (bench_id)
+),
+best AS (
+  SELECT doc_id, CAST(bench_id AS INTEGER) AS best_bench_id,
+         containment AS max_containment
+  FROM scored WHERE rn = 1
+)
+SELECT d.doc_id, b.best_bench_id, b.max_containment,
+       COALESCE(b.max_containment, 0.0) >= {DECON_THRESHOLD} AS contaminated
+FROM documents d LEFT JOIN best b USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Hashing-trick linear classifier score — the model-based quality-filter
 # stage (fastText-style: CCNet, GPT-3's WebText classifier, FineWeb-Edu)
 # expressed in its at-scale serving shape: tokens hash into CLF_BUCKETS
@@ -1893,6 +2009,7 @@ FROM documents d LEFT JOIN fin f USING (doc_id)
 
 
 QUERIES = {
+    "docs_decontaminate_containment": decontaminate_containment,
     "docs_span_removal": duplicated_span_removal,
     "docs_dsir_weights": dsir_weights,
     "docs_bigram_loglik": bigram_loglik,
@@ -1925,6 +2042,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "docs_decontaminate_containment": DECON_SQL,
     "docs_span_removal": SPAN_REMOVAL_SQL,
     "docs_dsir_weights": DSIR_SQL,
     "docs_bigram_loglik": BIGRAM_SQL,
