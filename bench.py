@@ -88,6 +88,11 @@ HEADLINE = {
     "customer_balance_ntiles": relational.customer_balance_ntiles,
     "docs_decontaminate_containment": textstats.decontaminate_containment,
     "events_value_zscore": relational.events_value_zscore,
+    # emb_kmeans pays the KMEANS_ITERS aggregation jobs (honest cold
+    # cost); emb_semdedup reuses the memoized centroids (the
+    # canonical_keep precedent) — its row times the cluster self-join
+    "emb_kmeans": similarity.emb_kmeans,
+    "emb_semdedup": similarity.emb_semdedup,
     "extract_from_documents": extraction.extract_from_documents,
 }
 
@@ -135,6 +140,10 @@ CALM_REFERENCE: dict = {
         "revenue_cube": 1.191, "events_running_user_value": 0.607,
         "customer_balance_ntiles": 1.032,
         "docs_decontaminate_containment": 3.0, "events_value_zscore": 1.555,
+        # kmeans row = cold cost (KMEANS_ITERS Lloyd jobs; wall is
+        # dominated by codegen of the per-iteration assignment folds —
+        # constant in the corpus); semdedup reuses the memoized centroids
+        "emb_kmeans": 11.864, "emb_semdedup": 5.208,
         "extract_from_documents": 1.92,
     },
 }

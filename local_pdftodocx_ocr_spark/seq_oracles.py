@@ -53,6 +53,8 @@ def values_sql(rows: list[tuple], cols: list[tuple[str, str]]) -> str:
             return _sql_quote(v)
         if typ == "DOUBLE":
             return repr(float(v))
+        if typ == "BOOLEAN":
+            return "true" if v else "false"
         return str(int(v))
 
     body = ",\n".join(
@@ -295,6 +297,96 @@ def ann_lsh_values_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
 
 def ann_ivf_values_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
     return _ann_values_sql(seq_ann_ivf_topk(sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# k-means (Lloyd) + SemDeDup: the full quantized centroid evolution and
+# the within-cluster greedy pruning recomputed sequentially — mirrors of
+# operators/similarity.py::_kmeans_centroids / emb_kmeans / emb_semdedup
+# ---------------------------------------------------------------------------
+
+
+def _fold_sqdist(a, b) -> float:
+    """Mirror of _kmeans_assign's per-centroid fold: zip_with computes
+    (a-b)^2 per element, aggregate left-folds acc + v in array order."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + (x - y) * (x - y)
+    return acc
+
+
+def _seq_assign(e, cent) -> tuple[float, int]:
+    """(squared distance, cluster): strict < keeps the earliest k on
+    ties — identical to array_min's lexicographic (d, k) struct order."""
+    best = None
+    for k, c in enumerate(cent):
+        d = _fold_sqdist(e, c)
+        if best is None or d < best[0]:
+            best = (d, k)
+    return best
+
+
+@lru_cache(maxsize=4)
+def _seq_kmeans_centroids(sf_dir: str) -> tuple[tuple[float, ...], ...]:
+    from .operators import similarity as sim
+    data = _embeddings(sf_dir)
+    emb = {v: e for v, e, _ in data}
+    cent = [[float(x) for x in emb[sim.KMEANS_SEED_BASE + k]]
+            for k in range(sim.KMEANS_K)]
+    for _ in range(sim.KMEANS_ITERS):
+        sums = [[0] * sim.KMEANS_DIM for _ in range(sim.KMEANS_K)]
+        ns = [0] * sim.KMEANS_K
+        for _v, e, _lb in data:
+            k = _seq_assign(e, cent)[1]
+            ns[k] += 1
+            for j, x in enumerate(e):
+                # int() truncates toward zero = Spark's double->long cast
+                sums[k][j] += int(x * float(sim.KMEANS_Q))
+        for k in range(sim.KMEANS_K):
+            if ns[k]:   # empty clusters keep their previous centroid
+                cent[k] = [sums[k][j] / (ns[k] * float(sim.KMEANS_Q))
+                           for j in range(sim.KMEANS_DIM)]
+    return tuple(tuple(c) for c in cent)
+
+
+def seq_kmeans_rows(sf_dir: str = ORACLE_SF_DIR) -> list[tuple[int, int, float]]:
+    cent = _seq_kmeans_centroids(sf_dir)
+    return [(v, k, spark_round(d, 4))
+            for v, e, _ in _embeddings(sf_dir)
+            for d, k in [_seq_assign(e, cent)]]
+
+
+def kmeans_values_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
+    return values_sql(seq_kmeans_rows(sf_dir),
+                      [("vec_id", "BIGINT"), ("cluster", "INTEGER"),
+                       ("dist", "DOUBLE")])
+
+
+def seq_semdedup_rows(sf_dir: str = ORACLE_SF_DIR) -> list[tuple[int, int, bool]]:
+    from .operators import similarity as sim
+    cent = _seq_kmeans_centroids(sf_dir)
+    data = _embeddings(sf_dir)
+    emb = {v: e for v, e, _ in data}
+    clusters: dict[int, list[int]] = {}
+    assign: dict[int, int] = {}
+    for v, e, _ in data:
+        k = _seq_assign(e, cent)[1]
+        assign[v] = k
+        clusters.setdefault(k, []).append(v)
+    dup: set[int] = set()
+    for members in clusters.values():
+        members.sort()
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                if _fold_cosine(emb[members[i]], emb[members[j]]) >= sim.SEMDEDUP_COS:
+                    dup.add(members[j])
+    return [(v, assign[v], v in dup) for v, _, _ in data]
+
+
+def semdedup_values_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
+    return values_sql(seq_semdedup_rows(sf_dir),
+                      [("vec_id", "BIGINT"), ("cluster", "INTEGER"),
+                       ("semantic_dup", "BOOLEAN")])
 
 
 # ---------------------------------------------------------------------------
