@@ -93,6 +93,7 @@ HEADLINE = {
     # canonical_keep precedent) — its row times the cluster self-join
     "emb_kmeans": similarity.emb_kmeans,
     "emb_semdedup": similarity.emb_semdedup,
+    "docs_heavy_hitters": textstats.heavy_hitters,
     "extract_from_documents": extraction.extract_from_documents,
 }
 
@@ -144,6 +145,9 @@ CALM_REFERENCE: dict = {
         # dominated by codegen of the per-iteration assignment folds —
         # constant in the corpus); semdedup reuses the memoized centroids
         "emb_kmeans": 11.864, "emb_semdedup": 5.208,
+        # cold = sketch-build pass + screen pass; wall dominated by
+        # codegen of the 4x1024 literal cell arrays (constant in corpus)
+        "docs_heavy_hitters": 8.169,
         "extract_from_documents": 1.92,
     },
 }

@@ -1930,6 +1930,119 @@ FROM documents d LEFT JOIN best b USING (doc_id)
 
 
 # ---------------------------------------------------------------------------
+# Exact heavy hitters via a count-min SCREEN (the Cormode-Muthukrishnan
+# two-pass form) — the term-level analog of the bloom dedup screen.
+# docs_term_freq_cms answers point queries against a fixed probe list;
+# this answers the open query "every bigram above theta of the stream"
+# WITHOUT a vocabulary-scale aggregation anywhere:
+#   pass 1: stream bigram occurrences into fixed 4x1024 CMS cells (one
+#           md5 per occurrence, 4 bucket positions as 15-bit slices of
+#           it; state is 4096 cells at ANY corpus size, map-side
+#           combinable);
+#   pass 2: map-only screen — 4 broadcast joins of the occurrence
+#           stream against the <=4096-row cell table, keep occurrences
+#           with min-cell estimate >= theta*total — then exact-count
+#           ONLY the survivors (aggregation state bounded by the
+#           survivor vocabulary <= ~1/theta + CMS false positives, not
+#           the corpus vocabulary).
+# CMS never underestimates, so the screen has no false negatives and
+# the final exact HAVING removes its false positives: the output is
+# EXACTLY the brute-force answer, hence the oracle is the plain SQL
+# frequency filter (the dedup_incremental_bloom precedent — a green
+# hash row proves the screen output-invisible). All threshold
+# arithmetic is integer (n*10000 >= BP*total): no float boundary.
+# Contrast with term_freq_cms' distinct-term pre-agg: that optimizes
+# md5 cost but pays vocabulary-scale state; here the whole point is
+# that NO stage holds the vocabulary.
+# ---------------------------------------------------------------------------
+
+HH_THETA_BP = 15     # heavy = occurrences*10000 >= 15*total (0.15%)
+
+
+def _hh_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    return (d.select(toks.alias("t"), F.size(toks).alias("n"))
+            .filter(F.col("n") >= 2)
+            .select(F.explode(F.expr(
+                "transform(sequence(1, n - 1), "
+                "s -> array_join(slice(t, s, 2), ' '))")).alias("g")))
+
+
+def _hh_positions(gcol) -> list:
+    from ..functions.hashing import md5_60bit
+    h = md5_60bit(gcol)
+    return [F.pmod(F.shiftright(h, 15 * i), F.lit(CMS_W))
+            for i in range(CMS_D)]
+
+
+# The materialized sketch is 4096 ints — bounded driver state at any
+# corpus size (the IVF-centroid / k-means precedent). Memoized per
+# (corpus, width) so the screen pass and its consumers pay the build
+# scan once per session; keying on the width keeps the monkeypatched
+# collision-saturation test isolated.
+_HH_CELLS_CACHE: dict[tuple[str, int], tuple[list[list[int]], int]] = {}
+
+
+def _hh_cells(spark: SparkSession, sf_dir: str) -> tuple[list[list[int]], int]:
+    """ONE corpus pass: dense CMS_D x CMS_W counts plus the stream total
+    (= sum of any one row). Collecting <=4096 rows replaces 5 lazy
+    re-scans (4 per-row broadcast builds + the total) with literals."""
+    key = (sf_dir, CMS_W)
+    if key not in _HH_CELLS_CACHE:
+        pos = _hh_positions(F.col("g"))
+        rows = (_hh_grams(spark, sf_dir)
+                .select(F.posexplode(F.array(*pos)).alias("i", "b"))
+                .groupBy("i", "b").agg(F.count("*").alias("c"))
+                .collect())
+        dense = [[0] * CMS_W for _ in range(CMS_D)]
+        for r in rows:
+            dense[r["i"]][r["b"]] = r["c"]
+        _HH_CELLS_CACHE[key] = (dense, sum(dense[0]))
+    return _HH_CELLS_CACHE[key]
+
+
+def _hh_screened(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surviving occurrences (g, est) — map-only: each occurrence probes
+    the literal cell arrays, no join, no state. Split out so the pruning
+    pytest can observe the screen actually pruning."""
+    dense, total = _hh_cells(spark, sf_dir)
+    pos = _hh_positions(F.col("g"))
+    est = F.least(*[
+        F.element_at(F.array(*[F.lit(c) for c in dense[i]]),
+                     (p + 1).cast("int"))
+        for i, p in enumerate(pos)])
+    return (_hh_grams(spark, sf_dir)
+            .select("g", est.alias("est"))
+            .filter(F.col("est") * 10000 >= HH_THETA_BP * F.lit(int(total))))
+
+
+def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, total = _hh_cells(spark, sf_dir)
+    return (_hh_screened(spark, sf_dir)
+            .groupBy("g").agg(F.count("*").alias("n"))
+            .filter(F.col("n") * 10000 >= HH_THETA_BP * F.lit(int(total)))
+            .select(F.col("g").alias("gram"), "n"))
+
+
+HEAVY_HITTERS_SQL = f"""
+WITH toks AS (
+  SELECT string_split(text, ' ') AS t, len(string_split(text, ' ')) AS n
+  FROM documents
+),
+g AS (
+  SELECT array_to_string(list_slice(t, s, s + 1), ' ') AS g
+  FROM (SELECT t, unnest(range(1, n)) AS s FROM toks WHERE n >= 2)
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM g)
+SELECT g AS gram, CAST(COUNT(*) AS BIGINT) AS n
+FROM g, tot
+GROUP BY g, total
+HAVING CAST(COUNT(*) AS BIGINT) * 10000 >= {HH_THETA_BP} * total
+"""
+
+
+# ---------------------------------------------------------------------------
 # Hashing-trick linear classifier score — the model-based quality-filter
 # stage (fastText-style: CCNet, GPT-3's WebText classifier, FineWeb-Edu)
 # expressed in its at-scale serving shape: tokens hash into CLF_BUCKETS
@@ -2009,6 +2122,7 @@ FROM documents d LEFT JOIN fin f USING (doc_id)
 
 
 QUERIES = {
+    "docs_heavy_hitters": heavy_hitters,
     "docs_decontaminate_containment": decontaminate_containment,
     "docs_span_removal": duplicated_span_removal,
     "docs_dsir_weights": dsir_weights,
@@ -2042,6 +2156,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "docs_heavy_hitters": HEAVY_HITTERS_SQL,
     "docs_decontaminate_containment": DECON_SQL,
     "docs_span_removal": SPAN_REMOVAL_SQL,
     "docs_dsir_weights": DSIR_SQL,

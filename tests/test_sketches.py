@@ -424,3 +424,54 @@ class TestLengthQuantileSketch:
             F.lit(textstats.HIST_MAX_BIN).cast("long")).alias("b"))
             .distinct().count())
         assert n_bins <= textstats.HIST_MAX_BIN + 1
+
+
+class TestHeavyHitters:
+    """docs_heavy_hitters: exact heavy hitters behind a count-min
+    screen. The oracle mirror pins output equality; these pin the two
+    things the oracle can't see — that the screen actually PRUNES
+    (survivor vocabulary << corpus vocabulary) and that the exact
+    HAVING removes genuine CMS false positives (driven on a
+    collision-saturated sketch where every gram survives the screen)."""
+
+    def test_screen_prunes_hard_with_no_false_negatives(self, spark):
+        surv_vocab = (textstats._hh_screened(spark, SF_DIR)
+                      .select("g").distinct().count())
+        vocab = textstats._hh_grams(spark, SF_DIR).distinct().count()
+        out = textstats.heavy_hitters(spark, SF_DIR)
+        n_out = out.count()
+        assert n_out > 0                     # nonempty at the oracle SF
+        assert n_out <= surv_vocab           # HAVING only removes
+        assert surv_vocab < vocab / 4        # the screen prunes >75%
+        # no false negatives: every brute-force hitter is in the output
+        grams = textstats._hh_grams(spark, SF_DIR)
+        total = grams.count()
+        brute = (grams.groupBy("g").agg(F.count("*").alias("n"))
+                 .filter(F.col("n") * 10000 >= textstats.HH_THETA_BP * total))
+        assert brute.count() == n_out
+
+    def test_fp_removal_on_collision_saturated_sketch(self, spark, tmp_path,
+                                                      monkeypatch):
+        """Width 2 forces every gram into the same two buckets per row,
+        so the screen passes EVERYTHING (worst-case false positives);
+        the output must still be exactly the brute-force answer."""
+        import duckdb
+
+        hot = " ".join(["hot spot"] * 60)            # 'hot spot' x60
+        light = [f"w{i} w{i + 1} w{i + 2}" for i in range(0, 3000, 3)]
+        rows = [(0, hot)] + [(i + 1, t) for i, t in enumerate(light)]
+        path = str(tmp_path / "hh")
+        spark.createDataFrame(rows, "doc_id long, text string") \
+            .write.parquet(f"{path}/documents.parquet")
+        monkeypatch.setattr(textstats, "CMS_W", 2)
+        surv_vocab = (textstats._hh_screened(spark, path)
+                      .select("g").distinct().count())
+        out = {(r["gram"], r["n"])
+               for r in textstats.heavy_hitters(spark, path).collect()}
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{path}/documents.parquet/*.parquet')")
+        oracle = set(map(tuple, con.sql(textstats.HEAVY_HITTERS_SQL).fetchall()))
+        assert out == oracle and len(out) > 0
+        # the saturated screen really did pass false positives
+        assert surv_vocab > len(out)
