@@ -1771,8 +1771,9 @@ def bigram_loglik(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "avg_log2_prob"))
 
 
-BIGRAM_SQL = f"""
-WITH {_TERM_COUNT_CTES},
+# CTE chain shared by BIGRAM_SQL and PPL_BUCKETS_SQL (`fin` = one row
+# per document that has >= 1 bigram, with the quantized avg log2 prob)
+_BIGRAM_CTES = f"""{_TERM_COUNT_CTES},
 vocab AS (SELECT CAST(COUNT(DISTINCT term) AS BIGINT) AS v FROM per_doc),
 bbase AS (
   SELECT doc_id, string_split(lower(text), ' ') AS ts,
@@ -1806,10 +1807,134 @@ fin AS (
                ELSE (2 * abs(sum_r) + n_bg) // (2 * n_bg) END)
            / 10000.0 AS avg_log2_prob
   FROM sd
-)
+)"""
+
+BIGRAM_SQL = f"""
+WITH {_BIGRAM_CTES}
 SELECT d.doc_id, CAST(COALESCE(f.n_bg, 0) AS INTEGER) AS n_bigrams,
        f.avg_log2_prob
 FROM documents d LEFT JOIN fin f USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity buckets (Wenzek et al. 2020): split the corpus
+# into head/middle/tail TERTILES of LM score — CCNet's quality gate
+# keeps "head", trains on "head+middle", drops "tail". The LM signal is
+# the bigram avg log2 prob above (lower prob = higher perplexity =
+# worse bucket); the tertiles come from the shared 128-cell histogram
+# sketch (_hist_rank_cuts) + a map-only assignment against the two
+# broadcast cuts — the same no-global-sort discipline as
+# curriculum_phases, so the plan survives 100 TB where ntile(3) would
+# single-task the corpus. Bin arithmetic is exact cross-engine: the
+# score is 1e-4-quantized (q/10000.0, one identical rounding in both
+# engines) and the bin scale is a POWER OF TWO, so -score * 8 is an
+# exact double scaling and FLOOR agrees bit-for-bit.
+# ---------------------------------------------------------------------------
+
+PPL_BIN_SCALE = 64          # bins of 1/64 bit; power of 2 -> exact scaling
+PPL_MAX_BIN = 1023
+
+
+def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import _persist_tracked
+
+    bl = bigram_loglik(spark, sf_dir).filter(F.col("n_bigrams") > 0)
+    binned = _persist_tracked(bl.select(
+        "doc_id",
+        F.least(F.floor(-F.col("avg_log2_prob") * PPL_BIN_SCALE),
+                F.lit(PPL_MAX_BIN).cast("long")).alias("bin")))
+    cuts = _hist_rank_cuts(spark, binned.select("bin"), [(1, 1, 3), (2, 2, 3)])
+    thresholds = (cuts.groupBy()
+                  .agg(F.max(F.when(F.col("t") == 1, F.col("cut"))).alias("b1"),
+                       F.max(F.when(F.col("t") == 2, F.col("cut"))).alias("b2")))
+    bucket = (F.when(F.col("bin") <= F.col("b1"), "head")
+              .when(F.col("bin") <= F.col("b2"), "middle")
+              .otherwise("tail"))
+    return (binned.crossJoin(F.broadcast(thresholds))
+            .select("doc_id", F.col("bin").cast("int").alias("ppl_bin"),
+                    bucket.alias("bucket")))
+
+
+PPL_BUCKETS_SQL = f"""
+WITH {_BIGRAM_CTES},
+binned AS (
+  SELECT doc_id,
+         LEAST(CAST(FLOOR(-avg_log2_prob * {PPL_BIN_SCALE}) AS BIGINT),
+               {PPL_MAX_BIN}) AS bin
+  FROM fin
+),
+hist AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS c FROM binned GROUP BY 1),
+cum AS (SELECT bin, SUM(c) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum
+        FROM hist),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM binned),
+cuts AS (
+  SELECT t, MIN(bin) AS cut
+  FROM (SELECT t, (nn.n * t + 2) // 3 AS rank_at
+        FROM (VALUES (1), (2)) v(t) CROSS JOIN nn) thr
+  JOIN cum ON cum >= rank_at
+  GROUP BY t
+),
+thresholds AS (
+  SELECT MAX(CASE WHEN t = 1 THEN cut END) AS b1,
+         MAX(CASE WHEN t = 2 THEN cut END) AS b2
+  FROM cuts
+)
+SELECT doc_id, CAST(bin AS INTEGER) AS ppl_bin,
+       CASE WHEN bin <= b1 THEN 'head'
+            WHEN bin <= b2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM binned CROSS JOIN thresholds
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deterministic weighted sample — priority sampling (Duffield, Lund &
+# Thorup 2007): each document gets priority w / u with u uniform in
+# (0, 1], and the k highest priorities form the sample (token-weighted,
+# so long documents are proportionally favored — the corpus-subsetting
+# step quality-weighted data selection pipelines need). u is derived
+# from md5(doc_id) (reproducible, no RNG, stable under repartitioning —
+# the train_test_split discipline): u = (h + 1) / 2^32 with h the first
+# 8 md5 hex digits, so priority = w * 2^32 / (h + 1) is ONE IEEE
+# division of exact integer operands (w * 2^32 < 2^53) — bit-identical
+# cross-engine, no ROUND needed; the emitted columns are integers only.
+# Plan: orderBy + limit compiles to TakeOrderedAndProject — per-
+# partition top-k then a k*P driver merge, never a global sort shuffle.
+# ---------------------------------------------------------------------------
+
+WSAMPLE_K = 50
+
+
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    h = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                16, 10).cast("long"))
+    w = F.size(F.split(F.col("text"), " "))
+    pri = w.cast("double") * F.lit(4294967296.0) / (h + F.lit(1)).cast("double")
+    return (d.select("doc_id", w.alias("n_tokens"), h.alias("u_hash"),
+                     pri.alias("pri"))
+            .orderBy(F.desc("pri"), "doc_id")
+            .limit(WSAMPLE_K)
+            .select("doc_id", F.col("n_tokens").cast("int").alias("n_tokens"),
+                    "u_hash"))
+
+
+WSAMPLE_SQL = f"""
+SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+       CAST(u_hash AS BIGINT) AS u_hash
+FROM (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tokens,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+           AS u_hash,
+         CAST(len(string_split(text, ' ')) AS DOUBLE) * 4294967296.0
+           / (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS UBIGINT) + 1) AS pri
+  FROM documents
+  ORDER BY pri DESC, doc_id
+  LIMIT {WSAMPLE_K}
+)
 """
 
 
@@ -2122,6 +2247,8 @@ FROM documents d LEFT JOIN fin f USING (doc_id)
 
 
 QUERIES = {
+    "docs_perplexity_buckets": perplexity_buckets,
+    "docs_weighted_sample": weighted_sample,
     "docs_heavy_hitters": heavy_hitters,
     "docs_decontaminate_containment": decontaminate_containment,
     "docs_span_removal": duplicated_span_removal,
@@ -2156,6 +2283,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "docs_perplexity_buckets": PPL_BUCKETS_SQL,
+    "docs_weighted_sample": WSAMPLE_SQL,
     "docs_heavy_hitters": HEAVY_HITTERS_SQL,
     "docs_decontaminate_containment": DECON_SQL,
     "docs_span_removal": SPAN_REMOVAL_SQL,

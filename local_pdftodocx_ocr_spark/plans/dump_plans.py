@@ -120,6 +120,27 @@ def main(sf_dir: str = "/root/testdata/sf0.01", out_path: str = "PLANS.md") -> i
         "events_running_user_value (r5: partitioned cumulative window — "
         "per-user bounded state)":
             relational.events_running_user_value(spark, sf_dir),
+        "docs_decontaminate_containment (r5: fixed-size benchmark side "
+        "broadcast; one equi-join on the shingle key)":
+            textstats.decontaminate_containment(spark, sf_dir),
+        "events_value_zscore (r5: one combinable moments agg -> "
+        "broadcast stats -> map-only scoring)":
+            relational.events_value_zscore(spark, sf_dir),
+        "docs_heavy_hitters (r5: fixed 4096-cell CMS build; map-only "
+        "literal-array screen; exact count on survivors only)":
+            textstats.heavy_hitters(spark, sf_dir),
+        "emb_kmeans (r5: per-round ONE combinable hash agg, K-row "
+        "collect, centroid literals into map-only assignment)":
+            similarity.emb_kmeans(spark, sf_dir),
+        "emb_semdedup (r5: within-cluster pairing — occupancy bounds "
+        "the quadratic term; no corpus-sized broadcast/collect)":
+            similarity.emb_semdedup(spark, sf_dir),
+        "docs_perplexity_buckets (r5: CCNet head/middle/tail from the "
+        "128-cell sketch; map-only assignment, no global sort)":
+            textstats.perplexity_buckets(spark, sf_dir),
+        "docs_weighted_sample (r5: priority sampling w/u; "
+        "TakeOrderedAndProject, never a global sort shuffle)":
+            textstats.weighted_sample(spark, sf_dir),
     }
 
     lines = ["# PLANS — executed physical plans (generated by "

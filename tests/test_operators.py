@@ -1554,3 +1554,66 @@ class TestRound5BroadcastHints:
         for ln in plan.splitlines():
             if "Window [" in ln:
                 assert "user_id" in ln, ln
+
+
+class TestWeightedSample:
+    """Priority sampling (w/u): the plan must be TakeOrderedAndProject
+    (per-partition top-k + a k*P driver merge), never a global sort
+    exchange; the selected set must equal a sequential brute-force
+    full sort of the identical priority arithmetic."""
+
+    def test_plan_is_take_ordered(self, spark):
+        from local_pdftodocx_ocr_spark.operators import textstats as TS
+        df = TS.weighted_sample(spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan, plan[:2000]
+        assert "rangepartitioning" not in plan, plan[:2000]
+
+    def test_equals_sequential_full_sort(self, spark):
+        import hashlib
+
+        from local_pdftodocx_ocr_spark.operators import textstats as TS
+        docs = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+                .select("doc_id", "text").collect())
+        pri = []
+        for r in docs:
+            w = len(r["text"].split(" "))
+            h = int(hashlib.md5(str(r["doc_id"]).encode())
+                    .hexdigest()[:8], 16)
+            # w * 2^32 is an exact int; one correctly-rounded division
+            pri.append((-(w * 4294967296) / (h + 1), r["doc_id"], w, h))
+        pri.sort()
+        want = {(d, w, h) for _, d, w, h in pri[:TS.WSAMPLE_K]}
+        got = {(r["doc_id"], r["n_tokens"], r["u_hash"])
+               for r in TS.weighted_sample(spark, SF_DIR).collect()}
+        assert got == want
+
+
+class TestPerplexityBuckets:
+    """CCNet head/middle/tail from the histogram sketch: bucket
+    boundaries must respect the tertile rank guarantees and the
+    assignment must be monotone in the perplexity bin."""
+
+    def test_tertile_ranks_and_monotonicity(self, spark):
+        from local_pdftodocx_ocr_spark.operators import textstats as TS
+        rows = TS.perplexity_buckets(spark, SF_DIR).collect()
+        n = len(rows)
+        by = {"head": [], "middle": [], "tail": []}
+        for r in rows:
+            by[r["bucket"]].append(r["ppl_bin"])
+        # cut construction: cum(b1) >= ceil(n/3), cum(b2) >= ceil(2n/3)
+        assert len(by["head"]) >= (n + 2) // 3
+        assert len(by["head"]) + len(by["middle"]) >= (2 * n + 2) // 3
+        assert by["tail"], "tail must be non-empty on this corpus"
+        if by["middle"]:
+            assert max(by["head"]) < min(by["middle"])
+            assert max(by["middle"]) < min(by["tail"])
+        else:
+            assert max(by["head"]) < min(by["tail"])
+
+    def test_plan_stays_jvm(self, spark):
+        from local_pdftodocx_ocr_spark.operators import textstats as TS
+        from local_pdftodocx_ocr_spark.plans import asserts as plan_asserts
+        plan = plan_asserts.executed_plan(
+            TS.perplexity_buckets(spark, SF_DIR))
+        assert "EvalPython" not in plan, plan
