@@ -94,6 +94,9 @@ HEADLINE = {
     "emb_kmeans": similarity.emb_kmeans,
     "emb_semdedup": similarity.emb_semdedup,
     "docs_heavy_hitters": textstats.heavy_hitters,
+    # round-5 third wave
+    "docs_perplexity_buckets": textstats.perplexity_buckets,
+    "docs_weighted_sample": textstats.weighted_sample,
     "extract_from_documents": extraction.extract_from_documents,
 }
 
@@ -110,45 +113,47 @@ CALM_REFERENCE: dict = {
     "recorded": ("round-5 builder session, sf0.1 local[32], element-wise "
                  "min across repeated calm-window runs"),
     "queries": {
-        "q1_pricing_summary": 4.645, "q3_shipping_priority": 2.769,
-        "q5_local_supplier": 1.901, "topk_orders_per_customer": 1.094,
-        "sessionize_events": 1.349, "events_hourly": 0.749,
-        "q18_large_orders": 1.574, "docs_dedup_exact": 1.818,
+        "q1_pricing_summary": 3.823, "q3_shipping_priority": 2.644,
+        "q5_local_supplier": 1.756, "topk_orders_per_customer": 0.904,
+        "sessionize_events": 1.029, "events_hourly": 0.559,
+        "q18_large_orders": 1.317, "docs_dedup_exact": 1.689,
         "docs_dedup_jaccard_pairs": 3.65,
         "docs_dedup_minhash_candidates": 4.859,
-        "docs_dedup_simhash_candidates": 3.305, "docs_simhash64": 1.361,
-        "docs_tfidf_top_terms": 2.515, "docs_fingerprint": 0.634,
-        "docs_quality_score": 0.476, "docs_quality_repetition": 1.4,
+        "docs_dedup_simhash_candidates": 3.305, "docs_simhash64": 0.586,
+        "docs_tfidf_top_terms": 1.588, "docs_fingerprint": 0.634,
+        "docs_quality_score": 0.449, "docs_quality_repetition": 1.4,
         "docs_boilerplate_ngrams": 3.308, "docs_chunk_for_training": 0.45,
         "docs_term_freq_cms": 1.362, "docs_dedup_incremental": 0.56,
         "events_kmv_distinct": 0.695, "emb_cosine_topk": 1.01,
-        "emb_ann_lsh_topk": 3.326, "docs_pack_sequences": 1.259,
-        "docs_packed_payloads": 1.808, "docs_duplicated_ngram_spans": 3.652,
-        "docs_temperature_mix": 0.905, "docs_pii_scrub": 0.481,
+        "emb_ann_lsh_topk": 2.403, "docs_pack_sequences": 1.241,
+        "docs_packed_payloads": 1.691, "docs_duplicated_ngram_spans": 1.572,
+        "docs_temperature_mix": 0.481, "docs_pii_scrub": 0.344,
         # honest cold cost of the three-tier graph: the recall-stress
         # embedding tier dominates (documented "ladder limit" config),
         # star-CC itself is ~6 s / 5 rounds
-        "docs_dedup_components_unified": 33.245,
-        "docs_dedup_canonical_keep": 0.86, "docs_dedup_cluster_sizes": 0.298,
-        "docs_hll_distinct_shingles": 1.049, "docs_hll_by_source": 1.142,
-        "docs_dedup_bloom_screen": 1.025, "docs_dedup_incremental_bloom": 1.057,
-        "docs_unigram_loglik": 2.058, "docs_token_entropy": 1.324,
-        "docs_length_quantile_sketch": 0.822,
-        "events_value_quantile_sketch": 0.656, "docs_curriculum_phases": 0.875,
+        "docs_dedup_components_unified": 21.24,
+        "docs_dedup_canonical_keep": 0.555, "docs_dedup_cluster_sizes": 0.223,
+        "docs_hll_distinct_shingles": 0.758, "docs_hll_by_source": 0.862,
+        "docs_dedup_bloom_screen": 0.676, "docs_dedup_incremental_bloom": 0.729,
+        "docs_unigram_loglik": 1.397, "docs_token_entropy": 1.11,
+        "docs_length_quantile_sketch": 0.601,
+        "events_value_quantile_sketch": 0.523, "docs_curriculum_phases": 0.654,
         # round-5 additions (min of 2 calm reps)
-        "docs_span_removal": 3.06, "docs_dsir_weights": 2.131,
-        "docs_bigram_loglik": 2.844, "docs_classifier_score": 1.234,
-        "revenue_cube": 1.191, "events_running_user_value": 0.607,
-        "customer_balance_ntiles": 1.032,
-        "docs_decontaminate_containment": 3.0, "events_value_zscore": 1.555,
+        "docs_span_removal": 1.717, "docs_dsir_weights": 1.638,
+        "docs_bigram_loglik": 2.093, "docs_classifier_score": 0.964,
+        "revenue_cube": 0.916, "events_running_user_value": 0.473,
+        "customer_balance_ntiles": 0.62,
+        "docs_decontaminate_containment": 0.854, "events_value_zscore": 0.576,
         # kmeans row = cold cost (KMEANS_ITERS Lloyd jobs; wall is
         # dominated by codegen of the per-iteration assignment folds —
         # constant in the corpus); semdedup reuses the memoized centroids
-        "emb_kmeans": 11.864, "emb_semdedup": 5.208,
+        "emb_kmeans": 4.541, "emb_semdedup": 1.48,
         # cold = sketch-build pass + screen pass; wall dominated by
         # codegen of the 4x1024 literal cell arrays (constant in corpus)
-        "docs_heavy_hitters": 8.169,
-        "extract_from_documents": 1.92,
+        "docs_heavy_hitters": 3.435,
+        # round-5 third wave
+        "docs_perplexity_buckets": 2.576, "docs_weighted_sample": 0.287,
+        "extract_from_documents": 1.41,
     },
 }
 
