@@ -423,6 +423,53 @@ FROM events
 """
 
 
+def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition matrix (Markov next-event table — the
+    sequence-mining summary behind funnel diagnostics and next-action
+    prediction): within each user's time-ordered stream, count every
+    (prev_type -> next_type) adjacency, then the conditional
+    probability p = n / total-from-prev. LAG runs over the per-user
+    window (partition bounded by ONE user's events — scales out with
+    the corpus); the pair count is one map-side-combinable agg whose
+    state is the SQUARE of the type cardinality, not the event count;
+    the per-prev totals row is type-bounded, hence a legitimate
+    broadcast (the events_value_zscore precedent). p is quantized by
+    integer round-half-away division (the dsir_weights discipline —
+    n*10000/tot CAN land on a .00005 boundary, where the two engines'
+    double ROUNDs split)."""
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (e.select(F.lag("event_type").over(w).alias("prev_type"),
+                      F.col("event_type").alias("next_type"))
+             .filter(F.col("prev_type").isNotNull()))
+    counts = pairs.groupBy("prev_type", "next_type").agg(
+        F.count("*").alias("n"))
+    totals = counts.groupBy("prev_type").agg(F.sum("n").alias("tot"))
+    return (counts.join(F.broadcast(totals), "prev_type")
+            .select("prev_type", "next_type", "n",
+                    (F.expr("(2 * n * 10000 + tot) DIV (2 * tot)")
+                     / 10000.0).alias("p")))
+
+
+TRANSITIONS_SQL = """
+WITH pairs AS (
+  SELECT LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type,
+         event_type AS next_type
+  FROM events
+),
+counts AS (
+  SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pairs WHERE prev_type IS NOT NULL GROUP BY 1, 2
+),
+tot AS (SELECT prev_type, CAST(SUM(n) AS BIGINT) AS tot
+        FROM counts GROUP BY 1)
+SELECT c.prev_type, c.next_type, c.n,
+       ((2 * c.n * 10000 + t.tot) // (2 * t.tot)) / 10000.0 AS p
+FROM counts c JOIN tot t USING (prev_type)
+"""
+
+
 # ---------------------------------------------------------------------------
 # KMV (k-minimum-values) distinct-count sketch. Beyer et al. 2007's
 # unbiased estimator (k-1)/h_(k): because the hash is md5, the sketch is
@@ -1406,7 +1453,8 @@ GROUP BY promo
 
 
 QUERIES = {
-    # first: the one r2 red row (oracle HUGEINT typing, fixed) — keep it
+    "events_type_transitions": events_type_transitions,
+    # the one r2 red row (oracle HUGEINT typing, fixed) — keep it
     # inside the driver's verification window
     "events_error_rate_hours": events_error_rate_hours,
     "events_kmv_distinct": events_kmv_distinct,
@@ -1452,6 +1500,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_type_transitions": TRANSITIONS_SQL,
     "q1_pricing_summary": Q1_SQL,
     "q9_product_profit": Q9_SQL,
     "events_error_rate_hours": ERROR_RATE_SQL,

@@ -141,6 +141,9 @@ def main(sf_dir: str = "/root/testdata/sf0.01", out_path: str = "PLANS.md") -> i
         "docs_weighted_sample (r5: priority sampling w/u; "
         "TakeOrderedAndProject, never a global sort shuffle)":
             textstats.weighted_sample(spark, sf_dir),
+        "events_type_transitions (r5: per-user LAG window; pair-count "
+        "agg with type-squared state; type-bounded totals broadcast)":
+            relational.events_type_transitions(spark, sf_dir),
     }
 
     lines = ["# PLANS — executed physical plans (generated by "

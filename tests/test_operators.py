@@ -1617,3 +1617,34 @@ class TestPerplexityBuckets:
         plan = plan_asserts.executed_plan(
             TS.perplexity_buckets(spark, SF_DIR))
         assert "EvalPython" not in plan, plan
+
+
+class TestTypeTransitions:
+    """Markov transition matrix: the LAG window must stay partitioned
+    (per-user bounded state) and the conditional probabilities must be
+    a proper distribution per prev_type."""
+
+    def test_window_is_partitioned(self, spark):
+        from local_pdftodocx_ocr_spark.operators import relational as R
+        plan = (R.events_type_transitions(spark, SF_DIR)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "Exchange SinglePartition" not in plan, plan[:2000]
+        for ln in plan.splitlines():
+            if "Window [" in ln:
+                assert "user_id" in ln, ln
+
+    def test_rows_form_distribution(self, spark):
+        from collections import defaultdict
+
+        from local_pdftodocx_ocr_spark.operators import relational as R
+        rows = R.events_type_transitions(spark, SF_DIR).collect()
+        n_events = (spark.read.parquet(f"{SF_DIR}/events.parquet").count())
+        n_users = (spark.read.parquet(f"{SF_DIR}/events.parquet")
+                   .select("user_id").distinct().count())
+        assert sum(r["n"] for r in rows) == n_events - n_users
+        psum = defaultdict(float)
+        for r in rows:
+            psum[r["prev_type"]] += r["p"]
+        for prev, s in psum.items():
+            # quantized p: each row is within 5e-5 of exact
+            assert abs(s - 1.0) < 5e-5 * 25, (prev, s)
