@@ -52,7 +52,7 @@ _MODULE_ORDER = (dedup, similarity, multimodal, textstats, extraction, relationa
 
 _PRIORITY = (
     # --- never driver-checked: NEW round-5 queries first ---
-    "events_type_transitions",
+    "events_type_transitions", "events_props_json",
     "docs_perplexity_buckets", "docs_weighted_sample",
     "emb_kmeans", "emb_semdedup", "docs_heavy_hitters",
     "docs_decontaminate_containment", "events_value_zscore",

@@ -97,6 +97,8 @@ HEADLINE = {
     # round-5 third wave
     "docs_perplexity_buckets": textstats.perplexity_buckets,
     "docs_weighted_sample": textstats.weighted_sample,
+    "events_type_transitions": relational.events_type_transitions,
+    "events_props_json": relational.events_props_json,
     "extract_from_documents": extraction.extract_from_documents,
 }
 
@@ -153,6 +155,7 @@ CALM_REFERENCE: dict = {
         "docs_heavy_hitters": 3.435,
         # round-5 third wave
         "docs_perplexity_buckets": 2.576, "docs_weighted_sample": 0.287,
+        "events_type_transitions": 0.829, "events_props_json": 0.583,
         "extract_from_documents": 1.41,
     },
 }

@@ -451,6 +451,39 @@ def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
                      / 10000.0).alias("p")))
 
 
+def events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction over the JSON props side-channel
+    every event stream carries: get_json_object pulls `$.k` JVM-side
+    (Jackson path evaluation inside whole-stage codegen — never a
+    Python UDF), the extracted integer buckets by decile, and the
+    rollup is one map-side-combinable agg per (event_type, decile) —
+    state bounded by types x 10 at any event count. The JSON parse is
+    a pure projection, so it pipelines inside the scan stage and the
+    only exchange is the bounded-key aggregation's."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (e.select("event_type", k.alias("k"), "value")
+            .groupBy("event_type",
+                     F.expr("k DIV 10").cast("int").alias("k_decile"))
+            .agg(F.count("*").alias("n"),
+                 F.round(_dec_sum(F.col("value")).cast("double"), 4)
+                  .alias("sum_value")))
+
+
+PROPS_JSON_SQL = """
+WITH x AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS INTEGER) // 10 AS k_decile,
+         value
+  FROM events
+)
+SELECT event_type, CAST(k_decile AS INTEGER) AS k_decile,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(24,8))) AS DOUBLE), 4) AS sum_value
+FROM x GROUP BY 1, 2
+"""
+
+
 TRANSITIONS_SQL = """
 WITH pairs AS (
   SELECT LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -1454,6 +1487,7 @@ GROUP BY promo
 
 QUERIES = {
     "events_type_transitions": events_type_transitions,
+    "events_props_json": events_props_json,
     # the one r2 red row (oracle HUGEINT typing, fixed) — keep it
     # inside the driver's verification window
     "events_error_rate_hours": events_error_rate_hours,
@@ -1501,6 +1535,7 @@ QUERIES = {
 
 ORACLES = {
     "events_type_transitions": TRANSITIONS_SQL,
+    "events_props_json": PROPS_JSON_SQL,
     "q1_pricing_summary": Q1_SQL,
     "q9_product_profit": Q9_SQL,
     "events_error_rate_hours": ERROR_RATE_SQL,

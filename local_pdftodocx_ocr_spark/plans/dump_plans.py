@@ -144,6 +144,9 @@ def main(sf_dir: str = "/root/testdata/sf0.01", out_path: str = "PLANS.md") -> i
         "events_type_transitions (r5: per-user LAG window; pair-count "
         "agg with type-squared state; type-bounded totals broadcast)":
             relational.events_type_transitions(spark, sf_dir),
+        "events_props_json (r5: JVM-side JSON path extraction inside "
+        "the scan stage; one bounded-key aggregation exchange)":
+            relational.events_props_json(spark, sf_dir),
     }
 
     lines = ["# PLANS — executed physical plans (generated by "

@@ -1648,3 +1648,22 @@ class TestTypeTransitions:
         for prev, s in psum.items():
             # quantized p: each row is within 5e-5 of exact
             assert abs(s - 1.0) < 5e-5 * 25, (prev, s)
+
+
+class TestPropsJson:
+    """JSON path extraction must stay JVM-side (whole-stage codegen,
+    no Python eval) and the plan must carry exactly one exchange —
+    the bounded-key aggregation's."""
+
+    def test_plan_jvm_single_exchange(self, spark):
+        from local_pdftodocx_ocr_spark.operators import relational as R
+        from local_pdftodocx_ocr_spark.plans import asserts as plan_asserts
+        df = R.events_props_json(spark, SF_DIR)
+        plan = plan_asserts.executed_plan(df)
+        assert "EvalPython" not in plan, plan
+        assert plan_asserts.count_exchanges(df) == 1, plan
+        rows = df.collect()
+        # types x deciles bound: the synthetic table has 5 types, k in [0,99]
+        assert 0 < len(rows) <= 5 * 10
+        assert sum(r["n"] for r in rows) == \
+            spark.read.parquet(f"{SF_DIR}/events.parquet").count()
