@@ -1337,10 +1337,12 @@ def _hist_rank_cuts(spark: SparkSession, binned: DataFrame,
     rank_at = ceil(N_group*num/den) (pure integer ceil-division) and
     cut = the smallest bin whose cumulative count reaches it. ONE
     definition of the rank/cut arithmetic for the length-quantile
-    sketch, the curriculum tertiles, and the per-event-type value
-    sketch. Everything after the first groupBy is bounded by the
-    histogram width (<= 128 rows per group), not the corpus — grouped,
-    the cumulative window is PARTITIONED by the keys. Pass a
+    sketch, the curriculum tertiles, the per-event-type value sketch,
+    and the perplexity buckets. Everything after the first groupBy is
+    bounded by the caller's BIN-SPACE CONSTANT (128 cells for the
+    length/quality/value sketches, 1024 for the perplexity buckets),
+    never the corpus — grouped, the cumulative window is PARTITIONED
+    by the keys. Pass a
     precomputed count as `n` (1 row, or one per group) to avoid a
     second scan when the caller already has one."""
     from pyspark.sql import Window as W
@@ -1822,8 +1824,9 @@ FROM documents d LEFT JOIN fin f USING (doc_id)
 # into head/middle/tail TERTILES of LM score — CCNet's quality gate
 # keeps "head", trains on "head+middle", drops "tail". The LM signal is
 # the bigram avg log2 prob above (lower prob = higher perplexity =
-# worse bucket); the tertiles come from the shared 128-cell histogram
-# sketch (_hist_rank_cuts) + a map-only assignment against the two
+# worse bucket); the tertiles come from the shared histogram-sketch
+# core (_hist_rank_cuts; a 1024-cell bin space here — still a constant
+# at any corpus size) + a map-only assignment against the two
 # broadcast cuts — the same no-global-sort discipline as
 # curriculum_phases, so the plan survives 100 TB where ntile(3) would
 # single-task the corpus. Bin arithmetic is exact cross-engine: the

@@ -136,7 +136,7 @@ def main(sf_dir: str = "/root/testdata/sf0.01", out_path: str = "PLANS.md") -> i
         "the quadratic term; no corpus-sized broadcast/collect)":
             similarity.emb_semdedup(spark, sf_dir),
         "docs_perplexity_buckets (r5: CCNet head/middle/tail from the "
-        "128-cell sketch; map-only assignment, no global sort)":
+        "1024-cell sketch; map-only assignment, no global sort)":
             textstats.perplexity_buckets(spark, sf_dir),
         "docs_weighted_sample (r5: priority sampling w/u; "
         "TakeOrderedAndProject, never a global sort shuffle)":

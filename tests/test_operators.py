@@ -1580,8 +1580,10 @@ class TestWeightedSample:
             w = len(r["text"].split(" "))
             h = int(hashlib.md5(str(r["doc_id"]).encode())
                     .hexdigest()[:8], 16)
-            # w * 2^32 is an exact int; one correctly-rounded division
-            pri.append((-(w * 4294967296) / (h + 1), r["doc_id"], w, h))
+            # mirror Spark's fold exactly: double(w) * 2^32 is an exact
+            # exponent shift, then ONE correctly-rounded division
+            pri.append((-(float(w) * 4294967296.0) / (h + 1),
+                        r["doc_id"], w, h))
         pri.sort()
         want = {(d, w, h) for _, d, w, h in pri[:TS.WSAMPLE_K]}
         got = {(r["doc_id"], r["n_tokens"], r["u_hash"])
