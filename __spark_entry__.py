@@ -40,19 +40,23 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Iteration order matters: the driver verifies queries() in order with
 # a bounded window (~50 per round). _PRIORITY rotates each round
-# (VERDICT r3 #2) so no query's driver-grade check goes >2 rounds
-# stale. Round 5 pins, in order: (a) the two queries that have NEVER
-# had a driver-grade row (landed past the round-4 window — VERDICT r4
-# #2 / ADVICE r4 #1), (b) every query whose PLAN changed this round
-# (exact-distributed NTILE rewrite; unified-components memo + cheaper
-# star-CC convergence probe feeding the trio; est_value_ub ROUND),
-# then (c) the 50 queries whose last green row is r03. The r4-green
-# remainder fills in module order past the window.
+# (VERDICT r3 #2); never-driver-checked queries ALWAYS outrank
+# re-verification of green ones (ADVICE r4 #1). Round 5 pins, in
+# order: (a) the 18 queries with no driver-grade row yet — the 16 new
+# round-5 queries plus the two r4b stragglers (VERDICT r4 #2), (b)
+# every query whose PLAN changed this round (exact-distributed NTILE
+# rewrite; unified-components memo + cheaper star-CC convergence probe
+# feeding the trio), then (c) the queries whose last green row is r03
+# — the ~28 that fit the window this round; the tail rotates to round
+# 6 (at 118 queries / ~50 per round the full rotation period is ~2.4
+# rounds). The r4-green remainder fills in module order past the
+# window.
 _MODULE_ORDER = (dedup, similarity, multimodal, textstats, extraction, relational)
 
 _PRIORITY = (
     # --- never driver-checked: NEW round-5 queries first ---
     "events_type_transitions", "events_props_json",
+    "docs_source_vocab_overlap",
     "docs_perplexity_buckets", "docs_weighted_sample",
     "emb_kmeans", "emb_semdedup", "docs_heavy_hitters",
     "docs_decontaminate_containment", "events_value_zscore",

@@ -99,6 +99,7 @@ HEADLINE = {
     "docs_weighted_sample": textstats.weighted_sample,
     "events_type_transitions": relational.events_type_transitions,
     "events_props_json": relational.events_props_json,
+    "docs_source_vocab_overlap": textstats.source_vocab_overlap,
     "extract_from_documents": extraction.extract_from_documents,
 }
 
@@ -156,6 +157,9 @@ CALM_REFERENCE: dict = {
         # round-5 third wave
         "docs_perplexity_buckets": 2.576, "docs_weighted_sample": 0.287,
         "events_type_transitions": 0.829, "events_props_json": 0.583,
+        # one persisted sketch scan (the three consumers read the
+        # n_sources x k cache, never the corpus)
+        "docs_source_vocab_overlap": 2.007,
         "extract_from_documents": 1.41,
     },
 }

@@ -1162,6 +1162,121 @@ HLL_BY_SOURCE_SQL = _hll_sketch_sql("source")
 
 
 # ---------------------------------------------------------------------------
+# KMV sketch SET ALGEBRA — cross-source vocabulary overlap (Beyer et
+# al. 2007's k-minimum-values sketches support union/intersection
+# estimation, the theta-sketch operation warehouses use for segment
+# overlap): one k-min sketch per source over the SHARED shingle
+# definition (state n_sources x k hashes; the per-source top-k window
+# compiles to WindowGroupLimit with a map-side Partial pass — the KMV
+# precedent), then for every source PAIR the k smallest hashes of the
+# UNIONED sketches estimate vocabulary Jaccard as |in-both among them|
+# / m (m = min(k, |union sketch|); exact when the union vocabulary
+# sits under k). Pairs are bounded by the source catalog squared and
+# every per-pair window holds <= 2k rows — nothing scales with the
+# corpus. Deterministic md5 hashing -> the ESTIMATOR has an exact SQL
+# oracle; accuracy vs true Jaccard is pytest-pinned.
+# ---------------------------------------------------------------------------
+
+KMVO_K = 64
+
+
+def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..functions.hashing import md5_60bit
+    from .dedup import _distinct_shingles, _persist_tracked
+
+    d = _docs(spark, sf_dir)
+    sh = (_distinct_shingles(d, key="source")
+          .select("source", md5_60bit(F.col("s")).alias("h")).distinct())
+    w = W.partitionBy("source").orderBy("h")
+    # persist the sketch (n_sources x k rows): three consumers below
+    # (srcs, both pair joins) must NOT each replay the corpus-wide
+    # shingle scan + window — one scan builds the sketch, everything
+    # after reads <= n_sources*k cached rows
+    sk = _persist_tracked(
+        sh.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= KMVO_K).select("source", "h"))
+    srcs = sk.select("source").distinct()
+    pairs = (srcs.select(F.col("source").alias("s1"))
+             .join(srcs.select(F.col("source").alias("s2")),
+                   F.col("s1") < F.col("s2")))
+    left = (pairs.join(sk.withColumnRenamed("source", "s1"), "s1")
+            .select("s1", "s2", "h",
+                    F.lit(1).alias("in1"), F.lit(0).alias("in2")))
+    right = (pairs.join(sk.withColumnRenamed("source", "s2"), "s2")
+             .select("s1", "s2", "h",
+                     F.lit(0).alias("in1"), F.lit(1).alias("in2")))
+    u = (left.union(right)
+         .groupBy("s1", "s2", "h")
+         .agg(F.max("in1").alias("in1"), F.max("in2").alias("in2")))
+    w2 = W.partitionBy("s1", "s2").orderBy("h")
+    kept = (u.withColumn("rk", F.row_number().over(w2))
+            .filter(F.col("rk") <= KMVO_K))
+    return (kept.groupBy("s1", "s2")
+            .agg(F.count("*").alias("m"),
+                 F.sum(F.col("in1") * F.col("in2")).alias("n_inter"))
+            .select("s1", "s2",
+                    F.col("n_inter").cast("int").alias("n_inter"),
+                    F.col("m").cast("int").alias("m"),
+                    (F.expr("(2 * n_inter * 10000 + m) DIV (2 * m)")
+                     / 10000.0).alias("jaccard_est")))
+
+
+KMVO_SQL = f"""
+WITH shraw AS (
+  SELECT source, unnest(list_distinct(list_transform(
+    range(1, GREATEST(len(string_split(text, ' ')) - 2, 0) + 1),
+    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+         || ' ' || string_split(text, ' ')[i+2]
+  ))) AS s
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+),
+hh AS (SELECT DISTINCT source, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+       FROM shraw),
+sk AS (
+  SELECT source, h
+  FROM (SELECT source, h,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rk
+        FROM hh)
+  WHERE rk <= {KMVO_K}
+),
+pairs AS (
+  SELECT a.source AS s1, b.source AS s2
+  FROM (SELECT DISTINCT source FROM sk) a
+  JOIN (SELECT DISTINCT source FROM sk) b ON a.source < b.source
+),
+u AS (
+  SELECT s1, s2, h, MAX(in1) AS in1, MAX(in2) AS in2
+  FROM (
+    SELECT p.s1, p.s2, k.h, 1 AS in1, 0 AS in2
+    FROM pairs p JOIN sk k ON k.source = p.s1
+    UNION ALL
+    SELECT p.s1, p.s2, k.h, 0 AS in1, 1 AS in2
+    FROM pairs p JOIN sk k ON k.source = p.s2
+  )
+  GROUP BY 1, 2, 3
+),
+kept AS (
+  SELECT s1, s2, in1, in2
+  FROM (SELECT s1, s2, in1, in2,
+               ROW_NUMBER() OVER (PARTITION BY s1, s2 ORDER BY h) AS rk
+        FROM u)
+  WHERE rk <= {KMVO_K}
+),
+agg AS (
+  SELECT s1, s2, CAST(COUNT(*) AS BIGINT) AS m,
+         CAST(SUM(in1 * in2) AS BIGINT) AS n_inter
+  FROM kept GROUP BY 1, 2
+)
+SELECT s1, s2, CAST(n_inter AS INTEGER) AS n_inter, CAST(m AS INTEGER) AS m,
+       ((2 * n_inter * 10000 + m) // (2 * m)) / 10000.0 AS jaccard_est
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
 # Unigram language-model scoring: average per-token log2 probability
 # under an add-1-smoothed unigram model trained on the corpus itself —
 # the cheap perplexity proxy pipelines use to rank documents before the
@@ -2250,6 +2365,7 @@ FROM documents d LEFT JOIN fin f USING (doc_id)
 
 
 QUERIES = {
+    "docs_source_vocab_overlap": source_vocab_overlap,
     "docs_perplexity_buckets": perplexity_buckets,
     "docs_weighted_sample": weighted_sample,
     "docs_heavy_hitters": heavy_hitters,
@@ -2286,6 +2402,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "docs_source_vocab_overlap": KMVO_SQL,
     "docs_perplexity_buckets": PPL_BUCKETS_SQL,
     "docs_weighted_sample": WSAMPLE_SQL,
     "docs_heavy_hitters": HEAVY_HITTERS_SQL,

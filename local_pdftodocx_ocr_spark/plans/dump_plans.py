@@ -147,6 +147,9 @@ def main(sf_dir: str = "/root/testdata/sf0.01", out_path: str = "PLANS.md") -> i
         "events_props_json (r5: JVM-side JSON path extraction inside "
         "the scan stage; one bounded-key aggregation exchange)":
             relational.events_props_json(spark, sf_dir),
+        "docs_source_vocab_overlap (r5: KMV set algebra — per-source "
+        "WindowGroupLimit sketch, per-pair windows <= 2k rows)":
+            textstats.source_vocab_overlap(spark, sf_dir),
     }
 
     lines = ["# PLANS — executed physical plans (generated by "

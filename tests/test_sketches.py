@@ -475,3 +475,39 @@ class TestHeavyHitters:
         assert out == oracle and len(out) > 0
         # the saturated screen really did pass false positives
         assert surv_vocab > len(out)
+
+
+class TestSourceVocabOverlap:
+    """KMV set algebra: the per-source top-k must compile to the
+    WindowGroupLimit partial merge (the KMV precedent), and the
+    pairwise Jaccard estimate must track the exact vocabulary Jaccard
+    within the k=64 sampling band (measured max err 0.081 / mean 0.016
+    at sf0.01 — pinned with ~2x headroom)."""
+
+    def test_plan_has_window_group_limit(self, spark):
+        df = textstats.source_vocab_overlap(spark, SF_DIR)
+        plan = plans.executed_plan(df)
+        assert "WindowGroupLimit" in plan, plan
+        assert "EvalPython" not in plan, plan
+
+    def test_estimates_track_exact_jaccard(self, spark):
+        import itertools
+        from collections import defaultdict
+
+        from local_pdftodocx_ocr_spark.operators import dedup
+        est = {(r["s1"], r["s2"]): r["jaccard_est"]
+               for r in textstats.source_vocab_overlap(spark, SF_DIR)
+               .collect()}
+        sh = dedup._distinct_shingles(
+            spark.read.parquet(f"{SF_DIR}/documents.parquet"),
+            key="source").distinct().collect()
+        vocab = defaultdict(set)
+        for r in sh:
+            vocab[r["source"]].add(r["s"])
+        errs = []
+        for s1, s2 in itertools.combinations(sorted(vocab), 2):
+            a, b = vocab[s1], vocab[s2]
+            errs.append(abs(est[(s1, s2)] - len(a & b) / len(a | b)))
+        assert len(errs) == len(est)
+        assert max(errs) < 0.16, max(errs)
+        assert sum(errs) / len(errs) < 0.05
