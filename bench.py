@@ -118,23 +118,23 @@ CALM_REFERENCE: dict = {
     "queries": {
         "q1_pricing_summary": 3.823, "q3_shipping_priority": 2.644,
         "q5_local_supplier": 1.756, "topk_orders_per_customer": 0.904,
-        "sessionize_events": 1.029, "events_hourly": 0.559,
-        "q18_large_orders": 1.317, "docs_dedup_exact": 1.689,
+        "sessionize_events": 1.005, "events_hourly": 0.559,
+        "q18_large_orders": 1.214, "docs_dedup_exact": 1.484,
         "docs_dedup_jaccard_pairs": 3.65,
         "docs_dedup_minhash_candidates": 4.859,
         "docs_dedup_simhash_candidates": 3.305, "docs_simhash64": 0.586,
-        "docs_tfidf_top_terms": 1.588, "docs_fingerprint": 0.634,
+        "docs_tfidf_top_terms": 1.588, "docs_fingerprint": 0.571,
         "docs_quality_score": 0.449, "docs_quality_repetition": 1.4,
-        "docs_boilerplate_ngrams": 3.308, "docs_chunk_for_training": 0.45,
+        "docs_boilerplate_ngrams": 1.681, "docs_chunk_for_training": 0.45,
         "docs_term_freq_cms": 1.362, "docs_dedup_incremental": 0.56,
-        "events_kmv_distinct": 0.695, "emb_cosine_topk": 1.01,
-        "emb_ann_lsh_topk": 2.403, "docs_pack_sequences": 1.241,
+        "events_kmv_distinct": 0.695, "emb_cosine_topk": 1.002,
+        "emb_ann_lsh_topk": 2.377, "docs_pack_sequences": 1.241,
         "docs_packed_payloads": 1.691, "docs_duplicated_ngram_spans": 1.572,
-        "docs_temperature_mix": 0.481, "docs_pii_scrub": 0.344,
+        "docs_temperature_mix": 0.468, "docs_pii_scrub": 0.344,
         # honest cold cost of the three-tier graph: the recall-stress
         # embedding tier dominates (documented "ladder limit" config),
         # star-CC itself is ~6 s / 5 rounds
-        "docs_dedup_components_unified": 21.24,
+        "docs_dedup_components_unified": 21.16,
         "docs_dedup_canonical_keep": 0.555, "docs_dedup_cluster_sizes": 0.223,
         "docs_hll_distinct_shingles": 0.758, "docs_hll_by_source": 0.862,
         "docs_dedup_bloom_screen": 0.676, "docs_dedup_incremental_bloom": 0.729,
@@ -144,7 +144,7 @@ CALM_REFERENCE: dict = {
         # round-5 additions (min of 2 calm reps)
         "docs_span_removal": 1.717, "docs_dsir_weights": 1.638,
         "docs_bigram_loglik": 2.093, "docs_classifier_score": 0.964,
-        "revenue_cube": 0.916, "events_running_user_value": 0.473,
+        "revenue_cube": 0.916, "events_running_user_value": 0.458,
         "customer_balance_ntiles": 0.62,
         "docs_decontaminate_containment": 0.854, "events_value_zscore": 0.576,
         # kmeans row = cold cost (KMEANS_ITERS Lloyd jobs; wall is
@@ -156,7 +156,7 @@ CALM_REFERENCE: dict = {
         "docs_heavy_hitters": 3.435,
         # round-5 third wave
         "docs_perplexity_buckets": 2.576, "docs_weighted_sample": 0.287,
-        "events_type_transitions": 0.829, "events_props_json": 0.583,
+        "events_type_transitions": 0.67, "events_props_json": 0.583,
         # one persisted sketch scan (the three consumers read the
         # n_sources x k cache, never the corpus)
         "docs_source_vocab_overlap": 2.007,
