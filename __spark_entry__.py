@@ -41,50 +41,26 @@ def entry(spark: SparkSession) -> DataFrame:
 # Iteration order matters: the driver verifies queries() in order with
 # a bounded window (~50 per round). _PRIORITY rotates each round
 # (VERDICT r3 #2); never-driver-checked queries ALWAYS outrank
-# re-verification of green ones (ADVICE r4 #1). Round 5 pins, in
-# order: (a) the 18 queries with no driver-grade row yet — the 16 new
-# round-5 queries plus the two r4b stragglers (VERDICT r4 #2), (b)
-# every query whose PLAN changed this round (exact-distributed NTILE
-# rewrite; unified-components memo + cheaper star-CC convergence probe
-# feeding the trio), then (c) the queries whose last green row is r03
-# — the ~28 that fit the window this round; the tail rotates to round
-# 6 (at 118 queries / ~50 per round the full rotation period is ~2.4
-# rounds). The r4-green remainder fills in module order past the
-# window.
+# re-verification of green ones (ADVICE r4 #1). Round 6 pins, in
+# order: (a) the 3 new round-6 queries (the production-threshold
+# unified components with its sequential oracle — VERDICT r5 #2; the
+# incremental minhash near-dup — #4; the full composed training
+# pipeline — #3), then (b) the 22 queries whose last driver-green row
+# is r03 — the full stale rotation tail, drained in one window
+# (VERDICT r5 #1), then (c) the r04-green set (46 queries; the part
+# past the ~50-query window rotates to round 7 — max staleness across
+# the registry falls back to <=2 rounds). The r5-green remainder fills
+# in module order past the window. No registered query's plan changed
+# this round (the three new ones only ADD consumers of unchanged
+# stages).
 _MODULE_ORDER = (dedup, similarity, multimodal, textstats, extraction, relational)
 
 _PRIORITY = (
-    # --- never driver-checked: NEW round-5 queries first ---
-    "events_type_transitions", "events_props_json",
-    "docs_source_vocab_overlap",
-    "docs_perplexity_buckets", "docs_weighted_sample",
-    "emb_kmeans", "emb_semdedup", "docs_heavy_hitters",
-    "docs_decontaminate_containment", "events_value_zscore",
-    "docs_span_removal", "docs_dsir_weights", "docs_bigram_loglik",
-    "docs_classifier_score", "revenue_cube", "events_running_user_value",
-    # --- never driver-checked (r4b landed past the window) ---
-    "events_value_quantile_sketch", "docs_token_entropy",
-    # --- plan changed this round ---
-    "customer_balance_ntiles",
-    "docs_dedup_components_unified", "docs_dedup_canonical_keep",
-    "docs_dedup_cluster_sizes",
-    # --- last green r03 (50 queries; the tail past the ~50-query
-    # window rotates to round 6). emb_near_dup_pairs (last green r01)
-    # is no longer registered: emb_near_dup_pairs_at_scale replaced it
-    # and pytest pins their set equality every run ---
-    "extract_spans_golden", "extract_clean_text", "extract_txt_render",
-    "extract_boilerplate_html", "extract_segments_to_lines",
-    "extract_complementary_merge", "extract_marker_recovery",
-    "extract_table_grid", "extract_page_segmentation",
-    "extract_recognize_media", "extract_external_detections",
-    "extract_lineage_totals", "pipeline_training_corpus",
-    "docs_dedup_exact", "docs_dedup_incremental", "docs_dedup_keep_list",
-    "docs_dedup_jaccard_pairs", "docs_dedup_minhash_candidates",
-    "docs_dedup_simhash_candidates", "docs_simhash64",
-    "docs_dedup_components", "docs_dedup_components_at_scale",
-    "docs_dedup_pipeline_at_scale",
-    "emb_cosine_topk", "emb_ann_lsh_topk", "emb_ann_ivf_topk",
-    "emb_knn_label_vote", "emb_near_dup_pairs_at_scale",
+    # --- never driver-checked: NEW round-6 queries first ---
+    "docs_dedup_components_production",
+    "docs_dedup_incremental_minhash",
+    "pipeline_training_corpus_full",
+    # --- last green r03: the full stale tail (VERDICT r5 #1) ---
     "multimodal_features", "multimodal_frame_samples", "multimodal_resize",
     "docs_token_count", "docs_lang_id", "docs_quality_score",
     "docs_quality_repetition", "docs_quality_filter_chain",
@@ -94,6 +70,27 @@ _PRIORITY = (
     "docs_chunk_for_training", "docs_term_freq_cms",
     "events_kmv_distinct", "events_error_rate_hours",
     "orders_in_promo_windows", "q8_market_share", "q15_top_supplier",
+    # --- last green r04 (the window covers ~the first half; the rest
+    # rotates to round 7) ---
+    "docs_dedup_bloom_screen", "docs_dedup_incremental_bloom",
+    "docs_curriculum_phases", "docs_hll_distinct_shingles",
+    "docs_hll_by_source", "docs_unigram_loglik",
+    "docs_length_quantile_sketch", "docs_packed_payloads",
+    "docs_pii_scrub", "docs_temperature_mix",
+    "docs_duplicated_ngram_spans", "docs_pack_sequences",
+    "extract_page_stats", "extract_html_render", "extract_from_documents",
+    "q1_pricing_summary", "q9_product_profit", "events_funnel",
+    "events_retention_cohorts", "q7_volume_shipping", "q10_returned_items",
+    "q13_customer_order_distribution", "q16_supplier_part_types",
+    "q18_large_orders", "q19_disjunctive_revenue", "q22_idle_rich_customers",
+    "events_pivot_by_user", "semi_join_active_customers",
+    "anti_join_idle_customers", "except_big_spenders", "part_type_stats",
+    "events_value_buckets", "events_quantiles", "q6_forecast_revenue",
+    "q4_order_priority", "q12_priority_shipping", "q14_promo_effect",
+    "q17_small_quantity_revenue", "q3_shipping_priority", "q5_local_supplier",
+    "topk_orders_per_customer", "rollup_revenue", "sessionize_events",
+    "events_hourly", "asof_last_click_before_purchase",
+    "distinct_users_per_type",
 )
 
 

@@ -244,6 +244,86 @@ def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count("*").alias("n_in_batch")))
 
 
+def _band_keys(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band, bh) LSH band keys of a minhash signature table —
+    the per-doc expansion of the banding in dedup_minhash_candidates
+    (band key = the band's signature values verbatim; equality is all
+    the bucket join needs)."""
+    bands = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.concat_ws("_", *[F.col("sig")[b * LSH_ROWS + r].cast("string")
+                                    for r in range(LSH_ROWS)]).alias("bh"))
+        for b in range(LSH_BANDS)])
+    return (sigs.select("doc_id", F.explode(bands).alias("bk"))
+            .select("doc_id", F.col("bk.band").alias("band"),
+                    F.col("bk.bh").alias("bh")))
+
+
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup dedup — the growing-corpus production shape
+    (VERDICT r5 #4): near-dup-dedup an incoming crawl batch against an
+    already-committed corpus without re-pairing the committed side
+    against itself. Committed/incoming are the even/odd doc_id halves
+    (the dedup_incremental convention); in production the committed
+    side is the persisted (band, band-hash) signature index the
+    pipeline appends to as batches commit, bucketed on the band key so
+    this probe join is exchange-free on the (much larger) committed
+    side and the per-batch cost scales with the BATCH, not the corpus.
+
+    Shape: batch band keys probe the committed band index, plus the
+    batch's own lower-id members (first-wins within the batch) ->
+    candidate pairs -> exact shingle-Jaccard verify ON CANDIDATES ONLY
+    -> an incoming doc survives iff it has no verified >= threshold
+    match. Oracle: the plain exact-Jaccard SQL with the identical drop
+    rule — the LSH screen must be output-invisible (full recall at the
+    threshold; the dedup_pipeline_at_scale precedent), so the driver
+    hash-checks the screen, the verify join, and the keep rule at once."""
+    d = _docs(spark, sf_dir)
+    sigs = _persist_tracked(minhash_signatures(d))
+    keys = _band_keys(sigs)
+    inc = keys.filter(F.col("doc_id") % 2 == 1)
+    # partner side: the committed index (any id) + earlier batch members
+    cand = (inc.alias("x")
+            .join(keys.alias("p"),
+                  (F.col("x.band") == F.col("p.band"))
+                  & (F.col("x.bh") == F.col("p.bh"))
+                  & (F.col("p.doc_id") != F.col("x.doc_id"))
+                  & ((F.col("p.doc_id") % 2 == 0)
+                     | (F.col("p.doc_id") < F.col("x.doc_id"))))
+            .select(F.col("p.doc_id").alias("doc1"),
+                    F.col("x.doc_id").alias("doc2"))
+            .distinct())
+    dropped = (_verified_jaccard_pairs(d, cand)
+               .select(F.col("doc2").alias("doc_id")).distinct())
+    return (d.filter(F.col("doc_id") % 2 == 1)
+            .join(dropped, "doc_id", "left_anti")
+            .select("doc_id", "lang", "source"))
+
+
+def _incremental_minhash_sql() -> str:
+    """Exact drop rule over the verified pair set (doc1 < doc2): an
+    incoming (odd) doc is dropped iff it is the larger member of ANY
+    >= threshold pair (the smaller partner is committed or an earlier
+    batch member either way), or the smaller member of a pair whose
+    larger partner is committed (even)."""
+    return f"""
+WITH {_SH_CTES},
+ver AS (
+  SELECT doc1, doc2 FROM inter
+  JOIN sizes s1 ON s1.doc_id = doc1
+  JOIN sizes s2 ON s2.doc_id = doc2
+  WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= {JACCARD_THRESHOLD}
+),
+drops AS (
+  SELECT doc2 AS doc_id FROM ver WHERE doc2 % 2 = 1
+  UNION
+  SELECT doc1 FROM ver WHERE doc1 % 2 = 1 AND doc2 % 2 = 0
+)
+SELECT doc_id, lang, source FROM documents
+WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT doc_id FROM drops)
+"""
+
+
 def _bloom_pos_sql(key_expr: str, i: int) -> str:
     return (f"(('0x' || substr(md5({key_expr} || 'bloom{i}'), 1, 15))::BIGINT"
             f" % {BLOOM_M})")
@@ -1074,17 +1154,22 @@ def components_unified_production_embeddings(
         spark: SparkSession, sf_dir: str, *,
         cos_threshold: float = 0.9, bits: int = 14,
         tables: int = 40) -> DataFrame:
-    """Growth-ladder variant of dedup_components_unified (VERDICT r4
-    #5): same three-tier union + star-CC, but the embedding tier runs
-    at the PRODUCTION near-dup threshold (cos >= 0.9, 14 bits x 40
-    tables — the config TestNearDupProductionThreshold pins at >=98%
-    recall with >=99% of the non-pair space pruned). The registered
-    query keeps the recall-stress config (cos >= 0.4 on near-random
-    vectors, full-recall oracle-pinned), where NO sign-LSH setting
-    discriminates — that config is the documented "ladder limit", not
-    the 100-TB plan. This composition is what the ladder measures for
-    the any-signal CC path; it is deliberately unmemoized (a timed
-    repeat must recompute)."""
+    """The PRODUCTION-shape unified components (VERDICT r5 #2): same
+    three-tier union + star-CC as dedup_components_unified, but the
+    embedding tier runs at the production near-dup threshold
+    (cos >= 0.9, 14 bits x 40 tables — the config
+    TestNearDupProductionThreshold pins at >=98% recall with >=99% of
+    the non-pair space pruned). This is the configuration the engine
+    actually claims to run at 100 TB; the sibling registered query
+    keeps the recall-stress config (cos >= 0.4 on near-random vectors,
+    full-recall oracle-pinned), where NO sign-LSH setting discriminates
+    — the documented "ladder limit", not the scale plan. Registered as
+    docs_dedup_components_production with a FULL sequential oracle
+    (seq_oracles.seq_components_unified_production: minhash candidates
+    -> exact Jaccard verify, exhaustive simhash pairs, numpy sign-LSH
+    candidates -> exact fold-cosine verify, union-find) and measured on
+    the 1x/10x growth ladder (bench.py _dedup_scale_section).
+    Deliberately unmemoized (a timed ladder repeat must recompute)."""
     from .similarity import _cosine, _emb, lsh_bucket_signatures
 
     d = _docs(spark, sf_dir)
@@ -1245,6 +1330,8 @@ QUERIES = {
     "docs_dedup_simhash_candidates": dedup_simhash_candidates,
     "docs_dedup_components": dedup_components,
     "docs_dedup_components_unified": dedup_components_unified,
+    "docs_dedup_components_production": components_unified_production_embeddings,
+    "docs_dedup_incremental_minhash": dedup_incremental_minhash,
     "docs_dedup_canonical_keep": dedup_canonical_keep,
     "docs_dedup_cluster_sizes": dedup_cluster_sizes,
     "docs_simhash64": simhash64,
@@ -1275,6 +1362,13 @@ def oracles() -> dict[str, str]:
         # every doc labeled with its component's minimum doc_id
         "docs_dedup_components_at_scale": DEDUP_COMPONENTS_SQL,
         "docs_dedup_components_unified": components_unified_sql(),
+        # production embedding threshold: full sequential mirror of all
+        # three tiers + union-find, inlined as VALUES
+        "docs_dedup_components_production":
+            seq_oracles.components_unified_production_values_sql(),
+        # LSH screen must be output-invisible: exact-Jaccard SQL with
+        # the identical incremental drop rule
+        "docs_dedup_incremental_minhash": _incremental_minhash_sql(),
         "docs_dedup_canonical_keep": canonical_keep_sql(),
         "docs_dedup_cluster_sizes": cluster_sizes_sql(),
         "docs_simhash64": seq_oracles.simhash_values_sql(),

@@ -402,9 +402,72 @@ def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate_spans(spans).select("doc_id", "n_tokens", "split")
 
 
+def pipeline_training_corpus_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL modern training-corpus composition (VERDICT r5 #3) — the
+    FineWeb/CCNet-shaped end-to-end a real user runs first: interleave
+    -> distributed extraction -> render -> token gate (>=30) -> exact
+    dedup on rendered text -> QUALITY FILTER CHAIN (length/stopword/
+    token-length gates, textstats.quality_filter_chain) -> UNIFIED
+    near-dup keep list (a doc survives iff it is the quality-canonical
+    member of its any-signal cluster, dedup.dedup_canonical_keep) ->
+    PERPLEXITY-BUCKET gate (CCNet: keep head+middle tertiles, drop
+    tail; docs with no scoreable bigram are dropped as unscorable) ->
+    deterministic 80/10/10 split. The three inserted gates run over the
+    raw documents table (their registered per-stage semantics) and
+    compose by doc id; each join is a semi-join on an id column, so no
+    stage widens rows or reshuffles the corpus more than its registered
+    form already does. Oracle: the per-stage oracles chained verbatim
+    (the sequential-kernel VALUES base + the three stage SQLs), so the
+    composed result is pinned by exactly the logic that pins each
+    stage."""
+    from .dedup import dedup_canonical_keep
+    from .textstats import perplexity_buckets, quality_filter_chain
+
+    flat = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = job.interleaved_docs_from_flat(flat)
+    spans = job.split_unified(job.extract_spans(docs))[0]
+    # numeric id: curate_spans keys rows by the interleaved "doc-%08d"
+    # string; the stage gates key by the raw BIGINT doc_id
+    base = curate_spans(spans).withColumn(
+        "nid", F.substring("doc_id", 5, 16).cast("long"))
+    qf = quality_filter_chain(spark, sf_dir).select(F.col("doc_id").alias("nid"))
+    keep = dedup_canonical_keep(spark, sf_dir).select(F.col("keep_id").alias("nid"))
+    ppl = (perplexity_buckets(spark, sf_dir)
+           .filter(F.col("bucket") != "tail")
+           .select(F.col("doc_id").alias("nid")))
+    return (base.join(qf, "nid", "left_semi")
+            .join(keep, "nid", "left_semi")
+            .join(ppl, "nid", "left_semi")
+            .select("doc_id", "n_tokens", "split"))
+
+
+def training_corpus_full_oracle_sql() -> str:
+    """Chained per-stage oracles: the sequential-kernel VALUES base
+    (extract/render/token-gate/exact-dedup) joined to the quality-
+    filter SQL, the canonical-keep SQL (itself the recursive-CTE
+    unified-components oracle), and the perplexity-buckets SQL — one
+    source of truth per stage, so this oracle drifts with the stage
+    oracles instead of silently diverging."""
+    from .dedup import canonical_keep_sql
+    from .textstats import PPL_BUCKETS_SQL, QUALITY_FILTER_SQL
+
+    return f"""
+WITH base AS ({_seq.training_corpus_values_sql()}),
+qf AS (SELECT doc_id FROM ({QUALITY_FILTER_SQL})),
+keep AS (SELECT keep_id AS doc_id FROM ({canonical_keep_sql()})),
+ppl AS (SELECT doc_id FROM ({PPL_BUCKETS_SQL}) WHERE bucket <> 'tail')
+SELECT b.doc_id, b.n_tokens, b.split
+FROM base b
+JOIN qf   ON qf.doc_id   = CAST(substr(b.doc_id, 5) AS BIGINT)
+JOIN keep ON keep.doc_id = CAST(substr(b.doc_id, 5) AS BIGINT)
+JOIN ppl  ON ppl.doc_id  = CAST(substr(b.doc_id, 5) AS BIGINT)
+"""
+
+
 QUERIES = {
     "extract_spans_golden": extract_spans_golden,
     "pipeline_training_corpus": pipeline_training_corpus,
+    "pipeline_training_corpus_full": pipeline_training_corpus_full,
     "extract_table_grid": extract_table_grid,
     "extract_segments_to_lines": extract_segments_to_lines,
     "extract_marker_recovery": extract_marker_recovery,
@@ -426,6 +489,7 @@ def oracles() -> dict[str, str]:
     return {
         "extract_spans_golden": extract_spans_golden_oracle_sql(),
         "pipeline_training_corpus": _seq.training_corpus_values_sql(),
+        "pipeline_training_corpus_full": training_corpus_full_oracle_sql(),
         "extract_table_grid": _kind_oracle_sql("grid"),
         "extract_segments_to_lines": _kind_oracle_sql("segments"),
         "extract_marker_recovery": _kind_oracle_sql("band"),

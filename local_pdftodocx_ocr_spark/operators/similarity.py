@@ -519,6 +519,10 @@ def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # NOT registered: what the engine claims to run is the candidates-only
 # composition below; the all-pairs formulation survives only as its
 # DuckDB oracle (EMB_NEAR_DUP_SQL) and as the pytest set-equality pin.
+# The 100-TB embedding-tier claim itself is the PRODUCTION config
+# (cos>=0.9, 14 bits x 40 tables) — driver-registered as
+# docs_dedup_components_production (dedup.py) with a full sequential
+# oracle, and growth-laddered in bench.py.
 QUERIES = {
     "emb_near_dup_pairs_at_scale": embedding_near_dup_pairs_at_scale,
     "emb_cosine_topk": cosine_topk_bruteforce,

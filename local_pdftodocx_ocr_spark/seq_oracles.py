@@ -390,6 +390,84 @@ def semdedup_values_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Unified components at the PRODUCTION embedding threshold (cos >= 0.9,
+# 14 bits x 40 tables) — the full sequential mirror of
+# operators/dedup.py::components_unified_production_embeddings:
+#   * lexical tier: the minhash-LSH candidates above -> exact Jaccard
+#     verify over the SAME df-capped 60-bit shingle key sets
+#   * bitwise tier: exhaustive simhash hamming<=3 pairs (identical
+#     transitive closure to the Spark side's connectivity-reduced edges)
+#   * semantic tier: numpy sign-LSH candidates at (bits, tables) ->
+#     exact fold-order cosine verify at the threshold
+# then union-find over the union. Every arithmetic step reproduces the
+# distributed computation exactly (same md5 keys, same seeded
+# hyperplanes, same IEEE fold order), so the driver's hash compare is a
+# genuine distributed-vs-sequential equality on the production config.
+# ---------------------------------------------------------------------------
+
+
+def seq_verified_jaccard_pairs(sf_dir: str = ORACLE_SF_DIR) -> list[tuple[int, int]]:
+    """Exact shingle-Jaccard >= threshold computed ONLY on the minhash
+    candidate pairs — the sequential mirror of dedup.py's
+    _verified_jaccard_pairs(d, dedup_minhash_candidates(...))."""
+    from .operators.dedup import JACCARD_THRESHOLD, SHINGLE_DF_CAP
+    index = _capped_shingle_index(_documents(sf_dir), SHINGLE_DF_CAP)
+    out = []
+    for d1, d2 in seq_minhash_candidates(sf_dir):
+        k1, k2 = index.get(d1, set()), index.get(d2, set())
+        inter = len(k1 & k2)
+        if inter and inter / (len(k1) + len(k2) - inter) >= JACCARD_THRESHOLD:
+            out.append((d1, d2))
+    return out
+
+
+def seq_emb_lsh_verified_pairs(sf_dir: str = ORACLE_SF_DIR, *,
+                               cos_threshold: float = 0.9, bits: int = 14,
+                               tables: int = 40) -> list[tuple[int, int]]:
+    """Sign-LSH bucket candidates (same seeded hyperplanes, same matmul
+    sign arithmetic as lsh_bucket_signatures) -> exact fold-order cosine
+    verify at the production threshold."""
+    import numpy as np
+
+    from .operators import similarity as sim
+    data = _embeddings(sf_dir)
+    emb = {v: e for v, e, _ in data}
+    ids = [v for v, _, _ in data]
+    v = np.array([e for _, e, _ in data], dtype=np.float64)
+    flat = sim._hyperplanes(bits, tables).reshape(tables * bits, -1)
+    b = (v @ flat.T) >= 0
+    b = b.reshape(len(v), tables, bits)
+    weights = (1 << np.arange(bits)).astype(np.int64)
+    buckets = (b * weights).sum(axis=2)              # (n, tables)
+    by_tb: dict[tuple[int, int], list[int]] = {}
+    for row, vid in enumerate(ids):
+        for t in range(tables):
+            by_tb.setdefault((t, int(buckets[row, t])), []).append(vid)
+    cand: set[tuple[int, int]] = set()
+    for members in by_tb.values():
+        members.sort()
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                cand.add((members[i], members[j]))
+    return sorted((a, c) for a, c in cand
+                  if _fold_cosine(emb[a], emb[c]) >= cos_threshold)
+
+
+def seq_components_unified_production(sf_dir: str = ORACLE_SF_DIR) -> list[tuple[int, int]]:
+    edges = (seq_verified_jaccard_pairs(sf_dir)
+             + [(a, b) for a, b, _ in seq_simhash_candidates(sf_dir)]
+             + seq_emb_lsh_verified_pairs(sf_dir))
+    nodes = [d for d, _ in _documents(sf_dir)]
+    lbl = seq_union_find(nodes, edges)
+    return [(d, lbl[d]) for d in nodes]
+
+
+def components_unified_production_values_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
+    return values_sql(seq_components_unified_production(sf_dir),
+                      [("doc_id", "BIGINT"), ("component", "BIGINT")])
+
+
+# ---------------------------------------------------------------------------
 # Full extraction pipeline over the documents table (sequential kernels)
 # ---------------------------------------------------------------------------
 
