@@ -150,6 +150,18 @@ def main(sf_dir: str = "/root/testdata/sf0.01", out_path: str = "PLANS.md") -> i
         "docs_source_vocab_overlap (r5: KMV set algebra — per-source "
         "WindowGroupLimit sketch, per-pair windows <= 2k rows)":
             textstats.source_vocab_overlap(spark, sf_dir),
+        "docs_dedup_incremental_minhash (r6: batch band keys probe the "
+        "committed signature index; exact verify on candidates only; "
+        "no broadcast of anything corpus-scaled)":
+            dedup.dedup_incremental_minhash(spark, sf_dir),
+        "docs_dedup_components_production (r6: three candidate tiers at "
+        "the production embedding threshold -> star-CC; the edge-union "
+        "plan before the iterative loop)":
+            dedup.components_unified_production_embeddings(spark, sf_dir),
+        "pipeline_training_corpus_full (r6: extract->gate->dedup->"
+        "quality chain->canonical keep->perplexity gate->split; "
+        "id semi-joins between registered stages)":
+            extraction.pipeline_training_corpus_full(spark, sf_dir),
     }
 
     lines = ["# PLANS — executed physical plans (generated by "

@@ -876,6 +876,68 @@ class TestIncrementalDedup:
         assert got == {3: 2, 7: 1}
 
 
+class TestIncrementalMinhash:
+    """Incremental NEAR-dup dedup (round 6): the batch-vs-committed
+    band-probe -> exact-verify path must drop every incoming doc with a
+    >=0.6-Jaccard partner that is committed (either id order) or an
+    earlier batch member — and keep the rest."""
+
+    _BASE_A = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    _BASE_B = "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 x11 x12"
+    _BASE_C = "y1 y2 y3 y4 y5 y6 y7 y8 y9 y10 y11 y12"
+
+    def _plant(self, spark, tmp_path):
+        # last-token variants share 9 of 11 distinct shingles ->
+        # jaccard 9/11 = 0.818 >= 0.6
+        rows = [
+            (0, self._BASE_A, "en", "web"),              # committed
+            (1, self._BASE_A + "x", "en", "web"),        # inc: dup of committed 0
+            (3, self._BASE_B, "en", "web"),              # inc: fresh -> kept
+            (5, self._BASE_B + "x", "en", "web"),        # inc: dup of batch 3
+            (7, "z1 z2 z3 z4 z5 z6 z7 z8", "en", "web"),  # inc: fresh -> kept
+            (9, self._BASE_C, "en", "web"),              # inc: dup of committed 10
+            (10, self._BASE_C + "x", "en", "web"),       # committed (HIGHER id)
+        ]
+        d = tmp_path / "sfX"
+        d.mkdir()
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string"
+        ).write.parquet(str(d / "documents.parquet"))
+        return str(d)
+
+    def test_planted_batch(self, spark, tmp_path):
+        sf = self._plant(spark, tmp_path)
+        kept = {r["doc_id"]
+                for r in dedup.dedup_incremental_minhash(spark, sf).collect()}
+        dedup.release_caches()
+        # 1 matches committed 0; 5 matches earlier batch member 3;
+        # 9 matches committed 10 (higher id — committed wins regardless)
+        assert kept == {3, 7}
+
+    def test_no_broadcast_hint(self, spark):
+        n = dedup.dedup_incremental_minhash(spark, SF_DIR) \
+            ._jdf.queryExecution().analyzed().toString() \
+            .count("ResolvedHint (strategy=broadcast)")
+        dedup.release_caches()
+        assert n == 0
+
+
+class TestComponentsProduction:
+    def test_matches_sequential_mirror_at_second_scale(self, spark):
+        """The registered oracle pins sf0.01; pin sf0.001 too so the
+        production-threshold composition is mirror-checked at two
+        corpus sizes (the emb_near_dup_at_scale precedent)."""
+        from local_pdftodocx_ocr_spark import seq_oracles
+
+        sf = "/root/testdata/sf0.001"
+        got = {(r["doc_id"], r["component"])
+               for r in dedup.components_unified_production_embeddings(
+                   spark, sf).collect()}
+        dedup.release_caches()
+        exp = set(seq_oracles.seq_components_unified_production(sf))
+        assert got == exp
+
+
 class TestKMVSketch:
     def test_estimate_within_error_bound(self, spark):
         """KMV with k=64 has relative stddev ~1/sqrt(k-2) ~= 12.7%;
