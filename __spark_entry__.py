@@ -60,6 +60,7 @@ _PRIORITY = (
     "docs_dedup_components_production",
     "docs_dedup_incremental_minhash",
     "pipeline_training_corpus_full",
+    "docs_shard_manifest",
     # --- last green r03: the full stale tail (VERDICT r5 #1) ---
     "multimodal_features", "multimodal_frame_samples", "multimodal_resize",
     "docs_token_count", "docs_lang_id", "docs_quality_score",

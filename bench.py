@@ -123,22 +123,22 @@ HEADLINE = {
 # that are pinned in PLANS.md and the plan tests. Updated whenever the
 # suite is re-measured on a quiet host.
 CALM_REFERENCE: dict = {
-    "recorded": ("round-5 builder session, sf0.1 local[32], element-wise "
+    "recorded": ("round-6 builder session, sf0.1 local[32], element-wise "
                  "min across repeated calm-window runs"),
     "queries": {
-        "q1_pricing_summary": 3.823, "q3_shipping_priority": 2.644,
-        "q5_local_supplier": 1.756, "topk_orders_per_customer": 0.904,
-        "sessionize_events": 1.005, "events_hourly": 0.559,
+        "q1_pricing_summary": 3.362, "q3_shipping_priority": 2.134,
+        "q5_local_supplier": 1.669, "topk_orders_per_customer": 0.904,
+        "sessionize_events": 0.951, "events_hourly": 0.559,
         "q18_large_orders": 1.214, "docs_dedup_exact": 1.484,
         "docs_dedup_jaccard_pairs": 3.65,
         "docs_dedup_minhash_candidates": 4.859,
         "docs_dedup_simhash_candidates": 3.305, "docs_simhash64": 0.586,
-        "docs_tfidf_top_terms": 1.588, "docs_fingerprint": 0.571,
+        "docs_tfidf_top_terms": 1.584, "docs_fingerprint": 0.564,
         "docs_quality_score": 0.449, "docs_quality_repetition": 1.4,
-        "docs_boilerplate_ngrams": 1.681, "docs_chunk_for_training": 0.45,
+        "docs_boilerplate_ngrams": 1.375, "docs_chunk_for_training": 0.407,
         "docs_term_freq_cms": 1.362, "docs_dedup_incremental": 0.56,
-        "events_kmv_distinct": 0.695, "emb_cosine_topk": 1.002,
-        "emb_ann_lsh_topk": 2.377, "docs_pack_sequences": 1.241,
+        "events_kmv_distinct": 0.692, "emb_cosine_topk": 1.002,
+        "emb_ann_lsh_topk": 2.377, "docs_pack_sequences": 1.235,
         "docs_packed_payloads": 1.691, "docs_duplicated_ngram_spans": 1.572,
         "docs_temperature_mix": 0.468, "docs_pii_scrub": 0.344,
         # honest cold cost of the three-tier graph: the recall-stress

@@ -2364,7 +2364,92 @@ FROM documents d LEFT JOIN fin f USING (doc_id)
 """
 
 
+# ---------------------------------------------------------------------------
+# Training-shard export manifest (round 6): the sink side of the
+# packing pipeline. A training run consumes the corpus as S
+# deterministic shards (doc -> shard by a hash of doc_id, so shard
+# membership is stable under re-runs and corpus growth re-shuffles
+# nothing already written); the manifest is the per-shard lineage row a
+# dataset release ships — doc count, token count, and an ORDER-FREE
+# content checksum (bit_xor of per-doc 60-bit digests: commutative/
+# associative, so the aggregation is map-side combinable and the value
+# is independent of partitioning — the same discipline as the job's
+# per-partition xor checksums, job.py). One combinable groupBy over one
+# corpus scan; S rows out. At 100 TB, S is chosen >> executor count and
+# the physical write is write_training_shards below (repartition on
+# shard_id -> partitionBy layout readers can prune).
+# ---------------------------------------------------------------------------
+
+N_SHARDS = 16
+
+
+def _shard_cols() -> tuple[Column, Column, Column]:
+    from ..functions.hashing import md5_60bit
+
+    shard = F.pmod(md5_60bit(F.col("doc_id").cast("string")),
+                   F.lit(N_SHARDS))
+    n_tok = F.size(F.split(F.col("text"), " ")).cast("long")
+    digest = md5_60bit(F.concat_ws("|", F.col("doc_id"), F.md5("text")))
+    return shard, n_tok, digest
+
+
+def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    shard, n_tok, digest = _shard_cols()
+    return (d.select(shard.alias("shard_id"), n_tok.alias("nt"),
+                     digest.alias("h"))
+            .groupBy("shard_id")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("nt").alias("n_tokens"),
+                 F.expr("bit_xor(h)").alias("checksum"))
+            .orderBy("shard_id"))
+
+
+def write_training_shards(spark: SparkSession, sf_dir: str,
+                          out_dir: str) -> DataFrame:
+    """Physically export the corpus as Hive-partitioned shard
+    directories (shard_id=K/...) and return the manifest recomputed
+    FROM THE WRITTEN FILES — the release-artifact integrity check: it
+    must equal shard_manifest() on the source exactly (pytest-pinned).
+    repartition("shard_id") keeps one writer task per shard so each
+    shard is a contiguous file set; at scale S >> executors so this is
+    a balanced full-width shuffle, and the partitionBy layout gives
+    readers shard pruning for free."""
+    d = _docs(spark, sf_dir)
+    shard, n_tok, digest = _shard_cols()
+    (d.withColumn("shard_id", shard)
+       .repartition("shard_id")
+       .write.mode("overwrite").partitionBy("shard_id").parquet(out_dir))
+    w = spark.read.parquet(out_dir)
+    _, n_tok_w, digest_w = _shard_cols()
+    return (w.select(F.col("shard_id").cast("long").alias("shard_id"),
+                     n_tok_w.alias("nt"), digest_w.alias("h"))
+            .groupBy("shard_id")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("nt").alias("n_tokens"),
+                 F.expr("bit_xor(h)").alias("checksum"))
+            .orderBy("shard_id"))
+
+
+SHARD_MANIFEST_SQL = f"""
+SELECT shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(nt) AS BIGINT) AS n_tokens,
+       bit_xor(h) AS checksum
+FROM (
+  SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % {N_SHARDS} AS shard_id,
+         len(string_split(text, ' ')) AS nt,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|'
+                                  || md5(text)), 1, 15))
+              AS BIGINT) AS h
+  FROM documents)
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
+    "docs_shard_manifest": shard_manifest,
     "docs_source_vocab_overlap": source_vocab_overlap,
     "docs_perplexity_buckets": perplexity_buckets,
     "docs_weighted_sample": weighted_sample,
@@ -2402,6 +2487,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "docs_shard_manifest": SHARD_MANIFEST_SQL,
     "docs_source_vocab_overlap": KMVO_SQL,
     "docs_perplexity_buckets": PPL_BUCKETS_SQL,
     "docs_weighted_sample": WSAMPLE_SQL,

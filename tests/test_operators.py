@@ -938,6 +938,44 @@ class TestComponentsProduction:
         assert got == exp
 
 
+class TestTrainingShards:
+    def test_written_shards_match_source_manifest(self, spark, tmp_path):
+        """write_training_shards must round-trip: the manifest recomputed
+        from the Hive-partitioned files equals shard_manifest() on the
+        source (doc counts, token counts, AND the order-free xor
+        checksum), and every shard directory exists."""
+        from local_pdftodocx_ocr_spark.operators import textstats
+
+        sf = "/root/testdata/sf0.001"
+        out = str(tmp_path / "shards")
+        got = [tuple(r) for r in
+               textstats.write_training_shards(spark, sf, out).collect()]
+        exp = [tuple(r) for r in
+               textstats.shard_manifest(spark, sf).collect()]
+        assert got == exp
+        import os
+        dirs = {d for d in os.listdir(out) if d.startswith("shard_id=")}
+        assert dirs == {f"shard_id={r[0]}" for r in exp}
+
+    def test_checksum_partitioning_invariant(self, spark):
+        """bit_xor is commutative/associative: the manifest must be
+        bit-identical under a different input partitioning."""
+        from local_pdftodocx_ocr_spark.operators import textstats
+
+        sf = "/root/testdata/sf0.001"
+        a = {tuple(r) for r in textstats.shard_manifest(spark, sf).collect()}
+        d = spark.read.parquet(f"{sf}/documents.parquet").repartition(17)
+        shard, n_tok, digest = textstats._shard_cols()
+        b = {tuple(r) for r in
+             (d.select(shard.alias("shard_id"), n_tok.alias("nt"),
+                       digest.alias("h"))
+              .groupBy("shard_id")
+              .agg(F.count("*").alias("n_docs"),
+                   F.sum("nt").alias("n_tokens"),
+                   F.expr("bit_xor(h)").alias("checksum"))).collect()}
+        assert a == b
+
+
 class TestKMVSketch:
     def test_estimate_within_error_bound(self, spark):
         """KMV with k=64 has relative stddev ~1/sqrt(k-2) ~= 12.7%;
