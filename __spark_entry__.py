@@ -42,10 +42,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # a bounded window (~50 per round). _PRIORITY rotates each round
 # (VERDICT r3 #2); never-driver-checked queries ALWAYS outrank
 # re-verification of green ones (ADVICE r4 #1). Round 6 pins, in
-# order: (a) the 3 new round-6 queries (the production-threshold
+# order: (a) the 5 new round-6 queries (the production-threshold
 # unified components with its sequential oracle — VERDICT r5 #2; the
 # incremental minhash near-dup — #4; the full composed training
-# pipeline — #3), then (b) the 22 queries whose last driver-green row
+# pipeline — #3; the shard-manifest sink; the PQ-ADC ANN with its
+# sequential training+LUT oracle), then (b) the 22 queries whose last driver-green row
 # is r03 — the full stale rotation tail, drained in one window
 # (VERDICT r5 #1), then (c) the r04-green set (46 queries; the part
 # past the ~50-query window rotates to round 7 — max staleness across
@@ -61,6 +62,7 @@ _PRIORITY = (
     "docs_dedup_incremental_minhash",
     "pipeline_training_corpus_full",
     "docs_shard_manifest",
+    "emb_ann_pq_topk",
     # --- last green r03: the full stale tail (VERDICT r5 #1) ---
     "multimodal_features", "multimodal_frame_samples", "multimodal_resize",
     "docs_token_count", "docs_lang_id", "docs_quality_score",

@@ -393,6 +393,162 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Product-quantization ANN (Jégou et al. 2011, "Product Quantization
+# for Nearest Neighbor Search" — the FAISS IVF-PQ compression story):
+# split the 64-dim space into PQ_M subspaces, k-means each subspace to
+# PQ_KSUB codewords, store every corpus vector as PQ_M 1-byte codes
+# (4 bytes/vector vs 256 for raw float32 — the reason a 10^12-vector
+# index fits a cluster at all). Queries scan the CODES with an
+# asymmetric-distance (ADC) lookup table — PQ_M array-literal lookups
+# + adds per vector, no float dot products — then exact-re-rank only
+# the PQ_RERANK shortlist.
+#
+# Scale shape: codebook training reuses the quantized-Lloyd discipline
+# (KMEANS_Q fixed-point sums -> order-free exact reduction), with ONE
+# map-side-combinable aggregate per iteration covering ALL subspaces
+# (M x KSUB x (DSUB+1) cells); encoding and the ADC scan are map-only
+# against codebook/LUT literals (queries are a bounded set, the
+# cosine_topk broadcast precedent); the only shuffles are the two
+# bounded per-query top-R / top-k windows. The sequential oracle
+# replays the identical quantized training, encoding, LUT arithmetic,
+# and re-rank — a full distributed-vs-sequential equality gate on a
+# TRAINED-index ANN.
+# ---------------------------------------------------------------------------
+
+PQ_M = 4            # subspaces
+PQ_DSUB = 16        # dims per subspace (PQ_M * PQ_DSUB = KMEANS_DIM)
+PQ_KSUB = 16        # codewords per subspace (codes fit 4 bits here)
+PQ_ITERS = 2        # Lloyd rounds per subspace (shared aggregate)
+PQ_RERANK = 15      # ADC shortlist re-ranked exactly (3x TOP_K)
+_PQ_SEED_BASE = 300  # deterministic codeword seeds; disjoint from
+                     # queries(<10)/IVF(100s)/kmeans(200s)
+
+
+def _pq_assign(subcol, codebook_m: list[list[float]]):
+    """Nearest-codeword (squared-L2, k) struct against codeword
+    literals — the _kmeans_assign fold/tie-break contract on a
+    PQ_DSUB-slice."""
+    dists = [
+        F.aggregate(
+            F.zip_with(subcol, F.array(*[F.lit(c) for c in cw]),
+                       lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, v: acc + v)
+        for cw in codebook_m
+    ]
+    return F.array_min(F.array(*[
+        F.struct(d.alias("d"), F.lit(k).alias("k"))
+        for k, d in enumerate(dists)]))
+
+
+def _adc_lut_sqdist(q_sub: list[float], codeword: list[float]) -> float:
+    """LUT cell: strict left-fold squared L2 in array order — the ONE
+    definition shared by the operator (driver-side literals) and the
+    sequential oracle, so both engines inject bit-identical doubles."""
+    acc = 0.0
+    for x, y in zip(q_sub, codeword):
+        acc = acc + (x - y) * (x - y)
+    return acc
+
+
+_PQ_CACHE: dict[str, list[list[list[float]]]] = {}
+
+
+def _pq_codebooks(spark: SparkSession, sf_dir: str) -> list[list[list[float]]]:
+    """PQ_ITERS Lloyd rounds over all PQ_M subspaces at once: per
+    iteration one posexplode to (m, nearest-k, quantized subvector) and
+    ONE combinable groupBy(m, k) — M*KSUB rows collected (bounded by
+    the codebook, never the corpus), new codeword literals feed the
+    next round's map-only assignment."""
+    if sf_dir in _PQ_CACHE:
+        return _PQ_CACHE[sf_dir]
+    e = _emb(spark, sf_dir)
+    seeds = (e.filter((F.col("vec_id") >= _PQ_SEED_BASE)
+                      & (F.col("vec_id") < _PQ_SEED_BASE + PQ_KSUB))
+             .orderBy("vec_id").collect())
+    books = [[[float(x) for x in r["embedding"][m * PQ_DSUB:(m + 1) * PQ_DSUB]]
+              for r in seeds] for m in range(PQ_M)]
+    x = F.col("embedding").cast("array<double>")
+    for _ in range(PQ_ITERS):
+        subs = [F.slice(x, m * PQ_DSUB + 1, PQ_DSUB) for m in range(PQ_M)]
+        entries = F.array(*[
+            F.struct(
+                F.lit(m).alias("m"),
+                _pq_assign(subs[m], books[m])["k"].alias("k"),
+                F.transform(subs[m],
+                            lambda v: (v * F.lit(float(KMEANS_Q)))
+                            .cast("long")).alias("xq"))
+            for m in range(PQ_M)])
+        rows = (e.select(F.explode(entries).alias("s"))
+                .select("s.m", "s.k", "s.xq")
+                .groupBy("m", "k")
+                .agg(F.count("*").alias("n"),
+                     *[F.sum(F.col("xq")[j]).alias(f"s{j}")
+                       for j in range(PQ_DSUB)])
+                .collect())
+        for r in rows:   # empty cells keep their previous codeword
+            n = r["n"]
+            books[r["m"]][r["k"]] = [r[f"s{j}"] / (n * float(KMEANS_Q))
+                                     for j in range(PQ_DSUB)]
+    _PQ_CACHE[sf_dir] = books
+    return books
+
+
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC ANN with exact re-rank: encode the corpus to PQ_M
+    codes (map-only), score every code row against per-query
+    ADC lookup-table literals (map-only adds — no floats from the
+    corpus touched), take the PQ_RERANK shortlist per query, then
+    re-rank ONLY the shortlist with the exact cosine fold."""
+    from functools import reduce
+
+    from pyspark.sql import Window as W
+
+    e = _emb(spark, sf_dir)
+    books = _pq_codebooks(spark, sf_dir)
+    x = F.col("embedding").cast("array<double>")
+    subs = [F.slice(x, m * PQ_DSUB + 1, PQ_DSUB) for m in range(PQ_M)]
+    enc = e.select("vec_id", *[
+        _pq_assign(subs[m], books[m])["k"].alias(f"c{m}")
+        for m in range(PQ_M)])   # in production: the persisted code table
+    qrows = (e.filter(F.col("vec_id") < N_QUERIES).orderBy("vec_id").collect())
+    luts = {
+        int(r["vec_id"]): [
+            [_adc_lut_sqdist(
+                [float(v) for v in r["embedding"][m * PQ_DSUB:(m + 1) * PQ_DSUB]],
+                books[m][k]) for k in range(PQ_KSUB)]
+            for m in range(PQ_M)]
+        for r in qrows}
+    pairs = F.array(*[
+        F.struct(
+            F.lit(qid).alias("qid"),
+            reduce(lambda acc, m: acc + F.element_at(
+                       F.array(*[F.lit(d) for d in luts[qid][m]]),
+                       F.col(f"c{m}") + 1),
+                   range(PQ_M), F.lit(0.0)).alias("adist"))
+        for qid in sorted(luts)])
+    scored = (enc.select("vec_id", F.explode(pairs).alias("p"))
+              .select("vec_id", "p.qid", "p.adist")
+              .filter(F.col("vec_id") != F.col("qid")))
+    w = W.partitionBy("qid").orderBy(F.asc("adist"), F.asc("vec_id"))
+    shortlist = (scored.withColumn("rr", F.row_number().over(w))
+                 .filter(F.col("rr") <= PQ_RERANK)
+                 .select("qid", "vec_id"))
+    q = (e.filter(F.col("vec_id") < N_QUERIES)
+         .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")))
+    rer = (shortlist.join(e, "vec_id")    # shortlist bounded -> AQE broadcasts it
+           .join(F.broadcast(q), "qid")
+           .withColumn("cos", _cosine(
+               F.col("qv").cast("array<double>"),
+               F.col("embedding").cast("array<double>"))))
+    w2 = W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (rer.withColumn("rk", F.row_number().over(w2))
+            .filter(F.col("rk") <= TOP_K)
+            .select("qid", F.col("vec_id").alias("neighbor"),
+                    F.round("cos", 3).alias("cos"),
+                    F.col("rk").cast("int").alias("rk")))
+
+
+# ---------------------------------------------------------------------------
 # Distributed k-means (Lloyd) + SemDeDup semantic pruning
 # ---------------------------------------------------------------------------
 
@@ -528,6 +684,7 @@ QUERIES = {
     "emb_cosine_topk": cosine_topk_bruteforce,
     "emb_ann_ivf_topk": ann_ivf_topk,
     "emb_ann_lsh_topk": ann_lsh_topk,
+    "emb_ann_pq_topk": ann_pq_topk,
     "emb_knn_label_vote": knn_label_vote,
     "emb_kmeans": emb_kmeans,
     "emb_semdedup": emb_semdedup,
@@ -546,6 +703,9 @@ def oracles() -> dict[str, str]:
         # inlined as VALUES — full cross-engine hash checks
         "emb_ann_lsh_topk": seq_oracles.ann_lsh_values_sql(),
         "emb_ann_ivf_topk": seq_oracles.ann_ivf_values_sql(),
+        # PQ: quantized codebook training + code assignment + ADC LUT
+        # + exact re-rank, all replayed sequentially, inlined as VALUES
+        "emb_ann_pq_topk": seq_oracles.ann_pq_values_sql(),
         "emb_knn_label_vote": KNN_VOTE_SQL,
         # iterative Lloyd + SemDeDup: full sequential mirrors of the
         # quantized centroid evolution and the within-cluster greedy

@@ -162,6 +162,13 @@ def main(sf_dir: str = "/root/testdata/sf0.01", out_path: str = "PLANS.md") -> i
         "quality chain->canonical keep->perplexity gate->split; "
         "id semi-joins between registered stages)":
             extraction.pipeline_training_corpus_full(spark, sf_dir),
+        "emb_ann_pq_topk (r6: map-only PQ encode + ADC literal-LUT "
+        "scan; two bounded per-query windows; shortlist-side "
+        "broadcast re-rank)":
+            similarity.ann_pq_topk(spark, sf_dir),
+        "docs_shard_manifest (r6: one combinable groupBy, order-free "
+        "bit_xor checksum, S rows out)":
+            textstats.shard_manifest(spark, sf_dir),
     }
 
     lines = ["# PLANS — executed physical plans (generated by "

@@ -300,6 +300,78 @@ def ann_ivf_values_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
 
 
 # ---------------------------------------------------------------------------
+# PQ-ADC ANN: full sequential mirror of operators/similarity.py::
+# ann_pq_topk — quantized per-subspace Lloyd training, code
+# assignment, driver-LUT ADC arithmetic (the operator's own
+# _adc_lut_sqdist, so the literals are bit-identical), shortlist by
+# (adist, vec_id), exact-cosine re-rank
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=4)
+def _seq_pq_codebooks(sf_dir: str) -> tuple:
+    from .operators import similarity as sim
+    data = _embeddings(sf_dir)
+    emb = {v: e for v, e, _ in data}
+    books = [[[float(x)
+               for x in emb[sim._PQ_SEED_BASE + k][m * sim.PQ_DSUB:
+                                                   (m + 1) * sim.PQ_DSUB]]
+              for k in range(sim.PQ_KSUB)] for m in range(sim.PQ_M)]
+    for _ in range(sim.PQ_ITERS):
+        sums = [[[0] * sim.PQ_DSUB for _ in range(sim.PQ_KSUB)]
+                for _ in range(sim.PQ_M)]
+        ns = [[0] * sim.PQ_KSUB for _ in range(sim.PQ_M)]
+        for _v, e, _lb in data:
+            for m in range(sim.PQ_M):
+                sub = e[m * sim.PQ_DSUB:(m + 1) * sim.PQ_DSUB]
+                k = _seq_assign(sub, books[m])[1]
+                ns[m][k] += 1
+                for j, xv in enumerate(sub):
+                    # int() truncates toward zero = Spark double->long
+                    sums[m][k][j] += int(xv * float(sim.KMEANS_Q))
+        for m in range(sim.PQ_M):
+            for k in range(sim.PQ_KSUB):
+                if ns[m][k]:   # empty cells keep their previous codeword
+                    books[m][k] = [sums[m][k][j]
+                                   / (ns[m][k] * float(sim.KMEANS_Q))
+                                   for j in range(sim.PQ_DSUB)]
+    return tuple(tuple(tuple(cw) for cw in b) for b in books)
+
+
+def seq_ann_pq_topk(sf_dir: str = ORACLE_SF_DIR) -> list[tuple[int, int, float, int]]:
+    from .operators import similarity as sim
+    books = _seq_pq_codebooks(sf_dir)
+    data = _embeddings(sf_dir)
+    emb = {v: e for v, e, _ in data}
+    codes = {
+        v: [_seq_assign(e[m * sim.PQ_DSUB:(m + 1) * sim.PQ_DSUB],
+                        books[m])[1] for m in range(sim.PQ_M)]
+        for v, e, _ in data}
+    cand: dict[int, set[int]] = {}
+    for qid in sorted(v for v in emb if v < sim.N_QUERIES):
+        qe = emb[qid]
+        lut = [[sim._adc_lut_sqdist(
+                    [float(x) for x in qe[m * sim.PQ_DSUB:(m + 1) * sim.PQ_DSUB]],
+                    list(books[m][k])) for k in range(sim.PQ_KSUB)]
+               for m in range(sim.PQ_M)]
+        scored = []
+        for v in sorted(emb):
+            if v == qid:
+                continue
+            acc = 0.0    # the operator's left-fold add order, m ascending
+            for m in range(sim.PQ_M):
+                acc = acc + lut[m][codes[v][m]]
+            scored.append((acc, v))
+        scored.sort()
+        cand[qid] = {v for _, v in scored[: sim.PQ_RERANK]}
+    return _topk_rows(cand, emb, sim.TOP_K)
+
+
+def ann_pq_values_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
+    return _ann_values_sql(seq_ann_pq_topk(sf_dir))
+
+
+# ---------------------------------------------------------------------------
 # k-means (Lloyd) + SemDeDup: the full quantized centroid evolution and
 # the within-cluster greedy pruning recomputed sequentially — mirrors of
 # operators/similarity.py::_kmeans_centroids / emb_kmeans / emb_semdedup

@@ -272,6 +272,28 @@ class TestANN:
         recall = len(exact & approx) / len(exact)
         assert recall >= 0.5, f"ANN recall {recall:.2f} too low"
 
+    def test_pq_recall_vs_bruteforce(self, spark):
+        """PQ compresses 64 float dims to 4 codes (64:1) yet the
+        ADC-shortlist -> exact-re-rank pipeline must keep useful
+        recall on near-random vectors (the hardest case for any
+        quantizer; clustered production embeddings do far better)."""
+        exact = {(r["qid"], r["neighbor"])
+                 for r in similarity.cosine_topk_bruteforce(spark, SF_DIR).collect()}
+        approx = {(r["qid"], r["neighbor"])
+                  for r in similarity.ann_pq_topk(spark, SF_DIR).collect()}
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.3, f"PQ recall {recall:.2f} too low"
+
+    def test_pq_codebooks_match_sequential_training(self, spark):
+        """The distributed quantized-Lloyd codebooks must be
+        bit-identical to the sequential replay (the kmeans-centroid
+        discipline applied per subspace)."""
+        from local_pdftodocx_ocr_spark import seq_oracles
+
+        got = similarity._pq_codebooks(spark, SF_DIR)
+        exp = seq_oracles._seq_pq_codebooks(SF_DIR)
+        assert tuple(tuple(tuple(cw) for cw in b) for b in got) == exp
+
 
 class TestPhysicalPlans:
     """`.explain`-level guarantees: the plans we rely on at 100 TB."""
