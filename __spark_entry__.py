@@ -63,6 +63,7 @@ _PRIORITY = (
     "pipeline_training_corpus_full",
     "docs_shard_manifest",
     "emb_ann_pq_topk",
+    "emb_ann_ivfpq_topk",
     # --- last green r03: the full stale tail (VERDICT r5 #1) ---
     "multimodal_features", "multimodal_frame_samples", "multimodal_resize",
     "docs_token_count", "docs_lang_id", "docs_quality_score",

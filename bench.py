@@ -111,8 +111,9 @@ HEADLINE = {
     "docs_dedup_incremental_minhash": dedup.dedup_incremental_minhash,
     "docs_dedup_components_production":
         dedup.components_unified_production_embeddings,
-    # PQ-ADC ANN: cold cost includes the PQ_ITERS codebook aggregates
+    # PQ / IVF-PQ ANN: cold cost includes the codebook-training passes
     "emb_ann_pq_topk": similarity.ann_pq_topk,
+    "emb_ann_ivfpq_topk": similarity.ann_ivfpq_topk,
     "docs_shard_manifest": textstats.shard_manifest,
 }
 

@@ -420,24 +420,27 @@ PQ_DSUB = 16        # dims per subspace (PQ_M * PQ_DSUB = KMEANS_DIM)
 PQ_KSUB = 16        # codewords per subspace (codes fit 4 bits here)
 PQ_ITERS = 2        # Lloyd rounds per subspace (shared aggregate)
 PQ_RERANK = 15      # ADC shortlist re-ranked exactly (3x TOP_K)
+IVFPQ_RERANK = 60   # IVF-PQ shortlist (12x TOP_K): residual codes rank
+                    # coarser than flat PQ, so the exact re-rank pulls
+                    # from a deeper list — the standard knob (FAISS
+                    # k_factor); recall is then bounded by the nprobe
+                    # cell hit rate alone
 _PQ_SEED_BASE = 300  # deterministic codeword seeds; disjoint from
                      # queries(<10)/IVF(100s)/kmeans(200s)
 
 
-def _pq_assign(subcol, codebook_m: list[list[float]]):
-    """Nearest-codeword (squared-L2, k) struct against codeword
-    literals — the _kmeans_assign fold/tie-break contract on a
-    PQ_DSUB-slice."""
-    dists = [
-        F.aggregate(
-            F.zip_with(subcol, F.array(*[F.lit(c) for c in cw]),
-                       lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0), lambda acc, v: acc + v)
-        for cw in codebook_m
-    ]
-    return F.array_min(F.array(*[
-        F.struct(d.alias("d"), F.lit(k).alias("k"))
-        for k, d in enumerate(dists)]))
+def _pq_sub_codes(v: "np.ndarray", books_np: "np.ndarray",
+                  m: int) -> "np.ndarray":
+    """Nearest codeword per vector for subspace m — the ONE distance
+    formulation (numpy broadcast (sub-cb)^2 summed over the reduction
+    length DSUB, argmin = first minimum on ties) shared by training,
+    encoding, and the sequential mirror, so all three produce identical
+    doubles and identical tie-breaks. Batch-level numpy beats per-row
+    Catalyst higher-order folds ~10x here — the lsh_bucket_signatures
+    precedent (64 codeword distances/vector is BLAS-shaped work)."""
+    sub = v[:, m * PQ_DSUB:(m + 1) * PQ_DSUB]
+    d = ((sub[:, None, :] - books_np[m][None, :, :]) ** 2).sum(axis=2)
+    return np.argmin(d, axis=1)
 
 
 def _adc_lut_sqdist(q_sub: list[float], codeword: list[float]) -> float:
@@ -453,44 +456,113 @@ def _adc_lut_sqdist(q_sub: list[float], codeword: list[float]) -> float:
 _PQ_CACHE: dict[str, list[list[list[float]]]] = {}
 
 
-def _pq_codebooks(spark: SparkSession, sf_dir: str) -> list[list[list[float]]]:
-    """PQ_ITERS Lloyd rounds over all PQ_M subspaces at once: per
-    iteration one posexplode to (m, nearest-k, quantized subvector) and
-    ONE combinable groupBy(m, k) — M*KSUB rows collected (bounded by
-    the codebook, never the corpus), new codeword literals feed the
-    next round's map-only assignment."""
-    if sf_dir in _PQ_CACHE:
-        return _PQ_CACHE[sf_dir]
-    e = _emb(spark, sf_dir)
-    seeds = (e.filter((F.col("vec_id") >= _PQ_SEED_BASE)
-                      & (F.col("vec_id") < _PQ_SEED_BASE + PQ_KSUB))
-             .orderBy("vec_id").collect())
-    books = [[[float(x) for x in r["embedding"][m * PQ_DSUB:(m + 1) * PQ_DSUB]]
-              for r in seeds] for m in range(PQ_M)]
-    x = F.col("embedding").cast("array<double>")
-    for _ in range(PQ_ITERS):
-        subs = [F.slice(x, m * PQ_DSUB + 1, PQ_DSUB) for m in range(PQ_M)]
-        entries = F.array(*[
-            F.struct(
-                F.lit(m).alias("m"),
-                _pq_assign(subs[m], books[m])["k"].alias("k"),
-                F.transform(subs[m],
-                            lambda v: (v * F.lit(float(KMEANS_Q)))
-                            .cast("long")).alias("xq"))
-            for m in range(PQ_M)])
-        rows = (e.select(F.explode(entries).alias("s"))
-                .select("s.m", "s.k", "s.xq")
+def _pq_vec_batch(pdf, centroids: "np.ndarray | None"):
+    """Stacked float64 batch [+ coarse cell + residual subtraction] —
+    the shared corpus-side preamble of training and encoding. With
+    centroids, the cell is each vector's single nearest coarse cell
+    (the _ivf_assign math verbatim) and v becomes the residual."""
+    v = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["embedding"]])
+    if centroids is None:
+        return v, None
+    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+    cell = np.argsort(-(vn @ cn.T), axis=1, kind="stable")[:, 0]
+    return v - centroids[cell], cell
+
+
+def _pq_train_books(e: DataFrame, seed_vecs: "np.ndarray",
+                    centroids: "np.ndarray | None" = None,
+                    iters: int = PQ_ITERS) -> list[list[list[float]]]:
+    """PQ_ITERS Lloyd rounds over all PQ_M subspaces at once. Per
+    iteration: one Arrow-batched numpy pass assigns codes and
+    PRE-AGGREGATES the KMEANS_Q-quantized coordinate sums per (m, k)
+    WITHIN each batch (int64 — order-free exact, the kmeans
+    discipline), then one combinable groupBy(m, k) reduces the
+    M*KSUB-row partials; M*KSUB rows collected, never the corpus.
+    `seed_vecs` (KSUB x 64, already residual for IVF-PQ) initializes
+    the codewords."""
+    import pandas as pd
+
+    books = [[[float(x) for x in seed_vecs[k][m * PQ_DSUB:(m + 1) * PQ_DSUB]]
+              for k in range(PQ_KSUB)] for m in range(PQ_M)]
+    schema = ("m int, k int, n long, "
+              + ", ".join(f"s{j} long" for j in range(PQ_DSUB)))
+    for _ in range(iters):
+        books_np = np.asarray(books, dtype=np.float64)
+
+        def partials(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                v, _cell = _pq_vec_batch(pdf, centroids)
+                out = []
+                for m in range(PQ_M):
+                    sub = v[:, m * PQ_DSUB:(m + 1) * PQ_DSUB]
+                    k = _pq_sub_codes(v, books_np, m)
+                    # astype truncates toward zero = Spark double->long
+                    xq = (sub * float(KMEANS_Q)).astype(np.int64)
+                    for kk in np.unique(k):
+                        mask = k == kk
+                        out.append((m, int(kk), int(mask.sum()),
+                                    *(int(s) for s in xq[mask].sum(axis=0))))
+                if out:   # empty Arrow batches break object-dtype frames
+                    yield pd.DataFrame(
+                        out, columns=schema.replace(" int", "")
+                        .replace(" long", "").split(", "))
+
+        rows = (e.select("vec_id", "embedding")
+                .mapInPandas(partials, schema)
                 .groupBy("m", "k")
-                .agg(F.count("*").alias("n"),
-                     *[F.sum(F.col("xq")[j]).alias(f"s{j}")
+                .agg(F.sum("n").alias("n"),
+                     *[F.sum(f"s{j}").alias(f"s{j}")
                        for j in range(PQ_DSUB)])
                 .collect())
         for r in rows:   # empty cells keep their previous codeword
             n = r["n"]
             books[r["m"]][r["k"]] = [r[f"s{j}"] / (n * float(KMEANS_Q))
                                      for j in range(PQ_DSUB)]
-    _PQ_CACHE[sf_dir] = books
     return books
+
+
+def _pq_encode_df(e: DataFrame, books: list,
+                  centroids: "np.ndarray | None" = None) -> DataFrame:
+    """The corpus code table — (vec_id[, cell], c0..c{M-1}) in ONE
+    Arrow-batched numpy pass (coarse assign + residual + all M
+    argmins). In production this is the persisted PQ index:
+    PQ_M bytes/vector instead of 64 floats."""
+    import pandas as pd
+
+    books_np = np.asarray(books, dtype=np.float64)
+    with_cell = centroids is not None
+
+    def enc(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v, cell = _pq_vec_batch(pdf, centroids)
+            cols = {"vec_id": pdf["vec_id"].values}
+            if with_cell:
+                cols["cell"] = cell.astype(np.int32)
+            for m in range(PQ_M):
+                cols[f"c{m}"] = _pq_sub_codes(v, books_np, m).astype(np.int32)
+            yield pd.DataFrame(cols)
+
+    schema = ("vec_id long, " + ("cell int, " if with_cell else "")
+              + ", ".join(f"c{m} int" for m in range(PQ_M)))
+    return e.select("vec_id", "embedding").mapInPandas(enc, schema)
+
+
+def _pq_codebooks(spark: SparkSession, sf_dir: str) -> list[list[list[float]]]:
+    if sf_dir in _PQ_CACHE:
+        return _PQ_CACHE[sf_dir]
+    e = _emb(spark, sf_dir)
+    seeds = (e.filter((F.col("vec_id") >= _PQ_SEED_BASE)
+                      & (F.col("vec_id") < _PQ_SEED_BASE + PQ_KSUB))
+             .orderBy("vec_id").collect())
+    seed_vecs = np.stack([np.asarray(r["embedding"], dtype=np.float64)
+                          for r in seeds])
+    _PQ_CACHE[sf_dir] = _pq_train_books(e, seed_vecs)
+    return _PQ_CACHE[sf_dir]
 
 
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -505,11 +577,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _emb(spark, sf_dir)
     books = _pq_codebooks(spark, sf_dir)
-    x = F.col("embedding").cast("array<double>")
-    subs = [F.slice(x, m * PQ_DSUB + 1, PQ_DSUB) for m in range(PQ_M)]
-    enc = e.select("vec_id", *[
-        _pq_assign(subs[m], books[m])["k"].alias(f"c{m}")
-        for m in range(PQ_M)])   # in production: the persisted code table
+    enc = _pq_encode_df(e, books)
     qrows = (e.filter(F.col("vec_id") < N_QUERIES).orderBy("vec_id").collect())
     luts = {
         int(r["vec_id"]): [
@@ -536,6 +604,103 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = (e.filter(F.col("vec_id") < N_QUERIES)
          .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")))
     rer = (shortlist.join(e, "vec_id")    # shortlist bounded -> AQE broadcasts it
+           .join(F.broadcast(q), "qid")
+           .withColumn("cos", _cosine(
+               F.col("qv").cast("array<double>"),
+               F.col("embedding").cast("array<double>"))))
+    w2 = W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (rer.withColumn("rk", F.row_number().over(w2))
+            .filter(F.col("rk") <= TOP_K)
+            .select("qid", F.col("vec_id").alias("neighbor"),
+                    F.round("cos", 3).alias("cos"),
+                    F.col("rk").cast("int").alias("rk")))
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ (the FAISS billion-scale production composition): coarse IVF
+# cells + product quantization of the RESIDUAL (x - cell centroid) —
+# residual energy is much smaller than raw-vector energy, so the same
+# 4 bytes/vector quantize far more accurately. Queries probe their
+# IVF_NPROBE nearest cells with a PER-CELL ADC lookup table over the
+# query's residual against that cell; a corpus vector is scored only
+# when its (single) cell is probed — candidates ~nprobe/cells of the
+# corpus AND each candidate costs PQ_M lookups, not a dot product.
+# The probe table (qid, cell, LUT) is a bounded broadcast
+# (N_QUERIES x nprobe rows); everything corpus-sided is map-only until
+# the bounded shortlist window.
+# ---------------------------------------------------------------------------
+
+_IVFPQ_CACHE: dict[str, tuple] = {}
+
+
+def _ivfpq_index(spark: SparkSession, sf_dir: str) -> tuple:
+    """(coarse centroids, residual PQ codebooks) — the trained index.
+    Training cost: the fused assign+residual+partial-sum numpy pass per
+    iteration; collected state is IVF_CELLS x 64 centroids + M x KSUB
+    x DSUB codewords, never corpus-sized. Seed codewords are the seed
+    vectors' own residuals (cells computed driver-side with the
+    identical numpy math)."""
+    if sf_dir in _IVFPQ_CACHE:
+        return _IVFPQ_CACHE[sf_dir]
+    e = _emb(spark, sf_dir)
+    cent_rows = (e.filter((F.col("vec_id") >= _IVF_CENTROID_BASE)
+                          & (F.col("vec_id") < _IVF_CENTROID_BASE + IVF_CELLS))
+                 .orderBy("vec_id").collect())
+    centroids = np.stack([np.asarray(r["embedding"], dtype=np.float64)
+                          for r in cent_rows])
+    seeds = (e.filter((F.col("vec_id") >= _PQ_SEED_BASE)
+                      & (F.col("vec_id") < _PQ_SEED_BASE + PQ_KSUB))
+             .orderBy("vec_id").collect())
+    sv = np.stack([np.asarray(r["embedding"], dtype=np.float64)
+                   for r in seeds])
+    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    svn = sv / np.linalg.norm(sv, axis=1, keepdims=True)
+    seed_cells = np.argsort(-(svn @ cn.T), axis=1, kind="stable")[:, 0]
+    books = _pq_train_books(e, sv - centroids[seed_cells], centroids)
+    _IVFPQ_CACHE[sf_dir] = (centroids, books)
+    return _IVFPQ_CACHE[sf_dir]
+
+
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ADC ANN with exact re-rank. Corpus side: one residual
+    encode pass to (vec_id, cell, PQ_M codes). Query side: probe cells
+    + per-(query, cell) residual LUTs computed driver-side (bounded)
+    and shipped as a broadcast probe table; the cell equi-join is the
+    candidate screen and the ADC sum is PQ_M array lookups."""
+    from functools import reduce
+
+    from pyspark.sql import Window as W
+
+    e = _emb(spark, sf_dir)
+    centroids, books = _ivfpq_index(spark, sf_dir)
+    enc = _pq_encode_df(e, books, centroids)
+    qrows = (e.filter(F.col("vec_id") < N_QUERIES).orderBy("vec_id").collect())
+    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    probe_rows = []
+    for r in qrows:
+        qv = np.asarray(r["embedding"], dtype=np.float64)
+        sims = (qv / np.linalg.norm(qv)) @ cn.T
+        for cell in np.argsort(-sims, kind="stable")[:IVF_NPROBE]:
+            q_res = [float(x) for x in (qv - centroids[int(cell)])]
+            lut = [[_adc_lut_sqdist(q_res[m * PQ_DSUB:(m + 1) * PQ_DSUB],
+                                    books[m][k]) for k in range(PQ_KSUB)]
+                   for m in range(PQ_M)]
+            probe_rows.append((int(r["vec_id"]), int(cell), lut))
+    probes = spark.createDataFrame(
+        probe_rows, "qid long, cell int, lut array<array<double>>")
+    scored = (enc.join(F.broadcast(probes), "cell")
+              .filter(F.col("vec_id") != F.col("qid"))
+              .select("qid", "vec_id",
+                      reduce(lambda acc, m: acc + F.element_at(
+                                 F.col("lut")[m], F.col(f"c{m}") + 1),
+                             range(PQ_M), F.lit(0.0)).alias("adist")))
+    w = W.partitionBy("qid").orderBy(F.asc("adist"), F.asc("vec_id"))
+    shortlist = (scored.withColumn("rr", F.row_number().over(w))
+                 .filter(F.col("rr") <= IVFPQ_RERANK)
+                 .select("qid", "vec_id"))
+    q = (e.filter(F.col("vec_id") < N_QUERIES)
+         .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")))
+    rer = (shortlist.join(e, "vec_id")
            .join(F.broadcast(q), "qid")
            .withColumn("cos", _cosine(
                F.col("qv").cast("array<double>"),
@@ -685,6 +850,7 @@ QUERIES = {
     "emb_ann_ivf_topk": ann_ivf_topk,
     "emb_ann_lsh_topk": ann_lsh_topk,
     "emb_ann_pq_topk": ann_pq_topk,
+    "emb_ann_ivfpq_topk": ann_ivfpq_topk,
     "emb_knn_label_vote": knn_label_vote,
     "emb_kmeans": emb_kmeans,
     "emb_semdedup": emb_semdedup,
@@ -703,9 +869,11 @@ def oracles() -> dict[str, str]:
         # inlined as VALUES — full cross-engine hash checks
         "emb_ann_lsh_topk": seq_oracles.ann_lsh_values_sql(),
         "emb_ann_ivf_topk": seq_oracles.ann_ivf_values_sql(),
-        # PQ: quantized codebook training + code assignment + ADC LUT
-        # + exact re-rank, all replayed sequentially, inlined as VALUES
+        # PQ / IVF-PQ: quantized codebook training + code assignment +
+        # ADC LUT + exact re-rank (IVF-PQ adds coarse cells and
+        # residual encoding), all replayed sequentially as VALUES
         "emb_ann_pq_topk": seq_oracles.ann_pq_values_sql(),
+        "emb_ann_ivfpq_topk": seq_oracles.ann_ivfpq_values_sql(),
         "emb_knn_label_vote": KNN_VOTE_SQL,
         # iterative Lloyd + SemDeDup: full sequential mirrors of the
         # quantized centroid evolution and the within-cluster greedy

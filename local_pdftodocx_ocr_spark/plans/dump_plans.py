@@ -169,6 +169,9 @@ def main(sf_dir: str = "/root/testdata/sf0.01", out_path: str = "PLANS.md") -> i
         "docs_shard_manifest (r6: one combinable groupBy, order-free "
         "bit_xor checksum, S rows out)":
             textstats.shard_manifest(spark, sf_dir),
+        "emb_ann_ivfpq_topk (r6: residual PQ codes; bounded probe-table "
+        "broadcast on cell = the candidate screen; ADC lookups only)":
+            similarity.ann_ivfpq_topk(spark, sf_dir),
     }
 
     lines = ["# PLANS — executed physical plans (generated by "

@@ -308,45 +308,67 @@ def ann_ivf_values_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
 # ---------------------------------------------------------------------------
 
 
-@lru_cache(maxsize=4)
-def _seq_pq_codebooks(sf_dir: str) -> tuple:
+def _seq_pq_train(vmat, seed_vecs) -> tuple:
+    """The quantized-Lloyd PQ training replay over a (n, 64) float64
+    matrix (raw vectors or residuals): the operator's own
+    sim._pq_sub_codes does the assignment (identical numpy distance
+    reduction and argmin tie-break), per-(m, k) coordinate sums are
+    exact int64 truncations — order-free, so the per-batch partial
+    aggregation in Spark and this single pass reduce identically."""
+    import numpy as np
+
     from .operators import similarity as sim
-    data = _embeddings(sf_dir)
-    emb = {v: e for v, e, _ in data}
-    books = [[[float(x)
-               for x in emb[sim._PQ_SEED_BASE + k][m * sim.PQ_DSUB:
-                                                   (m + 1) * sim.PQ_DSUB]]
+    books = [[[float(x) for x in seed_vecs[k][m * sim.PQ_DSUB:
+                                              (m + 1) * sim.PQ_DSUB]]
               for k in range(sim.PQ_KSUB)] for m in range(sim.PQ_M)]
     for _ in range(sim.PQ_ITERS):
-        sums = [[[0] * sim.PQ_DSUB for _ in range(sim.PQ_KSUB)]
-                for _ in range(sim.PQ_M)]
-        ns = [[0] * sim.PQ_KSUB for _ in range(sim.PQ_M)]
-        for _v, e, _lb in data:
-            for m in range(sim.PQ_M):
-                sub = e[m * sim.PQ_DSUB:(m + 1) * sim.PQ_DSUB]
-                k = _seq_assign(sub, books[m])[1]
-                ns[m][k] += 1
-                for j, xv in enumerate(sub):
-                    # int() truncates toward zero = Spark double->long
-                    sums[m][k][j] += int(xv * float(sim.KMEANS_Q))
+        books_np = np.asarray(books, dtype=np.float64)
         for m in range(sim.PQ_M):
-            for k in range(sim.PQ_KSUB):
-                if ns[m][k]:   # empty cells keep their previous codeword
-                    books[m][k] = [sums[m][k][j]
-                                   / (ns[m][k] * float(sim.KMEANS_Q))
-                                   for j in range(sim.PQ_DSUB)]
+            sub = vmat[:, m * sim.PQ_DSUB:(m + 1) * sim.PQ_DSUB]
+            k = sim._pq_sub_codes(vmat, books_np, m)
+            xq = (sub * float(sim.KMEANS_Q)).astype(np.int64)
+            for kk in range(sim.PQ_KSUB):
+                mask = k == kk
+                n = int(mask.sum())
+                if n:   # empty cells keep their previous codeword
+                    s = xq[mask].sum(axis=0)
+                    books[m][kk] = [int(s[j]) / (n * float(sim.KMEANS_Q))
+                                    for j in range(sim.PQ_DSUB)]
     return tuple(tuple(tuple(cw) for cw in b) for b in books)
 
 
+def _seq_pq_codes(vmat, books) -> "list[list[int]]":
+    import numpy as np
+
+    from .operators import similarity as sim
+    books_np = np.asarray(books, dtype=np.float64)
+    cols = [sim._pq_sub_codes(vmat, books_np, m) for m in range(sim.PQ_M)]
+    return [[int(cols[m][i]) for m in range(sim.PQ_M)]
+            for i in range(len(vmat))]
+
+
+@lru_cache(maxsize=4)
+def _seq_pq_codebooks(sf_dir: str) -> tuple:
+    import numpy as np
+
+    from .operators import similarity as sim
+    data = _embeddings(sf_dir)
+    emb = {v: e for v, e, _ in data}
+    vmat = np.array([e for _, e, _ in data], dtype=np.float64)
+    seed_vecs = [emb[sim._PQ_SEED_BASE + k] for k in range(sim.PQ_KSUB)]
+    return _seq_pq_train(vmat, seed_vecs)
+
+
 def seq_ann_pq_topk(sf_dir: str = ORACLE_SF_DIR) -> list[tuple[int, int, float, int]]:
+    import numpy as np
+
     from .operators import similarity as sim
     books = _seq_pq_codebooks(sf_dir)
     data = _embeddings(sf_dir)
     emb = {v: e for v, e, _ in data}
-    codes = {
-        v: [_seq_assign(e[m * sim.PQ_DSUB:(m + 1) * sim.PQ_DSUB],
-                        books[m])[1] for m in range(sim.PQ_M)]
-        for v, e, _ in data}
+    vmat = np.array([e for _, e, _ in data], dtype=np.float64)
+    code_rows = _seq_pq_codes(vmat, books)
+    codes = {vid: code_rows[i] for i, (vid, _, _) in enumerate(data)}
     cand: dict[int, set[int]] = {}
     for qid in sorted(v for v in emb if v < sim.N_QUERIES):
         qe = emb[qid]
@@ -369,6 +391,81 @@ def seq_ann_pq_topk(sf_dir: str = ORACLE_SF_DIR) -> list[tuple[int, int, float, 
 
 def ann_pq_values_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
     return _ann_values_sql(seq_ann_pq_topk(sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: mirror of operators/similarity.py::ann_ivfpq_topk — numpy
+# coarse assignment (identical formulation to _ivf_assign / the
+# operator's driver-side probe math), python residuals (exact IEEE
+# double subtraction, = the operator's zip_with), residual PQ training
+# via the shared quantized-Lloyd replay, per-(query, cell) LUTs through
+# the operator's own _adc_lut_sqdist, ADC fold, shortlist, re-rank
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=4)
+def _seq_ivfpq_index(sf_dir: str) -> tuple:
+    import numpy as np
+
+    from .operators import similarity as sim
+    data = _embeddings(sf_dir)
+    emb = {v: e for v, e, _ in data}
+    cent = np.stack([np.asarray(emb[i], dtype=np.float64)
+                     for i in range(sim._IVF_CENTROID_BASE,
+                                    sim._IVF_CENTROID_BASE + sim.IVF_CELLS)])
+    cn = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+    v = np.array([e for _, e, _ in data], dtype=np.float64)
+    vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+    corpus_cell = np.argsort(-(vn @ cn.T), axis=1, kind="stable")[:, 0]
+    cells = {int(vid): int(corpus_cell[row])
+             for row, (vid, _, _) in enumerate(data)}
+    resmat = v - cent[corpus_cell]    # exact IEEE subtraction, = the
+    # operator's numpy residual in _pq_vec_batch
+    # seed codewords: the seed vectors' own residuals, cells from the
+    # same numpy assignment math (sim._ivfpq_index does this driver-side)
+    sv = np.stack([np.asarray(emb[sim._PQ_SEED_BASE + k], dtype=np.float64)
+                   for k in range(sim.PQ_KSUB)])
+    svn = sv / np.linalg.norm(sv, axis=1, keepdims=True)
+    seed_cells = np.argsort(-(svn @ cn.T), axis=1, kind="stable")[:, 0]
+    books = _seq_pq_train(resmat, sv - cent[seed_cells])
+    return cent, cells, resmat, books
+
+
+def seq_ann_ivfpq_topk(sf_dir: str = ORACLE_SF_DIR) -> list[tuple[int, int, float, int]]:
+    import numpy as np
+
+    from .operators import similarity as sim
+    cent, cells, resmat, books = _seq_ivfpq_index(sf_dir)
+    data = _embeddings(sf_dir)
+    emb = {v: e for v, e, _ in data}
+    code_rows = _seq_pq_codes(resmat, books)
+    codes = {vid: code_rows[i] for i, (vid, _, _) in enumerate(data)}
+    cn = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+    cand: dict[int, set[int]] = {}
+    for qid in sorted(v for v in emb if v < sim.N_QUERIES):
+        qv = np.asarray(emb[qid], dtype=np.float64)
+        sims = (qv / np.linalg.norm(qv)) @ cn.T
+        scored = []
+        for cell in np.argsort(-sims, kind="stable")[: sim.IVF_NPROBE]:
+            q_res = [float(x) for x in (qv - cent[int(cell)])]
+            lut = [[sim._adc_lut_sqdist(
+                        q_res[m * sim.PQ_DSUB:(m + 1) * sim.PQ_DSUB],
+                        list(books[m][k])) for k in range(sim.PQ_KSUB)]
+                   for m in range(sim.PQ_M)]
+            for v in sorted(emb):
+                if v == qid or cells[v] != int(cell):
+                    continue
+                acc = 0.0    # the operator's left-fold order, m ascending
+                for m in range(sim.PQ_M):
+                    acc = acc + lut[m][codes[v][m]]
+                scored.append((acc, v))
+        scored.sort()
+        cand[qid] = {v for _, v in scored[: sim.IVFPQ_RERANK]}
+    return _topk_rows(cand, emb, sim.TOP_K)
+
+
+def ann_ivfpq_values_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
+    return _ann_values_sql(seq_ann_ivfpq_topk(sf_dir))
 
 
 # ---------------------------------------------------------------------------
