@@ -175,9 +175,14 @@ CALM_REFERENCE: dict = {
         # n_sources x k cache, never the corpus)
         "docs_source_vocab_overlap": 2.007,
         "extract_from_documents": 1.41,
-        # round-6 additions (min of calm reps, r6 builder session)
+        # round-6 additions (min of calm reps, r6 builder session;
+        # pq/ivfpq walls are the cold train+encode cost with warm
+        # python workers — the suite context)
         "docs_dedup_incremental_minhash": 6.54,
         "docs_dedup_components_production": 14.419,
+        "emb_ann_pq_topk": 4.64,
+        "emb_ann_ivfpq_topk": 3.468,
+        "docs_shard_manifest": 0.474,
     },
 }
 
