@@ -244,18 +244,19 @@ def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count("*").alias("n_in_batch")))
 
 
-def _band_keys(sigs: DataFrame) -> DataFrame:
-    """(doc_id, band, bh) LSH band keys of a minhash signature table —
-    the per-doc expansion of the banding in dedup_minhash_candidates
-    (band key = the band's signature values verbatim; equality is all
-    the bucket join needs)."""
+def _band_keys(sigs: DataFrame, key: str = "doc_id") -> DataFrame:
+    """(key, band, bh) LSH band keys of a minhash signature table —
+    THE banding definition (band key = the band's signature values
+    verbatim; equality is all the bucket join needs), shared by
+    dedup_minhash_candidates and the incremental screen so the two can
+    never band differently."""
     bands = F.array(*[
         F.struct(F.lit(b).alias("band"),
                  F.concat_ws("_", *[F.col("sig")[b * LSH_ROWS + r].cast("string")
                                     for r in range(LSH_ROWS)]).alias("bh"))
         for b in range(LSH_BANDS)])
-    return (sigs.select("doc_id", F.explode(bands).alias("bk"))
-            .select("doc_id", F.col("bk.band").alias("band"),
+    return (sigs.select(key, F.explode(bands).alias("bk"))
+            .select(key, F.col("bk.band").alias("band"),
                     F.col("bk.bh").alias("bh")))
 
 
@@ -270,28 +271,55 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     this probe join is exchange-free on the (much larger) committed
     side and the per-batch cost scales with the BATCH, not the corpus.
 
-    Shape: batch band keys probe the committed band index, plus the
-    batch's own lower-id members (first-wins within the batch) ->
-    candidate pairs -> exact shingle-Jaccard verify ON CANDIDATES ONLY
-    -> an incoming doc survives iff it has no verified >= threshold
-    match. Oracle: the plain exact-Jaccard SQL with the identical drop
-    rule — the LSH screen must be output-invisible (full recall at the
+    Shape — the same two-tier split as dedup_minhash_candidates, and
+    for the same reason (a K-doc exact-dup cluster inside a per-doc
+    band index would cost LSH_BANDS x K^2 probe rows): identical
+    SIGNATURES pair via ONE equi-join on the full signature key;
+    banding runs on DISTINCT signatures only, close signature pairs
+    expand back to (partner, incoming) doc pairs under the qualify
+    rule (partner committed — either id order — or an earlier batch
+    member); exact shingle-Jaccard verify ON CANDIDATES ONLY; an
+    incoming doc survives iff it has no verified >= threshold match.
+    Oracle: the plain exact-Jaccard SQL with the identical drop rule —
+    the LSH screen must be output-invisible (full recall at the
     threshold; the dedup_pipeline_at_scale precedent), so the driver
-    hash-checks the screen, the verify join, and the keep rule at once."""
+    hash-checks the screen, the verify join, and the keep rule at
+    once."""
     d = _docs(spark, sf_dir)
-    sigs = _persist_tracked(minhash_signatures(d))
-    keys = _band_keys(sigs)
-    inc = keys.filter(F.col("doc_id") % 2 == 1)
-    # partner side: the committed index (any id) + earlier batch members
-    cand = (inc.alias("x")
-            .join(keys.alias("p"),
-                  (F.col("x.band") == F.col("p.band"))
-                  & (F.col("x.bh") == F.col("p.bh"))
-                  & (F.col("p.doc_id") != F.col("x.doc_id"))
-                  & ((F.col("p.doc_id") % 2 == 0)
-                     | (F.col("p.doc_id") < F.col("x.doc_id"))))
-            .select(F.col("p.doc_id").alias("doc1"),
-                    F.col("x.doc_id").alias("doc2"))
+    sig_key = F.concat_ws("_", *[F.col("sig")[i].cast("string")
+                                 for i in range(MINHASH_PERMS)])
+    sigs = _persist_tracked(minhash_signatures(d)
+                            .select("doc_id", sig_key.alias("sk"), "sig"))
+    qualify = ((F.col("p") % 2 == 0) | (F.col("p") < F.col("x")))
+    # tier 1: identical signatures — one equi-join on sk, found once
+    # (not once per band)
+    t1 = (sigs.filter(F.col("doc_id") % 2 == 1).alias("i")
+          .join(sigs.alias("q"), (F.col("i.sk") == F.col("q.sk"))
+                & (F.col("q.doc_id") != F.col("i.doc_id")))
+          .select(F.col("q.doc_id").alias("p"), F.col("i.doc_id").alias("x"))
+          .filter(qualify))
+    # tier 2: band the DISTINCT signatures (the committed index a real
+    # pipeline persists bucketed on the band key), pair close
+    # signatures, then expand to qualifying (partner, incoming) pairs
+    buck = _band_keys(sigs.select("sk", "sig").distinct(), key="sk")
+    close = (buck.alias("b1")
+             .join(buck.alias("b2"),
+                   (F.col("b1.band") == F.col("b2.band"))
+                   & (F.col("b1.bh") == F.col("b2.bh"))
+                   & (F.col("b1.sk") < F.col("b2.sk")))
+             .select(F.col("b1.sk").alias("ka"), F.col("b2.sk").alias("kb"))
+             .distinct())
+    da = sigs.select(F.col("sk").alias("ka"), F.col("doc_id").alias("ida"))
+    db = sigs.select(F.col("sk").alias("kb"), F.col("doc_id").alias("idb"))
+    expanded = close.join(da, "ka").join(db, "kb").select("ida", "idb")
+    t2 = (expanded.filter(F.col("idb") % 2 == 1)
+          .select(F.col("ida").alias("p"), F.col("idb").alias("x"))
+          .unionByName(
+              expanded.filter(F.col("ida") % 2 == 1)
+              .select(F.col("idb").alias("p"), F.col("ida").alias("x")))
+          .filter(qualify))
+    cand = (t1.unionByName(t2)
+            .select(F.col("p").alias("doc1"), F.col("x").alias("doc2"))
             .distinct())
     dropped = (_verified_jaccard_pairs(d, cand)
                .select(F.col("doc2").alias("doc_id")).distinct())
@@ -557,20 +585,8 @@ def dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("s1.doc_id").alias("doc1"),
                 F.col("s2.doc_id").alias("doc2"))
     )
-    bands = F.array(*[
-        F.struct(
-            F.lit(b).alias("band"),
-            # band key = the band's signature values verbatim (joined);
-            # grouping needs only equality, not another hash
-            F.concat_ws("_", *[F.col("sig")[b * LSH_ROWS + r].cast("string")
-                               for r in range(LSH_ROWS)]).alias("bh"),
-        )
-        for b in range(LSH_BANDS)
-    ])
     uniq = sigs.select("sk", "sig").distinct()
-    buck = (uniq.select("sk", F.explode(bands).alias("bk"))
-            .select("sk", F.col("bk.band").alias("band"),
-                    F.col("bk.bh").alias("bh")))
+    buck = _band_keys(uniq, key="sk")
     b1, b2 = buck.alias("b1"), buck.alias("b2")
     close = (
         b1.join(b2, (F.col("b1.band") == F.col("b2.band"))

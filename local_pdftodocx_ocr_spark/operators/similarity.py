@@ -44,13 +44,43 @@ def _cosine(a, b):
     return dot / (na * nb)
 
 
+def _topk_output(scored: DataFrame) -> DataFrame:
+    """(qid, vec_id, cos) -> the (qid, neighbor, cos, rk) ANN output
+    contract — the ONE definition of the tie-break (cos desc, vec_id
+    asc) and the ROUND(3) all ANN queries share; the sequential mirror
+    is seq_oracles._topk_rows."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= TOP_K)
+            .select("qid", F.col("vec_id").alias("neighbor"),
+                    F.round("cos", 3).alias("cos"),
+                    F.col("rk").cast("int").alias("rk")))
+
+
+def _shortlist_rerank(spark: SparkSession, e: DataFrame,
+                      shortlist: DataFrame, qrows) -> DataFrame:
+    """Exact-cosine re-rank of a bounded (qid, vec_id) shortlist: the
+    query vectors come from the already-collected qrows (no second
+    corpus scan), the shortlist side is bounded so AQE broadcasts it
+    into the corpus join."""
+    q = spark.createDataFrame(
+        [(int(r["vec_id"]), list(r["embedding"])) for r in qrows],
+        "qid long, qv array<float>")
+    scored = (shortlist.join(e, "vec_id")
+              .join(F.broadcast(q), "qid")
+              .withColumn("cos", _cosine(
+                  F.col("qv").cast("array<double>"),
+                  F.col("embedding").cast("array<double>"))))
+    return _topk_output(scored)
+
+
 def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-k neighbors for the first N_QUERIES vectors: broadcast
     the (tiny) query side, score every corpus vector JVM-side, window
     top-k. One broadcast join + one shuffle for the window — the
     pattern that survives a 10^9-vector corpus (queries stay small)."""
-    from pyspark.sql import Window as W
-
     e = _emb(spark, sf_dir)
     q = (e.filter(F.col("vec_id") < N_QUERIES)
          .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")))
@@ -60,14 +90,7 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("qv").cast("array<double>"),
             F.col("embedding").cast("array<double>")))
     )
-    w = W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= TOP_K)
-        .select("qid", F.col("vec_id").alias("neighbor"),
-                F.round("cos", 3).alias("cos"),
-                F.col("rk").cast("int").alias("rk"))
-    )
+    return _topk_output(scored)
 
 
 COSINE_TOPK_SQL = f"""
@@ -147,8 +170,6 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket with the query in any table. The bucket equi-join replaces
     the full cross product — at 10^9 vectors the scored set per query
     is ~corpus/2^bits x tables."""
-    from pyspark.sql import Window as W
-
     e = _emb(spark, sf_dir)
     sigs = lsh_bucket_signatures(e)
     q = (sigs.filter(F.col("vec_id") < N_QUERIES)
@@ -162,14 +183,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = cand.withColumn("cos", _cosine(
         F.col("qv").cast("array<double>"), F.col("embedding").cast("array<double>")))
-    w = W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= TOP_K)
-        .select("qid", F.col("vec_id").alias("neighbor"),
-                F.round("cos", 3).alias("cos"),
-                F.col("rk").cast("int").alias("rk"))
-    )
+    return _topk_output(scored)
 
 
 def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -365,8 +379,6 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     only those cells' members. Centroids are a deterministic sample of
     the corpus (vec_id in [100, 100+IVF_CELLS)). At 10^9 vectors the
     cell equi-join scores ~nprobe/cells of the corpus per query."""
-    from pyspark.sql import Window as W
-
     e = _emb(spark, sf_dir)
     cent_rows = (e.filter((F.col("vec_id") >= _IVF_CENTROID_BASE)
                           & (F.col("vec_id") < _IVF_CENTROID_BASE + IVF_CELLS))
@@ -384,12 +396,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("qid", "qv", "vec_id", "embedding").distinct())
     scored = cand.withColumn("cos", _cosine(
         F.col("qv").cast("array<double>"), F.col("embedding").cast("array<double>")))
-    w = W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
-    return (scored.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") <= TOP_K)
-            .select("qid", F.col("vec_id").alias("neighbor"),
-                    F.round("cos", 3).alias("cos"),
-                    F.col("rk").cast("int").alias("rk")))
+    return _topk_output(scored)
 
 
 # ---------------------------------------------------------------------------
@@ -601,19 +608,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     shortlist = (scored.withColumn("rr", F.row_number().over(w))
                  .filter(F.col("rr") <= PQ_RERANK)
                  .select("qid", "vec_id"))
-    q = (e.filter(F.col("vec_id") < N_QUERIES)
-         .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")))
-    rer = (shortlist.join(e, "vec_id")    # shortlist bounded -> AQE broadcasts it
-           .join(F.broadcast(q), "qid")
-           .withColumn("cos", _cosine(
-               F.col("qv").cast("array<double>"),
-               F.col("embedding").cast("array<double>"))))
-    w2 = W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
-    return (rer.withColumn("rk", F.row_number().over(w2))
-            .filter(F.col("rk") <= TOP_K)
-            .select("qid", F.col("vec_id").alias("neighbor"),
-                    F.round("cos", 3).alias("cos"),
-                    F.col("rk").cast("int").alias("rk")))
+    return _shortlist_rerank(spark, e, shortlist, qrows)
 
 
 # ---------------------------------------------------------------------------
@@ -698,19 +693,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     shortlist = (scored.withColumn("rr", F.row_number().over(w))
                  .filter(F.col("rr") <= IVFPQ_RERANK)
                  .select("qid", "vec_id"))
-    q = (e.filter(F.col("vec_id") < N_QUERIES)
-         .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")))
-    rer = (shortlist.join(e, "vec_id")
-           .join(F.broadcast(q), "qid")
-           .withColumn("cos", _cosine(
-               F.col("qv").cast("array<double>"),
-               F.col("embedding").cast("array<double>"))))
-    w2 = W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
-    return (rer.withColumn("rk", F.row_number().over(w2))
-            .filter(F.col("rk") <= TOP_K)
-            .select("qid", F.col("vec_id").alias("neighbor"),
-                    F.round("cos", 3).alias("cos"),
-                    F.col("rk").cast("int").alias("rk")))
+    return _shortlist_rerank(spark, e, shortlist, qrows)
 
 
 # ---------------------------------------------------------------------------

@@ -2393,16 +2393,22 @@ def _shard_cols() -> tuple[Column, Column, Column]:
     return shard, n_tok, digest
 
 
-def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
-    shard, n_tok, digest = _shard_cols()
-    return (d.select(shard.alias("shard_id"), n_tok.alias("nt"),
-                     digest.alias("h"))
-            .groupBy("shard_id")
+def _manifest_of(rows: DataFrame) -> DataFrame:
+    """(shard_id, nt, h) -> the manifest aggregate — one definition so
+    the source manifest and the written-files recompute are equal by
+    construction, not by hand-synced copies."""
+    return (rows.groupBy("shard_id")
             .agg(F.count("*").alias("n_docs"),
                  F.sum("nt").alias("n_tokens"),
                  F.expr("bit_xor(h)").alias("checksum"))
             .orderBy("shard_id"))
+
+
+def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    shard, n_tok, digest = _shard_cols()
+    return _manifest_of(d.select(shard.alias("shard_id"), n_tok.alias("nt"),
+                                 digest.alias("h")))
 
 
 def write_training_shards(spark: SparkSession, sf_dir: str,
@@ -2422,13 +2428,9 @@ def write_training_shards(spark: SparkSession, sf_dir: str,
        .write.mode("overwrite").partitionBy("shard_id").parquet(out_dir))
     w = spark.read.parquet(out_dir)
     _, n_tok_w, digest_w = _shard_cols()
-    return (w.select(F.col("shard_id").cast("long").alias("shard_id"),
-                     n_tok_w.alias("nt"), digest_w.alias("h"))
-            .groupBy("shard_id")
-            .agg(F.count("*").alias("n_docs"),
-                 F.sum("nt").alias("n_tokens"),
-                 F.expr("bit_xor(h)").alias("checksum"))
-            .orderBy("shard_id"))
+    return _manifest_of(
+        w.select(F.col("shard_id").cast("long").alias("shard_id"),
+                 n_tok_w.alias("nt"), digest_w.alias("h")))
 
 
 SHARD_MANIFEST_SQL = f"""
