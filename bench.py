@@ -115,6 +115,11 @@ HEADLINE = {
     "emb_ann_pq_topk": similarity.ann_pq_topk,
     "emb_ann_ivfpq_topk": similarity.ann_ivfpq_topk,
     "docs_shard_manifest": textstats.shard_manifest,
+    # the FineWeb/CCNet-shaped end-to-end (extract -> gate -> dedup ->
+    # quality -> unified keep -> perplexity gate -> split); reuses the
+    # unified-components memo warmed by the rows above, so this times
+    # the composition itself
+    "pipeline_training_corpus_full": extraction.pipeline_training_corpus_full,
 }
 
 
@@ -138,12 +143,12 @@ CALM_REFERENCE: dict = {
         "docs_dedup_minhash_candidates": 4.859,
         "docs_dedup_simhash_candidates": 3.305, "docs_simhash64": 0.586,
         "docs_tfidf_top_terms": 1.584, "docs_fingerprint": 0.564,
-        "docs_quality_score": 0.449, "docs_quality_repetition": 1.4,
+        "docs_quality_score": 0.449, "docs_quality_repetition": 1.187,
         "docs_boilerplate_ngrams": 1.375, "docs_chunk_for_training": 0.407,
         "docs_term_freq_cms": 1.362, "docs_dedup_incremental": 0.56,
-        "events_kmv_distinct": 0.692, "emb_cosine_topk": 1.002,
-        "emb_ann_lsh_topk": 2.377, "docs_pack_sequences": 1.235,
-        "docs_packed_payloads": 1.691, "docs_duplicated_ngram_spans": 1.572,
+        "events_kmv_distinct": 0.692, "emb_cosine_topk": 0.996,
+        "emb_ann_lsh_topk": 2.008, "docs_pack_sequences": 1.143,
+        "docs_packed_payloads": 1.629, "docs_duplicated_ngram_spans": 1.572,
         "docs_temperature_mix": 0.468, "docs_pii_scrub": 0.344,
         # honest cold cost of the three-tier graph: the recall-stress
         # embedding tier dominates (documented "ladder limit" config),
@@ -178,11 +183,12 @@ CALM_REFERENCE: dict = {
         # round-6 additions (min of calm reps, r6 builder session;
         # pq/ivfpq walls are the cold train+encode cost with warm
         # python workers — the suite context)
-        "docs_dedup_incremental_minhash": 6.54,
-        "docs_dedup_components_production": 14.419,
+        "docs_dedup_incremental_minhash": 6.396,
+        "docs_dedup_components_production": 11.457,
         "emb_ann_pq_topk": 4.64,
-        "emb_ann_ivfpq_topk": 3.468,
-        "docs_shard_manifest": 0.474,
+        "emb_ann_ivfpq_topk": 3.209,
+        "docs_shard_manifest": 0.393,
+        "pipeline_training_corpus_full": 3.982,
     },
 }
 
