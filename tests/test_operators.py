@@ -297,6 +297,21 @@ class TestANN:
         recall = len(exact & approx) / len(exact)
         assert recall >= 0.25, f"IVF-PQ recall {recall:.2f} too low"
 
+    def test_pq_and_ivfpq_match_mirror_at_second_scale(self, spark):
+        """The registered oracles pin sf0.01; pin sf0.001 too so the
+        trained-index compositions are mirror-checked at two corpus
+        sizes (the components_production precedent)."""
+        from local_pdftodocx_ocr_spark import seq_oracles
+
+        sf = "/root/testdata/sf0.001"
+        for fn, seq in ((similarity.ann_pq_topk, seq_oracles.seq_ann_pq_topk),
+                        (similarity.ann_ivfpq_topk,
+                         seq_oracles.seq_ann_ivfpq_topk)):
+            got = {(r["qid"], r["neighbor"], r["cos"], r["rk"])
+                   for r in fn(spark, sf).collect()}
+            exp = set(seq(sf))
+            assert got == exp
+
     def test_pq_codebooks_match_sequential_training(self, spark):
         """The distributed quantized-Lloyd codebooks must be
         bit-identical to the sequential replay (the kmeans-centroid
@@ -955,6 +970,26 @@ class TestIncrementalMinhash:
             .count("ResolvedHint (strategy=broadcast)")
         dedup.release_caches()
         assert n == 0
+
+    def test_identical_cluster_degenerate_case(self, spark, tmp_path):
+        """A 20-doc IDENTICAL-text cluster split across committed/
+        incoming — the exact-dup degeneracy the two-tier split exists
+        for (per-doc banding would pair it LSH_BANDS x K^2 times; the
+        signature tier pairs it once per pair). Semantics: every
+        incoming cluster member has a committed partner -> all dropped;
+        the lone fresh doc survives."""
+        text = " ".join(f"t{i}" for i in range(20))
+        rows = [(i, text, "en", "web") for i in range(20)]
+        rows.append((21, "u1 u2 u3 u4 u5 u6 u7 u8", "en", "web"))
+        d = tmp_path / "sfC"
+        d.mkdir()
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string"
+        ).write.parquet(str(d / "documents.parquet"))
+        kept = {r["doc_id"]
+                for r in dedup.dedup_incremental_minhash(spark, str(d)).collect()}
+        dedup.release_caches()
+        assert kept == {21}
 
 
 class TestComponentsProduction:
