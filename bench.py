@@ -157,12 +157,12 @@ CALM_REFERENCE: dict = {
         "docs_dedup_canonical_keep": 0.555, "docs_dedup_cluster_sizes": 0.223,
         "docs_hll_distinct_shingles": 0.758, "docs_hll_by_source": 0.862,
         "docs_dedup_bloom_screen": 0.676, "docs_dedup_incremental_bloom": 0.729,
-        "docs_unigram_loglik": 1.397, "docs_token_entropy": 1.11,
+        "docs_unigram_loglik": 1.397, "docs_token_entropy": 1.079,
         "docs_length_quantile_sketch": 0.601,
-        "events_value_quantile_sketch": 0.523, "docs_curriculum_phases": 0.654,
+        "events_value_quantile_sketch": 0.499, "docs_curriculum_phases": 0.654,
         # round-5 additions (min of 2 calm reps)
         "docs_span_removal": 1.717, "docs_dsir_weights": 1.638,
-        "docs_bigram_loglik": 2.093, "docs_classifier_score": 0.964,
+        "docs_bigram_loglik": 2.084, "docs_classifier_score": 0.964,
         "revenue_cube": 0.916, "events_running_user_value": 0.458,
         "customer_balance_ntiles": 0.62,
         "docs_decontaminate_containment": 0.854, "events_value_zscore": 0.576,
@@ -172,13 +172,13 @@ CALM_REFERENCE: dict = {
         "emb_kmeans": 4.541, "emb_semdedup": 1.48,
         # cold = sketch-build pass + screen pass; wall dominated by
         # codegen of the 4x1024 literal cell arrays (constant in corpus)
-        "docs_heavy_hitters": 3.435,
+        "docs_heavy_hitters": 3.349,
         # round-5 third wave
         "docs_perplexity_buckets": 2.576, "docs_weighted_sample": 0.287,
-        "events_type_transitions": 0.67, "events_props_json": 0.583,
+        "events_type_transitions": 0.65, "events_props_json": 0.583,
         # one persisted sketch scan (the three consumers read the
         # n_sources x k cache, never the corpus)
-        "docs_source_vocab_overlap": 2.007,
+        "docs_source_vocab_overlap": 1.772,
         "extract_from_documents": 1.41,
         # round-6 additions (min of calm reps, r6 builder session;
         # pq/ivfpq walls are the cold train+encode cost with warm
@@ -186,9 +186,9 @@ CALM_REFERENCE: dict = {
         "docs_dedup_incremental_minhash": 6.396,
         "docs_dedup_components_production": 11.457,
         "emb_ann_pq_topk": 4.64,
-        "emb_ann_ivfpq_topk": 3.209,
-        "docs_shard_manifest": 0.393,
-        "pipeline_training_corpus_full": 3.982,
+        "emb_ann_ivfpq_topk": 2.722,
+        "docs_shard_manifest": 0.366,
+        "pipeline_training_corpus_full": 3.506,
     },
 }
 
