@@ -135,27 +135,27 @@ CALM_REFERENCE: dict = {
     "recorded": ("round-6 builder session, sf0.1 local[32], element-wise "
                  "min across repeated calm-window runs"),
     "queries": {
-        "q1_pricing_summary": 3.362, "q3_shipping_priority": 2.134,
-        "q5_local_supplier": 1.669, "topk_orders_per_customer": 0.904,
-        "sessionize_events": 0.951, "events_hourly": 0.559,
-        "q18_large_orders": 1.214, "docs_dedup_exact": 1.484,
+        "q1_pricing_summary": 3.362, "q3_shipping_priority": 2.099,
+        "q5_local_supplier": 1.521, "topk_orders_per_customer": 0.841,
+        "sessionize_events": 0.87, "events_hourly": 0.499,
+        "q18_large_orders": 1.193, "docs_dedup_exact": 1.484,
         "docs_dedup_jaccard_pairs": 3.65,
-        "docs_dedup_minhash_candidates": 4.859,
-        "docs_dedup_simhash_candidates": 3.305, "docs_simhash64": 0.586,
-        "docs_tfidf_top_terms": 1.584, "docs_fingerprint": 0.564,
-        "docs_quality_score": 0.449, "docs_quality_repetition": 1.187,
-        "docs_boilerplate_ngrams": 1.375, "docs_chunk_for_training": 0.407,
-        "docs_term_freq_cms": 1.362, "docs_dedup_incremental": 0.56,
-        "events_kmv_distinct": 0.692, "emb_cosine_topk": 0.996,
-        "emb_ann_lsh_topk": 2.008, "docs_pack_sequences": 1.143,
-        "docs_packed_payloads": 1.629, "docs_duplicated_ngram_spans": 1.572,
-        "docs_temperature_mix": 0.468, "docs_pii_scrub": 0.344,
+        "docs_dedup_minhash_candidates": 4.767,
+        "docs_dedup_simhash_candidates": 3.305, "docs_simhash64": 0.555,
+        "docs_tfidf_top_terms": 1.388, "docs_fingerprint": 0.508,
+        "docs_quality_score": 0.38, "docs_quality_repetition": 0.705,
+        "docs_boilerplate_ngrams": 1.147, "docs_chunk_for_training": 0.335,
+        "docs_term_freq_cms": 1.016, "docs_dedup_incremental": 0.474,
+        "events_kmv_distinct": 0.563, "emb_cosine_topk": 0.84,
+        "emb_ann_lsh_topk": 1.706, "docs_pack_sequences": 0.91,
+        "docs_packed_payloads": 1.602, "docs_duplicated_ngram_spans": 1.572,
+        "docs_temperature_mix": 0.452, "docs_pii_scrub": 0.313,
         # honest cold cost of the three-tier graph: the recall-stress
         # embedding tier dominates (documented "ladder limit" config),
         # star-CC itself is ~6 s / 5 rounds
-        "docs_dedup_components_unified": 21.16,
+        "docs_dedup_components_unified": 18.383,
         "docs_dedup_canonical_keep": 0.555, "docs_dedup_cluster_sizes": 0.223,
-        "docs_hll_distinct_shingles": 0.758, "docs_hll_by_source": 0.862,
+        "docs_hll_distinct_shingles": 0.686, "docs_hll_by_source": 0.811,
         "docs_dedup_bloom_screen": 0.676, "docs_dedup_incremental_bloom": 0.729,
         "docs_unigram_loglik": 1.397, "docs_token_entropy": 1.079,
         "docs_length_quantile_sketch": 0.601,
