@@ -135,10 +135,10 @@ CALM_REFERENCE: dict = {
     "recorded": ("round-6 builder session, sf0.1 local[32], element-wise "
                  "min across repeated calm-window runs"),
     "queries": {
-        "q1_pricing_summary": 3.362, "q3_shipping_priority": 2.099,
-        "q5_local_supplier": 1.521, "topk_orders_per_customer": 0.841,
-        "sessionize_events": 0.87, "events_hourly": 0.499,
-        "q18_large_orders": 1.193, "docs_dedup_exact": 1.484,
+        "q1_pricing_summary": 3.232, "q3_shipping_priority": 2.099,
+        "q5_local_supplier": 1.36, "topk_orders_per_customer": 0.841,
+        "sessionize_events": 0.856, "events_hourly": 0.489,
+        "q18_large_orders": 1.167, "docs_dedup_exact": 1.484,
         "docs_dedup_jaccard_pairs": 3.65,
         "docs_dedup_minhash_candidates": 4.767,
         "docs_dedup_simhash_candidates": 3.305, "docs_simhash64": 0.555,
@@ -148,13 +148,13 @@ CALM_REFERENCE: dict = {
         "docs_term_freq_cms": 1.016, "docs_dedup_incremental": 0.474,
         "events_kmv_distinct": 0.563, "emb_cosine_topk": 0.84,
         "emb_ann_lsh_topk": 1.706, "docs_pack_sequences": 0.91,
-        "docs_packed_payloads": 1.602, "docs_duplicated_ngram_spans": 1.572,
-        "docs_temperature_mix": 0.452, "docs_pii_scrub": 0.313,
+        "docs_packed_payloads": 1.473, "docs_duplicated_ngram_spans": 1.471,
+        "docs_temperature_mix": 0.409, "docs_pii_scrub": 0.313,
         # honest cold cost of the three-tier graph: the recall-stress
         # embedding tier dominates (documented "ladder limit" config),
         # star-CC itself is ~6 s / 5 rounds
-        "docs_dedup_components_unified": 18.383,
-        "docs_dedup_canonical_keep": 0.555, "docs_dedup_cluster_sizes": 0.223,
+        "docs_dedup_components_unified": 17.769,
+        "docs_dedup_canonical_keep": 0.55, "docs_dedup_cluster_sizes": 0.223,
         "docs_hll_distinct_shingles": 0.686, "docs_hll_by_source": 0.811,
         "docs_dedup_bloom_screen": 0.676, "docs_dedup_incremental_bloom": 0.729,
         "docs_unigram_loglik": 1.397, "docs_token_entropy": 1.079,
@@ -175,15 +175,15 @@ CALM_REFERENCE: dict = {
         "docs_heavy_hitters": 3.349,
         # round-5 third wave
         "docs_perplexity_buckets": 2.576, "docs_weighted_sample": 0.287,
-        "events_type_transitions": 0.65, "events_props_json": 0.583,
+        "events_type_transitions": 0.6, "events_props_json": 0.583,
         # one persisted sketch scan (the three consumers read the
         # n_sources x k cache, never the corpus)
-        "docs_source_vocab_overlap": 1.772,
-        "extract_from_documents": 1.41,
+        "docs_source_vocab_overlap": 1.588,
+        "extract_from_documents": 1.243,
         # round-6 additions (min of calm reps, r6 builder session;
         # pq/ivfpq walls are the cold train+encode cost with warm
         # python workers — the suite context)
-        "docs_dedup_incremental_minhash": 6.396,
+        "docs_dedup_incremental_minhash": 5.764,
         "docs_dedup_components_production": 11.457,
         "emb_ann_pq_topk": 4.64,
         "emb_ann_ivfpq_topk": 2.722,
