@@ -135,8 +135,8 @@ CALM_REFERENCE: dict = {
     "recorded": ("round-6 builder session, sf0.1 local[32], element-wise "
                  "min across repeated calm-window runs"),
     "queries": {
-        "q1_pricing_summary": 3.232, "q3_shipping_priority": 2.099,
-        "q5_local_supplier": 1.36, "topk_orders_per_customer": 0.841,
+        "q1_pricing_summary": 3.232, "q3_shipping_priority": 1.962,
+        "q5_local_supplier": 1.36, "topk_orders_per_customer": 0.822,
         "sessionize_events": 0.856, "events_hourly": 0.489,
         "q18_large_orders": 1.167, "docs_dedup_exact": 1.484,
         "docs_dedup_jaccard_pairs": 3.65,
@@ -148,28 +148,28 @@ CALM_REFERENCE: dict = {
         "docs_term_freq_cms": 1.016, "docs_dedup_incremental": 0.474,
         "events_kmv_distinct": 0.563, "emb_cosine_topk": 0.84,
         "emb_ann_lsh_topk": 1.706, "docs_pack_sequences": 0.91,
-        "docs_packed_payloads": 1.473, "docs_duplicated_ngram_spans": 1.471,
-        "docs_temperature_mix": 0.409, "docs_pii_scrub": 0.313,
+        "docs_packed_payloads": 1.473, "docs_duplicated_ngram_spans": 1.432,
+        "docs_temperature_mix": 0.409, "docs_pii_scrub": 0.309,
         # honest cold cost of the three-tier graph: the recall-stress
         # embedding tier dominates (documented "ladder limit" config),
         # star-CC itself is ~6 s / 5 rounds
-        "docs_dedup_components_unified": 17.769,
-        "docs_dedup_canonical_keep": 0.55, "docs_dedup_cluster_sizes": 0.223,
+        "docs_dedup_components_unified": 16.879,
+        "docs_dedup_canonical_keep": 0.55, "docs_dedup_cluster_sizes": 0.219,
         "docs_hll_distinct_shingles": 0.686, "docs_hll_by_source": 0.811,
-        "docs_dedup_bloom_screen": 0.676, "docs_dedup_incremental_bloom": 0.729,
-        "docs_unigram_loglik": 1.397, "docs_token_entropy": 1.079,
-        "docs_length_quantile_sketch": 0.601,
-        "events_value_quantile_sketch": 0.499, "docs_curriculum_phases": 0.654,
+        "docs_dedup_bloom_screen": 0.67, "docs_dedup_incremental_bloom": 0.729,
+        "docs_unigram_loglik": 1.236, "docs_token_entropy": 1.012,
+        "docs_length_quantile_sketch": 0.537,
+        "events_value_quantile_sketch": 0.489, "docs_curriculum_phases": 0.654,
         # round-5 additions (min of 2 calm reps)
         "docs_span_removal": 1.717, "docs_dsir_weights": 1.638,
-        "docs_bigram_loglik": 2.084, "docs_classifier_score": 0.964,
-        "revenue_cube": 0.916, "events_running_user_value": 0.458,
+        "docs_bigram_loglik": 2.084, "docs_classifier_score": 0.961,
+        "revenue_cube": 0.916, "events_running_user_value": 0.414,
         "customer_balance_ntiles": 0.62,
-        "docs_decontaminate_containment": 0.854, "events_value_zscore": 0.576,
+        "docs_decontaminate_containment": 0.831, "events_value_zscore": 0.57,
         # kmeans row = cold cost (KMEANS_ITERS Lloyd jobs; wall is
         # dominated by codegen of the per-iteration assignment folds —
         # constant in the corpus); semdedup reuses the memoized centroids
-        "emb_kmeans": 4.541, "emb_semdedup": 1.48,
+        "emb_kmeans": 4.195, "emb_semdedup": 1.48,
         # cold = sketch-build pass + screen pass; wall dominated by
         # codegen of the 4x1024 literal cell arrays (constant in corpus)
         "docs_heavy_hitters": 3.349,
@@ -179,12 +179,12 @@ CALM_REFERENCE: dict = {
         # one persisted sketch scan (the three consumers read the
         # n_sources x k cache, never the corpus)
         "docs_source_vocab_overlap": 1.588,
-        "extract_from_documents": 1.243,
+        "extract_from_documents": 1.148,
         # round-6 additions (min of calm reps, r6 builder session;
         # pq/ivfpq walls are the cold train+encode cost with warm
         # python workers — the suite context)
-        "docs_dedup_incremental_minhash": 5.764,
-        "docs_dedup_components_production": 11.457,
+        "docs_dedup_incremental_minhash": 5.527,
+        "docs_dedup_components_production": 10.497,
         "emb_ann_pq_topk": 4.64,
         "emb_ann_ivfpq_topk": 2.722,
         "docs_shard_manifest": 0.366,
