@@ -42,11 +42,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # a bounded window (~50 per round). _PRIORITY rotates each round
 # (VERDICT r3 #2); never-driver-checked queries ALWAYS outrank
 # re-verification of green ones (ADVICE r4 #1). Round 6 pins, in
-# order: (a) the 6 new round-6 queries (the production-threshold
+# order: (a) the 7 new round-6 queries (the production-threshold
 # unified components with its sequential oracle — VERDICT r5 #2; the
 # incremental minhash near-dup — #4; the full composed training
 # pipeline — #3; the shard-manifest sink; the PQ-ADC and residual
-# IVF-PQ ANN with their sequential training+LUT oracles), then (b)
+# IVF-PQ ANN with their sequential training+LUT oracles; the
+# no-split bin packer), then (b)
 # the 22 queries whose last driver-green row
 # is r03 — the full stale rotation tail, drained in one window
 # (VERDICT r5 #1), then (c) the r04-green set (46 queries; the part
@@ -65,6 +66,7 @@ _PRIORITY = (
     "docs_shard_manifest",
     "emb_ann_pq_topk",
     "emb_ann_ivfpq_topk",
+    "docs_pack_bins_nosplit",
     # --- last green r03: the full stale tail (VERDICT r5 #1) ---
     "multimodal_features", "multimodal_frame_samples", "multimodal_resize",
     "docs_token_count", "docs_lang_id", "docs_quality_score",

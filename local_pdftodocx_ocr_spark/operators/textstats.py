@@ -2365,6 +2365,60 @@ FROM documents d LEFT JOIN fin f USING (doc_id)
 
 
 # ---------------------------------------------------------------------------
+# Boundary-respecting sequence packing (round 6): the PADDED-batch
+# alternative to docs_pack_sequences' concat-and-cut — no document is
+# split across training sequences (no cross-document attention bleed;
+# the price is padding). Greedy first-fit in doc_id order into
+# PACK_SEQ_LEN-token bins, blocked by doc_id DIV PACK_BIN_BLOCK: the
+# greedy fold is inherently sequential, so it runs as a pure-JVM
+# F.aggregate over each block's <=64 sorted (doc_id, n) structs —
+# bounded state by construction, blocks pack independently, and the
+# only shuffle is the bounded-group groupBy(block). Docs longer than L
+# get their own bin with truncated=true. bin_id = block*BLOCK + local
+# bin index is globally unique without any cross-block coordination.
+# Oracle: sequential VALUES replay of the identical greedy.
+# ---------------------------------------------------------------------------
+
+PACK_BIN_BLOCK = 64
+
+
+def pack_bins_nosplit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    L = PACK_SEQ_LEN
+    d = _docs(spark, sf_dir)
+    base = d.select(
+        "doc_id",
+        F.expr(f"doc_id DIV {PACK_BIN_BLOCK}").alias("block"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n"))
+    blocks = base.groupBy("block").agg(
+        F.array_sort(F.collect_list(F.struct("doc_id", "n"))).alias("docs"))
+    out_t = ("array<struct<doc_id:bigint,bin:int,fill_after:bigint,"
+             "truncated:boolean>>")
+    init = F.struct(F.lit(-1).cast("int").alias("bin"),
+                    F.lit(0).cast("long").alias("fill"),
+                    F.expr(f"CAST(array() AS {out_t})").alias("out"))
+
+    def step(acc, x):
+        n_eff = F.least(x["n"], F.lit(L).cast("long"))
+        newbin = (acc["bin"] < 0) | ((acc["fill"] + n_eff) > L)
+        bin_ = F.when(newbin, acc["bin"] + 1).otherwise(acc["bin"]).cast("int")
+        fill = F.when(newbin, n_eff).otherwise(acc["fill"] + n_eff).cast("long")
+        entry = F.struct(x["doc_id"].alias("doc_id"), bin_.alias("bin"),
+                         fill.alias("fill_after"),
+                         (x["n"] > L).alias("truncated"))
+        return F.struct(bin_.alias("bin"), fill.alias("fill"),
+                        F.concat(acc["out"], F.array(entry)).alias("out"))
+
+    folded = blocks.select(
+        "block", F.aggregate("docs", init, step)["out"].alias("out"))
+    return (folded.select("block", F.explode("out").alias("r"))
+            .select("r.doc_id",
+                    (F.col("block") * PACK_BIN_BLOCK + F.col("r.bin"))
+                    .cast("long").alias("bin_id"),
+                    F.col("r.fill_after").alias("fill_after"),
+                    F.col("r.truncated").alias("truncated")))
+
+
+# ---------------------------------------------------------------------------
 # Training-shard export manifest (round 6): the sink side of the
 # packing pipeline. A training run consumes the corpus as S
 # deterministic shards (doc -> shard by a hash of doc_id, so shard
@@ -2451,6 +2505,7 @@ GROUP BY 1 ORDER BY 1
 
 
 QUERIES = {
+    "docs_pack_bins_nosplit": pack_bins_nosplit,
     "docs_shard_manifest": shard_manifest,
     "docs_source_vocab_overlap": source_vocab_overlap,
     "docs_perplexity_buckets": perplexity_buckets,
@@ -2487,6 +2542,14 @@ QUERIES = {
     "docs_quality_score": quality_score,
     "docs_fingerprint": fingerprint,
 }
+
+def oracles() -> dict[str, str]:
+    from .. import seq_oracles
+    return {**ORACLES,
+            # greedy first-fit is inherently sequential: the oracle is
+            # the VALUES replay of the identical per-block fold
+            "docs_pack_bins_nosplit": seq_oracles.pack_bins_values_sql()}
+
 
 ORACLES = {
     "docs_shard_manifest": SHARD_MANIFEST_SQL,

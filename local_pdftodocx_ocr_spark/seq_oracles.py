@@ -469,6 +469,38 @@ def ann_ivfpq_values_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Boundary-respecting bin packing: mirror of operators/textstats.py::
+# pack_bins_nosplit — identical per-block greedy first-fit in doc_id
+# order (blocks = doc_id DIV PACK_BIN_BLOCK; n = len(split-by-space))
+# ---------------------------------------------------------------------------
+
+
+def seq_pack_bins(sf_dir: str = ORACLE_SF_DIR) -> list[tuple[int, int, int, bool]]:
+    from .operators.textstats import PACK_BIN_BLOCK, PACK_SEQ_LEN
+    rows = []
+    state: dict[int, tuple[int, int]] = {}   # block -> (bin, fill)
+    for d_id, text in _documents(sf_dir):    # already doc_id-ordered
+        n = len(text.split(" "))             # F.split(col, " ") semantics
+        block = d_id // PACK_BIN_BLOCK
+        n_eff = min(n, PACK_SEQ_LEN)
+        b, fill = state.get(block, (-1, 0))
+        if b < 0 or fill + n_eff > PACK_SEQ_LEN:
+            b, fill = b + 1, n_eff
+        else:
+            fill += n_eff
+        state[block] = (b, fill)
+        rows.append((d_id, block * PACK_BIN_BLOCK + b, fill,
+                     n > PACK_SEQ_LEN))
+    return rows
+
+
+def pack_bins_values_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
+    return values_sql(seq_pack_bins(sf_dir),
+                      [("doc_id", "BIGINT"), ("bin_id", "BIGINT"),
+                       ("fill_after", "BIGINT"), ("truncated", "BOOLEAN")])
+
+
+# ---------------------------------------------------------------------------
 # k-means (Lloyd) + SemDeDup: the full quantized centroid evolution and
 # the within-cluster greedy pruning recomputed sequentially — mirrors of
 # operators/similarity.py::_kmeans_centroids / emb_kmeans / emb_semdedup

@@ -1046,6 +1046,33 @@ class TestTrainingShards:
         assert a == b
 
 
+class TestPackBinsNosplit:
+    def test_bin_invariants(self, spark):
+        """No bin exceeds L tokens unless it is a single truncated doc;
+        fill_after is monotone within a bin; bin ids are unique within
+        their block prefix."""
+        from local_pdftodocx_ocr_spark import seq_oracles
+        from local_pdftodocx_ocr_spark.operators import textstats
+
+        rows = textstats.pack_bins_nosplit(spark, SF_DIR).collect()
+        L = textstats.PACK_SEQ_LEN
+        by_bin = {}
+        for r in rows:
+            by_bin.setdefault(r["bin_id"], []).append(r)
+        assert any(len(v) > 1 for v in by_bin.values()), \
+            "expected at least one multi-doc bin on this corpus"
+        for bin_id, members in by_bin.items():
+            tail = max(m["fill_after"] for m in members)
+            if any(m["truncated"] for m in members):
+                assert len(members) == 1   # truncated doc sits alone
+            assert tail <= L
+        # mirror equality (the registered oracle, asserted directly)
+        exp = set(seq_oracles.seq_pack_bins(SF_DIR))
+        got = {(r["doc_id"], r["bin_id"], r["fill_after"], r["truncated"])
+               for r in rows}
+        assert got == exp
+
+
 class TestKMVSketch:
     def test_estimate_within_error_bound(self, spark):
         """KMV with k=64 has relative stddev ~1/sqrt(k-2) ~= 12.7%;
