@@ -172,6 +172,9 @@ def main(sf_dir: str = "/root/testdata/sf0.01", out_path: str = "PLANS.md") -> i
         "emb_ann_ivfpq_topk (r6: residual PQ codes; bounded probe-table "
         "broadcast on cell = the candidate screen; ADC lookups only)":
             similarity.ann_ivfpq_topk(spark, sf_dir),
+        "docs_pack_bins_nosplit (r6: one bounded-group shuffle; the "
+        "greedy fold is a pure-JVM aggregate over <=64-struct arrays)":
+            textstats.pack_bins_nosplit(spark, sf_dir),
     }
 
     lines = ["# PLANS — executed physical plans (generated by "
