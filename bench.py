@@ -120,6 +120,7 @@ HEADLINE = {
     # unified-components memo warmed by the rows above, so this times
     # the composition itself
     "pipeline_training_corpus_full": extraction.pipeline_training_corpus_full,
+    "docs_pack_bins_nosplit": textstats.pack_bins_nosplit,
 }
 
 
@@ -135,8 +136,8 @@ CALM_REFERENCE: dict = {
     "recorded": ("round-6 builder session, sf0.1 local[32], element-wise "
                  "min across repeated calm-window runs"),
     "queries": {
-        "q1_pricing_summary": 3.232, "q3_shipping_priority": 1.962,
-        "q5_local_supplier": 1.36, "topk_orders_per_customer": 0.822,
+        "q1_pricing_summary": 3.104, "q3_shipping_priority": 1.962,
+        "q5_local_supplier": 1.36, "topk_orders_per_customer": 0.807,
         "sessionize_events": 0.856, "events_hourly": 0.489,
         "q18_large_orders": 1.167, "docs_dedup_exact": 1.484,
         "docs_dedup_jaccard_pairs": 3.65,
@@ -169,12 +170,12 @@ CALM_REFERENCE: dict = {
         # kmeans row = cold cost (KMEANS_ITERS Lloyd jobs; wall is
         # dominated by codegen of the per-iteration assignment folds —
         # constant in the corpus); semdedup reuses the memoized centroids
-        "emb_kmeans": 4.195, "emb_semdedup": 1.48,
+        "emb_kmeans": 4.195, "emb_semdedup": 1.398,
         # cold = sketch-build pass + screen pass; wall dominated by
         # codegen of the 4x1024 literal cell arrays (constant in corpus)
-        "docs_heavy_hitters": 3.349,
+        "docs_heavy_hitters": 3.257,
         # round-5 third wave
-        "docs_perplexity_buckets": 2.576, "docs_weighted_sample": 0.287,
+        "docs_perplexity_buckets": 2.557, "docs_weighted_sample": 0.282,
         "events_type_transitions": 0.6, "events_props_json": 0.583,
         # one persisted sketch scan (the three consumers read the
         # n_sources x k cache, never the corpus)
@@ -183,12 +184,13 @@ CALM_REFERENCE: dict = {
         # round-6 additions (min of calm reps, r6 builder session;
         # pq/ivfpq walls are the cold train+encode cost with warm
         # python workers — the suite context)
-        "docs_dedup_incremental_minhash": 5.527,
-        "docs_dedup_components_production": 10.497,
+        "docs_dedup_incremental_minhash": 5.36,
+        "docs_dedup_components_production": 9.458,
         "emb_ann_pq_topk": 4.64,
         "emb_ann_ivfpq_topk": 2.722,
         "docs_shard_manifest": 0.366,
         "pipeline_training_corpus_full": 3.506,
+        "docs_pack_bins_nosplit": 0.588,
     },
 }
 
