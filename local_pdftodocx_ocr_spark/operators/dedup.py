@@ -53,7 +53,7 @@ SHINGLE_DF_CAP = 1000
 # the oldest cache once more than _MAX_LIVE_CACHES are alive — evicted
 # plans simply recompute if re-executed.
 _LIVE_CACHES: list[DataFrame] = []
-_MAX_LIVE_CACHES = 6
+_MAX_LIVE_CACHES = 8
 
 
 def _persist_tracked(df: DataFrame) -> DataFrame:
@@ -71,6 +71,10 @@ def release_caches(blocking: bool = False) -> int:
     n = len(_LIVE_CACHES)
     while _LIVE_CACHES:
         _LIVE_CACHES.pop().unpersist(blocking)
+    # the shingle memo hands out the PERSISTED table; once that cache is
+    # released the memoized frame would silently recompute per plan
+    # branch, so the memo's lifetime is exactly the cache's
+    _SHINGLE_MEMO.clear()
     return n
 
 
@@ -82,8 +86,9 @@ def _docs(spark: SparkSession, sf_dir: str, spread: bool = True) -> DataFrame:
     # with cheap map-side work (e.g. one md5 + partial agg): there the
     # repartition is a pure extra exchange at ANY scale.
     from ..sources.tables import spread_scan
-    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return spread_scan(spark, df) if spread else df
+    path = f"{sf_dir}/documents.parquet"
+    df = spark.read.parquet(path)
+    return spread_scan(spark, df, key=path) if spread else df
 
 
 # ---------------------------------------------------------------------------
@@ -429,6 +434,20 @@ def _capped_shingles(d: DataFrame, cap: int = SHINGLE_DF_CAP) -> DataFrame:
     return sh.join(ok, "s")
 
 
+# The hashed capped shingle table feeds MANY plan branches of each
+# dedup query (per-doc sizes + both sides of the inverted-index
+# self-join in the exact tier; the minhash aggregation AND the verify
+# joins in the LSH pipelines). Catalyst does not reuse the subtree
+# across branches (measured: the round-6 docs_dedup_jaccard_pairs plan
+# scanned the documents parquet 8x — tokenize/shingle/md5 ran 8 times
+# per query), so the table is persisted once and memoized per
+# (session, input plan, cap) — the in-sandbox stand-in for the
+# materialized shingle-index table a 100 TB pipeline maintains anyway.
+# Lifetime is tied to release_caches(): the bench/driver release after
+# every query, so every timed row still computes its shingles cold.
+_SHINGLE_MEMO: dict[tuple[str, int, int], DataFrame] = {}
+
+
 def _hashed_capped_shingles(d: DataFrame, cap: int = SHINGLE_DF_CAP) -> DataFrame:
     """(doc_id, k) where k = the first 60 bits of md5(shingle) — the
     shingle index every dedup tier joins/aggregates on. Hashing BEFORE
@@ -437,14 +456,23 @@ def _hashed_capped_shingles(d: DataFrame, cap: int = SHINGLE_DF_CAP) -> DataFram
     cost that scales with the corpus). md5 keeps it reproducible in
     DuckDB (('0x'||substr(md5(s),1,15))::UBIGINT) and hashlib, so the
     identical (negligible, 60-bit) collisions happen on every engine
-    and cross-engine equality is exact. df cap applied on k."""
+    and cross-engine equality is exact. df cap applied on k.
+
+    Persisted + memoized (see _SHINGLE_MEMO above): one scan/explode/md5
+    pass per query, not one per plan branch."""
     from ..functions.hashing import md5_60bit
-    sh = _distinct_shingles(d).select(
-        "doc_id", md5_60bit(F.col("s")).alias("k"))
+    key = (d.sparkSession.sparkContext.applicationId, d.semanticHash(), cap)
+    hit = _SHINGLE_MEMO.get(key)
+    if hit is not None:
+        return hit
+    sh = _persist_tracked(_distinct_shingles(d).select(
+        "doc_id", md5_60bit(F.col("s")).alias("k")))
     ok = (sh.groupBy("k").agg(F.count("*").alias("df"))
           .filter(F.col("df") <= cap)
           .select("k"))
-    return sh.join(ok, "k")
+    capped = _persist_tracked(sh.join(ok, "k"))
+    _SHINGLE_MEMO[key] = capped
+    return capped
 
 
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -986,7 +1014,14 @@ def _star_components(d: DataFrame, pairs: DataFrame) -> DataFrame:
                  .filter(F.col("v") > F.col("u"))
                  .select(F.col("m").alias("lo"), F.col("v").alias("hi"))
                  .filter(F.col("lo") != F.col("hi")))
-        e1 = large.distinct().localCheckpoint(eager=True)
+        # persist (lazy), don't eagerly checkpoint: e1 feeds two
+        # small-star branches, and the round's ONE action (the
+        # new_edges checkpoint below) materializes the cache in
+        # passing — same lineage truncation per round, one Spark job
+        # per round instead of two (the per-round job count is what the
+        # loop's wall is made of: each round's data is tiny, its jobs
+        # are not)
+        e1 = large.distinct().persist()
         # -- small-star: group by the larger endpoint -------------------
         sm = (e1.groupBy("hi")
               .agg(F.min("lo").alias("m")))
@@ -1192,8 +1227,11 @@ def components_unified_production_embeddings(
     jac = _verified_jaccard_pairs(d, dedup_minhash_candidates(spark, sf_dir))
     sim = _simhash_connectivity_edges(simhash64(spark, sf_dir))
     e = _emb(spark, sf_dir)
-    sigs = lsh_bucket_signatures(e, bits=bits, tables=tables,
-                                 with_vectors=False)
+    # persist: the signature table feeds BOTH sides of the bucket
+    # self-join — unpersisted, the Arrow-batched sign-projection pass
+    # (and the corpus scan under it) runs once per side
+    sigs = _persist_tracked(lsh_bucket_signatures(e, bits=bits, tables=tables,
+                                                  with_vectors=False))
     s1 = sigs.select(F.col("vec_id").alias("doc1"), "table", "bucket")
     s2 = sigs.select(F.col("vec_id").alias("doc2"), "table", "bucket")
     cand = (s1.join(s2, ["table", "bucket"])

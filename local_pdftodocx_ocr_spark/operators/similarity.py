@@ -31,7 +31,8 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     # signature/scoring UDFs run on all cores; a no-op (no exchange) on
     # a scan that already parallelizes — see sources.tables.spread_scan
     from ..sources.tables import spread_scan
-    return spread_scan(spark, spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    path = f"{sf_dir}/embeddings.parquet"
+    return spread_scan(spark, spark.read.parquet(path), key=path)
 
 
 def _cosine(a, b):
@@ -59,15 +60,41 @@ def _topk_output(scored: DataFrame) -> DataFrame:
                     F.col("rk").cast("int").alias("rk")))
 
 
+def _lit_rows_df(spark: SparkSession, rows: list) -> DataFrame:
+    """Bounded driver-side constants as a JVM literal relation — the
+    range(1)+explode idiom pinned by test_promo_calendar_is_jvm_local_
+    relation: `spark.createDataFrame` on a Python list ships a pickled
+    RDD and spins Python workers per use (one extra Python job per
+    query), whereas a literal array explodes inside whole-stage codegen.
+    `rows` is a list of [(field_name, python_value), ...]; values may be
+    scalars or (nested) lists — each field becomes one array literal,
+    never an element-wise expression tree."""
+    def _plit(v):
+        # nested lists -> array of single-literal arrays; flat float
+        # lists -> ONE ndarray literal (PySpark expands F.lit(list)
+        # element-wise, but F.lit(ndarray) becomes a single JVM array
+        # Literal that codegen embeds as one reference object)
+        if isinstance(v, list):
+            if v and isinstance(v[0], list):
+                return F.array(*[_plit(x) for x in v])
+            return F.lit(np.asarray(v, dtype=np.float64))
+        return F.lit(v)
+
+    arr = F.array(*[
+        F.struct(*[_plit(v).alias(n) for n, v in row]) for row in rows])
+    return spark.range(1).select(F.explode(arr).alias("r")).select("r.*")
+
+
 def _shortlist_rerank(spark: SparkSession, e: DataFrame,
                       shortlist: DataFrame, qrows) -> DataFrame:
     """Exact-cosine re-rank of a bounded (qid, vec_id) shortlist: the
     query vectors come from the already-collected qrows (no second
     corpus scan), the shortlist side is bounded so AQE broadcasts it
     into the corpus join."""
-    q = spark.createDataFrame(
-        [(int(r["vec_id"]), list(r["embedding"])) for r in qrows],
-        "qid long, qv array<float>")
+    q = _lit_rows_df(spark, [
+        [("qid", int(r["vec_id"])),
+         ("qv", [float(v) for v in r["embedding"]])] for r in qrows]) \
+        .select(F.col("qid").cast("long").alias("qid"), "qv")
     scored = (shortlist.join(e, "vec_id")
               .join(F.broadcast(q), "qid")
               .withColumn("cos", _cosine(
@@ -170,8 +197,12 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket with the query in any table. The bucket equi-join replaces
     the full cross product — at 10^9 vectors the scored set per query
     is ~corpus/2^bits x tables."""
+    from .dedup import _persist_tracked
+
     e = _emb(spark, sf_dir)
-    sigs = lsh_bucket_signatures(e)
+    # persist: sigs feeds the query-side filter AND the corpus side of
+    # the bucket join — one sign-projection pass, not two
+    sigs = _persist_tracked(lsh_bucket_signatures(e))
     q = (sigs.filter(F.col("vec_id") < N_QUERIES)
          .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"),
                  "table", "bucket"))
@@ -319,10 +350,16 @@ def embedding_near_dup_pairs_at_scale(spark: SparkSession, sf_dir: str) -> DataF
     The bucket self-join replaces the O(n^2) theta join; per-pair
     vectors come from two corpus-scale equi-joins (AQE decides the
     strategy — no broadcast of anything that scales with the corpus)."""
+    from .dedup import _persist_tracked
+
     e = _emb(spark, sf_dir)
     bits = _nd_bits_for(_emb_count(e, sf_dir))
-    sigs = lsh_bucket_signatures(e, bits=bits, tables=ND_LSH_TABLES,
-                                 with_vectors=False)
+    # persist: the signature table feeds both sides of the bucket
+    # self-join — unpersisted, the Arrow-batched sign-projection pass
+    # runs once per side (measured 2x the Python-boundary cost)
+    sigs = _persist_tracked(lsh_bucket_signatures(e, bits=bits,
+                                                  tables=ND_LSH_TABLES,
+                                                  with_vectors=False))
     s1 = sigs.select(F.col("vec_id").alias("id1"), "table", "bucket")
     s2 = sigs.select(F.col("vec_id").alias("id2"), "table", "bucket")
     cand = (s1.join(s2, ["table", "bucket"])
@@ -593,17 +630,19 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 books[m][k]) for k in range(PQ_KSUB)]
             for m in range(PQ_M)]
         for r in qrows}
-    pairs = F.array(*[
-        F.struct(
-            F.lit(qid).alias("qid"),
-            reduce(lambda acc, m: acc + F.element_at(
-                       F.array(*[F.lit(d) for d in luts[qid][m]]),
-                       F.col(f"c{m}") + 1),
-                   range(PQ_M), F.lit(0.0)).alias("adist"))
-        for qid in sorted(luts)])
-    scored = (enc.select("vec_id", F.explode(pairs).alias("p"))
-              .select("vec_id", "p.qid", "p.adist")
-              .filter(F.col("vec_id") != F.col("qid")))
+    # broadcast probe-table form (the ann_ivfpq_topk shape): the per-
+    # query ADC LUTs travel as ONE bounded literal relation joined into
+    # the code scan, instead of N_QUERIES x PQ_M x PQ_KSUB plan
+    # literals whose codegen grows with the query batch (ADVICE r6)
+    probes = _lit_rows_df(spark, [
+        [("qid", qid), ("lut", luts[qid])] for qid in sorted(luts)]) \
+        .select(F.col("qid").cast("long").alias("qid"), "lut")
+    scored = (enc.join(F.broadcast(probes),
+                       F.col("vec_id") != F.col("qid"))
+              .select("vec_id", "qid",
+                      reduce(lambda acc, m: acc + F.element_at(
+                                 F.col("lut")[m], F.col(f"c{m}") + 1),
+                             range(PQ_M), F.lit(0.0)).alias("adist")))
     w = W.partitionBy("qid").orderBy(F.asc("adist"), F.asc("vec_id"))
     shortlist = (scored.withColumn("rr", F.row_number().over(w))
                  .filter(F.col("rr") <= PQ_RERANK)
@@ -681,8 +720,12 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     books[m][k]) for k in range(PQ_KSUB)]
                    for m in range(PQ_M)]
             probe_rows.append((int(r["vec_id"]), int(cell), lut))
-    probes = spark.createDataFrame(
-        probe_rows, "qid long, cell int, lut array<array<double>>")
+    # JVM literal relation, not createDataFrame: a pickled-RDD scan of
+    # 40 constant rows would spin Python workers once per execution
+    probes = _lit_rows_df(spark, [
+        [("qid", q_), ("cell", c_), ("lut", l_)] for q_, c_, l_ in probe_rows])
+    probes = probes.select(F.col("qid").cast("long").alias("qid"),
+                           F.col("cell").cast("int").alias("cell"), "lut")
     scored = (enc.join(F.broadcast(probes), "cell")
               .filter(F.col("vec_id") != F.col("qid"))
               .select("qid", "vec_id",
@@ -721,9 +764,16 @@ def _kmeans_assign(xcol, centroids: list[list[float]]):
     left fold of IEEE doubles per centroid (seq_oracles mirrors the
     fold order), array_min's lexicographic struct order breaking
     distance ties toward the lowest cluster id."""
+    # ONE ndarray literal per centroid (codegen embeds it as a single
+    # reference object); the element-wise F.array(*[F.lit(c) ...]) form
+    # was K x DIM = 512 literal nodes INLINED into the generated source,
+    # so every Lloyd iteration's new centroid constants produced new
+    # source text and a fresh Janino compile — with reference-embedded
+    # literals the generated source is identical across iterations and
+    # the codegen cache hits
     dists = [
         F.aggregate(
-            F.zip_with(xcol, F.array(*[F.lit(c) for c in ck]),
+            F.zip_with(xcol, F.lit(np.asarray(ck, dtype=np.float64)),
                        lambda a, b: (a - b) * (a - b)),
             F.lit(0.0), lambda acc, v: acc + v)
         for ck in centroids
@@ -798,11 +848,17 @@ def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     _nd_bits_for; with tight production clusters the within-cluster
     candidates can further drop to the LSH tier (lsh_bucket_signatures)
     unchanged. Nothing corpus-sized is broadcast or collected."""
+    from .dedup import _persist_tracked
+
     e = _emb(spark, sf_dir)
     cent = _kmeans_centroids(spark, sf_dir)
     x = F.col("embedding").cast("array<double>")
-    assigned = e.select("vec_id", x.alias("x"),
-                        _kmeans_assign(x, cent)["k"].alias("cluster"))
+    # persist: assigned feeds both sides of the within-cluster self-join
+    # AND the final output join — one K x 64-dim assignment fold pass,
+    # not three
+    assigned = _persist_tracked(
+        e.select("vec_id", x.alias("x"),
+                 _kmeans_assign(x, cent)["k"].alias("cluster")))
     a = assigned.select(F.col("vec_id").alias("id1"), F.col("x").alias("v1"),
                         "cluster")
     b = assigned.select(F.col("vec_id").alias("id2"), F.col("x").alias("v2"),

@@ -19,7 +19,8 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # expressions (tokenize/shingle); a no-op (no exchange) on a scan
     # that already parallelizes — see sources.tables.spread_scan
     from ..sources.tables import spread_scan
-    return spread_scan(spark, spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    path = f"{sf_dir}/documents.parquet"
+    return spread_scan(spark, spark.read.parquet(path), key=path)
 
 
 # ---------------------------------------------------------------------------
@@ -2251,8 +2252,14 @@ def _hh_screened(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest can observe the screen actually pruning."""
     dense, total = _hh_cells(spark, sf_dir)
     pos = _hh_positions(F.col("g"))
+    # one ndarray literal per CMS row (a single reference object in the
+    # generated code), not CMS_W inlined literal nodes per row: the
+    # 4x1024 element-wise form made this screen's codegen the dominant
+    # cost of the query (CALM_REFERENCE note) while the probed values
+    # are identical (the cells are exact BIGINT counts either way)
+    import numpy as _np
     est = F.least(*[
-        F.element_at(F.array(*[F.lit(c) for c in dense[i]]),
+        F.element_at(F.lit(_np.asarray(dense[i], dtype=_np.int64)),
                      (p + 1).cast("int"))
         for i, p in enumerate(pos)])
     return (_hh_grams(spark, sf_dir)

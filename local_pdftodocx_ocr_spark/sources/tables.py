@@ -20,7 +20,17 @@ TPCH_TABLES = ("region", "nation", "customer", "supplier", "part",
 AUX_TABLES = ("events", "documents", "embeddings")
 
 
-def spread_scan(spark: SparkSession, df: DataFrame) -> DataFrame:
+# The scan-parallelism probe (df.rdd.getNumPartitions) costs a full
+# physical-planning round trip on the driver, and every query
+# construction pays it again for the same input. The partition count of
+# a parquet path is a property of the files + session config, so it is
+# memoized per (application, path); callers without a stable path key
+# keep probing directly.
+_SCAN_PARTS: dict[tuple[str, str], int] = {}
+
+
+def spread_scan(spark: SparkSession, df: DataFrame,
+                key: str | None = None) -> DataFrame:
     """Repartition a scan ONLY when it is under-parallel.
 
     Local small-file reality: a single-row-group parquet file scans as
@@ -30,9 +40,20 @@ def spread_scan(spark: SparkSession, df: DataFrame) -> DataFrame:
     work — at 100 TB that is a gratuitous exchange on a scan that
     already has thousands of row groups. So: shuffle only when the scan
     has fewer partitions than the cluster's parallelism (the plan test
-    pins that a pre-partitioned input produces no REPARTITION node)."""
+    pins that a pre-partitioned input produces no REPARTITION node).
+
+    ``key`` (normally the parquet path) memoizes the partition-count
+    probe per session — see _SCAN_PARTS."""
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    if key is not None:
+        ck = (spark.sparkContext.applicationId, key)
+        n = _SCAN_PARTS.get(ck)
+        if n is None:
+            n = df.rdd.getNumPartitions()
+            _SCAN_PARTS[ck] = n
+    else:
+        n = df.rdd.getNumPartitions()
+    if n < target:
         return df.repartition(target)
     return df
 

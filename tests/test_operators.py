@@ -39,12 +39,31 @@ class TestMinhashLSH:
         dedup.release_caches()
         dedup.dedup_minhash_candidates(spark, SF_DIR).count()
         dedup.dedup_simhash_candidates(spark, SF_DIR).count()
-        assert len(dedup._LIVE_CACHES) == 2
+        # r7: minhash registers 3 caches (raw hashed shingles, the
+        # df-capped index, the signature table), simhash 1
+        assert len(dedup._LIVE_CACHES) == 4
         assert all(df.is_cached for df in dedup._LIVE_CACHES)
+        assert dedup._SHINGLE_MEMO, "capped shingles should be memoized"
         tracked = list(dedup._LIVE_CACHES)
-        assert dedup.release_caches(blocking=True) == 2
+        assert dedup.release_caches(blocking=True) == 4
         assert not dedup._LIVE_CACHES
         assert not any(df.is_cached for df in tracked)
+        # the memo dies with the caches it points at (a stale entry
+        # would silently recompute the shingle pass once per branch)
+        assert not dedup._SHINGLE_MEMO
+
+    def test_capped_shingles_shared_within_query(self, spark):
+        """r7: the tokenize->shingle->md5->df-cap subtree feeds many
+        plan branches (sizes + both self-join sides + verify joins);
+        unmemoized it recomputed once per branch — the round-6
+        docs_dedup_jaccard_pairs plan scanned documents.parquet 8x.
+        Every caller handing in the same input plan must get the SAME
+        persisted table back."""
+        dedup.release_caches()
+        a = dedup._hashed_capped_shingles(dedup._docs(spark, SF_DIR))
+        b = dedup._hashed_capped_shingles(dedup._docs(spark, SF_DIR))
+        assert a is b, "shingle index must be shared across plan branches"
+        dedup.release_caches()
 
 
 class TestSimhash:
