@@ -23,6 +23,23 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _t_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Fact scan with the adaptive spread (sources.tables.spread_scan):
+    a single-row-group local parquet file scans as ONE partition, which
+    serializes the whole first stage onto one core. Used ONLY where the
+    per-row map work ahead of the first natural shuffle is heavy enough
+    to beat the extra exchange — measured A/B (interleaved, min-of-3,
+    one session): q1's six decimal partial aggregates win (1.43 ->
+    0.99 s at sf0.1); every join-shaped query (q3/q5/q18/topk/
+    sessionize/kmv) LOST 0.15-0.5 s to the added exchange, so those
+    keep the plain scan, exactly the dedup spread=False precedent. On a
+    warehouse layout (thousands of row groups) spread_scan is a no-op
+    either way."""
+    from ..sources.tables import spread_scan
+    path = f"{sf_dir}/{name}.parquet"
+    return spread_scan(spark, spark.read.parquet(path), key=path)
+
+
 def _epoch(col):
     """timestamp_ntz -> epoch seconds (session TZ pinned to UTC)."""
     return col.cast("timestamp").cast("long")
@@ -38,7 +55,7 @@ def _dec_sum(col, scale: int = 8):
 # ---------------------------------------------------------------------------
 
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    l = _t(spark, sf_dir, "lineitem")
+    l = _t_spread(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (
