@@ -50,6 +50,12 @@ def build_session(parallelism: int = 0, app: str = "pdf2spans",
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cores))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # the generated-code cache defaults to 100 entries; a session
+        # that plans hundreds of distinct stages (the 65-query suite,
+        # iterative loops) evicts and re-Janino-compiles identical
+        # shapes. Scale-independent: the cache holds compiled classes,
+        # not data.
+        .config("spark.sql.codegen.cache.maxEntries", "2000")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")

@@ -1188,7 +1188,10 @@ def dedup_components_unified(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim = _simhash_connectivity_edges(simhash64(spark, sf_dir))
     emb = (embedding_near_dup_pairs_at_scale(spark, sf_dir)
            .select(F.col("id1").alias("doc1"), F.col("id2").alias("doc2")))
-    edges = jac.unionByName(sim).unionByName(emb).distinct()
+    # no .distinct() here: _star_components normalizes every edge to
+    # (lo, hi) and distincts BEFORE its first round, so an outer
+    # distinct was a second full exchange over the same edge set
+    edges = jac.unionByName(sim).unionByName(emb)
     UNIFIED_GRAPH_RUNS += 1
     out = (_star_components(d.select("doc_id"), edges)
            .localCheckpoint(eager=True))
@@ -1244,7 +1247,9 @@ def components_unified_production_embeddings(
     emb = (cand.join(v1, "doc1").join(v2, "doc2")
            .filter(_cosine(F.col("v1"), F.col("v2")) >= cos_threshold)
            .select("doc1", "doc2"))
-    edges = jac.unionByName(sim).unionByName(emb).distinct()
+    # no outer .distinct(): _star_components' (lo, hi) normalization +
+    # distinct subsumes it (see dedup_components_unified)
+    edges = jac.unionByName(sim).unionByName(emb)
     return _star_components(d.select("doc_id"), edges)
 
 
