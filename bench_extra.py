@@ -99,8 +99,9 @@ def main() -> int:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             walls.append(round(time.monotonic() - t0, 3))
             dedup.release_caches()
-        out[name] = {"min": min(walls), "walls": walls}
-        print(json.dumps({name: out[name]}), flush=True)
+        if walls:
+            out[name] = {"min": min(walls), "walls": walls}
+            print(json.dumps({name: out[name]}), flush=True)
     spark.stop()
     print(json.dumps({"summary": {k: v["min"] for k, v in out.items()},
                       "sf_dir": sf_dir, "cpus": cpus}))

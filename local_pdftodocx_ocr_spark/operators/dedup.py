@@ -53,7 +53,11 @@ SHINGLE_DF_CAP = 1000
 # the oldest cache once more than _MAX_LIVE_CACHES are alive — evicted
 # plans simply recompute if re-executed.
 _LIVE_CACHES: list[DataFrame] = []
-_MAX_LIVE_CACHES = 8
+# sized so the deepest single-query chain (the cold composed pipeline:
+# shingle table + capped index + minhash sigs + simhash sigs + rep +
+# embedding sigs + perplexity bins + ...) never evicts its own caches
+# mid-construction; each cache is one query's bounded intermediate
+_MAX_LIVE_CACHES = 12
 
 
 def _persist_tracked(df: DataFrame) -> DataFrame:

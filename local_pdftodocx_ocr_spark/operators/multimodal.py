@@ -46,7 +46,12 @@ def _decode_features(payload: bytes) -> dict:
 def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents -> (doc_id, media binary): the opaque-binary column
     (UTF-8 bytes of the text stand in for an image payload)."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # spread an under-parallel local scan: the Arrow decode pass below
+    # is the CPU-heavy stage and a single-row-group file would run it
+    # on one core (no-op on a properly split layout)
+    from ..sources.tables import spread_scan
+    path = f"{sf_dir}/documents.parquet"
+    d = spread_scan(spark, spark.read.parquet(path), key=path)
     return d.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("media"))
 
 

@@ -26,6 +26,15 @@ def main(sf_dir: str = "/root/testdata/sf0.01", out_path: str = "PLANS.md") -> i
     spark = job.build_session(4, app="dump-plans")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # The targets dict below constructs EVERY query before any plan is
+    # dumped; with the default bounded cache registry the later
+    # constructions would evict the earlier queries' persisted subtrees
+    # (shingle index, signature tables) and the dumped plans would show
+    # the cache-less shape the bench never runs. Lift the cap for the
+    # dump (sf0.01 caches are tiny) and release everything once at the
+    # end instead of per-iteration.
+    dedup._MAX_LIVE_CACHES = 10_000
+
     targets = {
         "extraction single-pass (salted repartition -> mapInPandas)":
             job.extract_spans(job.docs_df_from_corpus(spark, synth.gen_corpus(10)),
@@ -178,16 +187,22 @@ def main(sf_dir: str = "/root/testdata/sf0.01", out_path: str = "PLANS.md") -> i
     }
 
     lines = ["# PLANS — executed physical plans (generated by "
-             "`python -m local_pdftodocx_ocr_spark.plans.dump_plans`)\n"]
+             "`python -m local_pdftodocx_ocr_spark.plans.dump_plans`)\n"
+             "\nNote (r7): persisted shared subtrees print as "
+             "InMemoryRelation WITH their full build plan, so the "
+             "per-section `Exchanges:` count includes the cached "
+             "subtree's one-time build exchanges once per reference — "
+             "at execution the cache is built once and every further "
+             "reference is an InMemoryTableScan.\n"]
     for name, df in targets.items():
         plan = executed_plan(df)
-        dedup.release_caches()   # signature caches must not stack per dump
         lines.append(f"\n## {name}\n")
         lines.append(f"Exchanges: {count_exchanges(df)}\n")
         lines.append("```\n" + plan.strip()[:4000] + "\n```\n")
     with open(out_path, "w", encoding="utf-8") as f:
         f.write("".join(lines))
     print(f"wrote {out_path}")
+    dedup.release_caches()
     spark.stop()
     return 0
 
