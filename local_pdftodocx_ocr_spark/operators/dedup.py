@@ -1018,14 +1018,14 @@ def _star_components(d: DataFrame, pairs: DataFrame) -> DataFrame:
                  .filter(F.col("v") > F.col("u"))
                  .select(F.col("m").alias("lo"), F.col("v").alias("hi"))
                  .filter(F.col("lo") != F.col("hi")))
-        # persist (lazy), don't eagerly checkpoint: e1 feeds two
-        # small-star branches, and the round's ONE action (the
-        # new_edges checkpoint below) materializes the cache in
-        # passing — same lineage truncation per round, one Spark job
-        # per round instead of two (the per-round job count is what the
-        # loop's wall is made of: each round's data is tiny, its jobs
-        # are not)
-        e1 = large.distinct().persist()
+        # eager checkpoint, NOT a lazy persist: e1 feeds two small-star
+        # branches, and a lazily-persisted cache can be computed by
+        # BOTH branch stages concurrently before it populates (AQE
+        # schedules the branch stages together) — measured as a
+        # consistent +2-3 s on the unified graph when this was briefly
+        # a persist(). The eager job guarantees exactly one
+        # materialization per round.
+        e1 = large.distinct().localCheckpoint(eager=True)
         # -- small-star: group by the larger endpoint -------------------
         sm = (e1.groupBy("hi")
               .agg(F.min("lo").alias("m")))

@@ -225,7 +225,10 @@ def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
     topk = cosine_topk_bruteforce(spark, sf_dir)
     labels = e.select(F.col("vec_id").alias("neighbor"), "label")
-    votes = (topk.join(F.broadcast(labels), "neighbor")
+    # labels scales with the corpus: no forced broadcast (the r1 rule
+    # every other query already follows) — topk is the bounded side
+    # (N_QUERIES x TOP_K rows), so AQE broadcasts THAT at any scale
+    votes = (topk.join(labels, "neighbor")
              .groupBy("qid", "label").agg(F.count("*").alias("n")))
     w = W.partitionBy("qid").orderBy(F.desc("n"), F.asc("label"))
     return (votes.withColumn("rk", F.row_number().over(w))
