@@ -24,6 +24,8 @@ import hashlib
 import os
 import re
 import unicodedata
+from collections import Counter
+from functools import lru_cache
 from dataclasses import dataclass, field
 
 # --------------------------------------------------------------------------
@@ -80,6 +82,11 @@ POS_HEADER_RE = re.compile(
 
 _ZERO_WIDTH_RE = re.compile("[​‌‍⁠﻿]")
 _CONTROL_RE = re.compile("[\x00-\x08\x0b-\x1f\x7f]")  # incl \r; keeps \t \n
+# translate() table equivalent of _CONTROL_RE.sub("", s): deleting a
+# fixed single-char class is the same operation, and str.translate runs
+# it as one C pass (the sub ran on EVERY span text — r7 kernel profile)
+_CONTROL_DEL = {c: None for c in (*range(0x00, 0x09),
+                                  *range(0x0B, 0x20), 0x7F)}
 _THAI_DIGITS = str.maketrans("๐๑๒๓๔๕๖๗๘๙", "0123456789")
 _SARA_AM_RE = re.compile("ํา")          # nikhahit + sara aa -> sara am
 _DUP_COMBINING_RE = re.compile(r"([ัิ-ฺ็-๎])\1+")
@@ -110,12 +117,16 @@ def clean_text(s: str) -> str:
         s = s.replace("เเ", "แ")  # เเ -> แ
         s = _SARA_AM_RE.sub("ำ", s)
         s = _DUP_COMBINING_RE.sub(r"\1", s)
-    s = _CONTROL_RE.sub("", s)
+    s = s.translate(_CONTROL_DEL)   # == _CONTROL_RE.sub("", s), one C pass
 
     out_lines: list[str] = []
     for ln in s.split("\n"):
-        if " " in ln or "\t" in ln:
+        if "\t" in ln or "  " in ln:
+            # runs/tabs present: collapse them (the regex is a no-op on
+            # single-spaced text, so it is skipped there)
             ln = _WS_RE.sub(" ", ln).strip()
+        elif " " in ln:
+            ln = ln.strip()
         if not ln:
             out_lines.append("")
             continue
@@ -134,10 +145,22 @@ def clean_text(s: str) -> str:
     return "\n".join(collapsed).strip()
 
 
+# ASCII bytes that satisfy (isalpha or isdigit) — for pure-ASCII text
+# the letter count is one C-level bytes.translate delete instead of a
+# per-char Python generator (the single hottest kernel line in the r7
+# profile: ~0.5 s of the 1.24 s corpus pass)
+_ASCII_ALNUM = bytes(i for i in range(128)
+                     if chr(i).isalpha() or chr(i).isdigit())
+
+
 def letter_ratio(s: str) -> float:
     if not s:
         return 0.0
-    letters = sum(1 for c in s if c.isalpha() or c.isdigit())
+    if s.isascii():
+        b = s.encode("ascii")
+        letters = len(b) - len(b.translate(None, _ASCII_ALNUM))
+    else:
+        letters = sum(1 for c in s if c.isalpha() or c.isdigit())
     return letters / len(s)
 
 
@@ -785,9 +808,12 @@ class Block:
 _NORM_KEY_RE = re.compile(r"[\W_]+", re.UNICODE)
 
 
+@lru_cache(maxsize=4096)
 def text_norm_key(s: str) -> str:
     """Whitespace/punct-normalized dedup key
-    (reference `_text_norm_key`, src/pipeline.py:453-455)."""
+    (reference `_text_norm_key`, src/pipeline.py:453-455). Pure; the
+    LRU cache pays off because repeated texts (footers, headers, stub
+    markers) are exactly what the dedup passes re-key per page."""
     return _NORM_KEY_RE.sub("", s).lower()
 
 
@@ -1038,10 +1064,9 @@ def _drop_repeating_footers(blocks: list[Block]) -> list[Block]:
 
 
 def _char_counts(k: str) -> dict:
-    c: dict = {}
-    for ch in k[:NEARDUP_PREFIX]:
-        c[ch] = c.get(ch, 0) + 1
-    return c
+    # collections.Counter counts via a C helper; same mapping as the
+    # previous per-char dict loop
+    return Counter(k[:NEARDUP_PREFIX])
 
 
 def _counter_bound(ca: dict, cb: dict, la: int, lb: int) -> float:
