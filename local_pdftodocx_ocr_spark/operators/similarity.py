@@ -197,12 +197,14 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket with the query in any table. The bucket equi-join replaces
     the full cross product — at 10^9 vectors the scored set per query
     is ~corpus/2^bits x tables."""
-    from .dedup import _persist_tracked
-
     e = _emb(spark, sf_dir)
-    # persist: sigs feeds the query-side filter AND the corpus side of
-    # the bucket join — one sign-projection pass, not two
-    sigs = _persist_tracked(lsh_bucket_signatures(e))
+    # NOT persisted: sigs feeds the query-side filter and the corpus
+    # side of the bucket join, but a persist here was measured
+    # consistently SLOWER one-shot (2.1-2.3 s vs 1.5 s in three full
+    # bench runs) — the eager materialization of the 16-table signature
+    # rows (with vectors) costs more than the second streamed
+    # sign-projection pass it saves
+    sigs = lsh_bucket_signatures(e)
     q = (sigs.filter(F.col("vec_id") < N_QUERIES)
          .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"),
                  "table", "bucket"))
