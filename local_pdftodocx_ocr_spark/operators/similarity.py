@@ -509,7 +509,19 @@ def _pq_vec_batch(pdf, centroids: "np.ndarray | None"):
     """Stacked float64 batch [+ coarse cell + residual subtraction] —
     the shared corpus-side preamble of training and encoding. With
     centroids, the cell is each vector's single nearest coarse cell
-    (the _ivf_assign math verbatim) and v becomes the residual."""
+    (the _ivf_assign math verbatim) and v becomes the residual.
+
+    Determinism assumption (ADVICE r6, pinned like _ivf_assign): the
+    `vn @ cn.T` similarities here run on VARIABLE-shape Arrow batches
+    in Spark but on the full matrix in the sequential mirror
+    (seq_oracles). The oracle equality therefore rests on numpy's
+    row-independent dgemm results being bit-identical across those
+    shapes on this platform — which the two-corpus mirror pytest and
+    the driver hash checks verify empirically every round. If a future
+    BLAS/threading change ever broke it, the failure mode is a loud
+    oracle mismatch on these ANN rows, not a silent wrong answer; the
+    fix is the explicit per-row squared-distance reduction already
+    used by _pq_sub_codes."""
     v = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["embedding"]])
     if centroids is None:
         return v, None

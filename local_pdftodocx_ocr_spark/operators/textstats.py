@@ -2550,13 +2550,6 @@ QUERIES = {
     "docs_fingerprint": fingerprint,
 }
 
-def oracles() -> dict[str, str]:
-    from .. import seq_oracles
-    return {**ORACLES,
-            # greedy first-fit is inherently sequential: the oracle is
-            # the VALUES replay of the identical per-block fold
-            "docs_pack_bins_nosplit": seq_oracles.pack_bins_values_sql()}
-
 
 ORACLES = {
     "docs_shard_manifest": SHARD_MANIFEST_SQL,
@@ -2595,3 +2588,10 @@ ORACLES = {
     "docs_quality_score": QUALITY_SQL,
     "docs_fingerprint": FINGERPRINT_SQL,
 }
+
+def oracles() -> dict[str, str]:
+    from .. import seq_oracles
+    return {**ORACLES,
+            # greedy first-fit is inherently sequential: the oracle is
+            # the VALUES replay of the identical per-block fold
+            "docs_pack_bins_nosplit": seq_oracles.pack_bins_values_sql()}

@@ -316,10 +316,13 @@ class TestANN:
         recall = len(exact & approx) / len(exact)
         assert recall >= 0.25, f"IVF-PQ recall {recall:.2f} too low"
 
-    def test_pq_and_ivfpq_match_mirror_at_second_scale(self, spark):
+    def test_pq_and_ivfpq_match_mirror_at_second_corpus(self, spark):
         """The registered oracles pin sf0.01; pin sf0.001 too so the
-        trained-index compositions are mirror-checked at two corpus
-        sizes (the components_production precedent)."""
+        trained-index compositions are mirror-checked on a SECOND
+        CORPUS (same 500-vector size, different contents — ADVICE r6:
+        this is a second-corpus pin, not a second-scale one; genuinely
+        size-dependent effects like empty Lloyd cells are exercised by
+        the growth-ladder configs in bench.py instead)."""
         from local_pdftodocx_ocr_spark import seq_oracles
 
         sf = "/root/testdata/sf0.001"
