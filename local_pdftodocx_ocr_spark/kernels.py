@@ -823,9 +823,14 @@ def parse_pos_header(text: str) -> tuple[int, float, float, float, float, str]:
     ``;w=<w>;h=<h>`` (enables the structure-suppression / top-k-prune /
     paragraph-merge operators). Headerless spans land on page 0 ordered
     by their source offset. Returns (page, y, x, w, h, body)."""
-    m = POS_HEADER_RE.match(text or "")
-    if not m:
+    # cheap gate before the regex: any match starts with the literal
+    # "p=" (the pattern is anchored), so headerless spans skip the
+    # regex engine entirely
+    if not text or not text.startswith("p="):
         return 0, -1.0, -1.0, 0.0, 0.0, text or ""
+    m = POS_HEADER_RE.match(text)
+    if not m:
+        return 0, -1.0, -1.0, 0.0, 0.0, text
     w = float(m.group(4)) if m.group(4) else 0.0
     h = float(m.group(5)) if m.group(5) else 0.0
     return int(m.group(1)), float(m.group(2)), float(m.group(3)), w, h, text[m.end():]
@@ -1048,10 +1053,11 @@ def _drop_repeating_footers(blocks: list[Block]) -> list[Block]:
     for b in blocks:
         if b.kind == "text":
             in_band = b.y >= FOOTER_BAND_Y or b.y < 0  # headerless: no geometry to exempt
-            one_line = " ".join(b.text.split())
             # page-number drop is band-limited like the repeats/boiler
-            # checks — a body line that happens to be a bare number stays
-            if in_band and _PAGE_NUM_RE.match(one_line):
+            # checks — a body line that happens to be a bare number
+            # stays (one_line is only consumed inside the band, so it
+            # is only computed there)
+            if in_band and _PAGE_NUM_RE.match(" ".join(b.text.split())):
                 continue
             k = text_norm_key(b.text)
             repeats = len(page_sets.get(k, ())) >= 2
