@@ -737,12 +737,13 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     books[m][k]) for k in range(PQ_KSUB)]
                    for m in range(PQ_M)]
             probe_rows.append((int(r["vec_id"]), int(cell), lut))
-    # JVM literal relation, not createDataFrame: a pickled-RDD scan of
-    # 40 constant rows would spin Python workers once per execution
-    probes = _lit_rows_df(spark, [
-        [("qid", q_), ("cell", c_), ("lut", l_)] for q_, c_, l_ in probe_rows])
-    probes = probes.select(F.col("qid").cast("long").alias("qid"),
-                           F.col("cell").cast("int").alias("cell"), "lut")
+    # createDataFrame, NOT the literal-relation idiom: at N_QUERIES x
+    # nprobe = 40 rows of nested 4x16 LUTs the literal expression tree
+    # measurably costs more to analyze/codegen than the tiny pickled-RDD
+    # scan (interleaved A/B: 2.24 vs 2.73 s warm, 4.0 vs 8.8 s cold);
+    # the 10-row flat-PQ probe table stays literal, where it wins
+    probes = spark.createDataFrame(
+        probe_rows, "qid long, cell int, lut array<array<double>>")
     scored = (enc.join(F.broadcast(probes), "cell")
               .filter(F.col("vec_id") != F.col("qid"))
               .select("qid", "vec_id",
